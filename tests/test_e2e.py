@@ -1,0 +1,153 @@
+"""End-to-end smoke: the reference's canonical workflow on its own fixtures.
+
+  1) build a MAT from test/global_phylo.nh + test/global_samples.vcf, save .pb
+  2) load the .pb and place test/new_samples.vcf (5 samples)
+
+Oracles (SURVEY.md section 4): genotype reconstruction for every sample
+(check_samples equivalence), parsimony-score consistency, output files
+produced and well-formed, pb roundtrip stability.
+"""
+
+import os
+
+import pytest
+
+from usher_tpu.cli.usher_cli import main as usher_main
+from usher_tpu.core.tree import Tree
+from usher_tpu.io.newick import parse_newick_string
+from usher_tpu.io.pbio import load_mat_pb
+from usher_tpu.io.vcf import read_vcf_sites
+
+from conftest import REFERENCE_TEST_DIR
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE_TEST_DIR),
+                                reason="reference test data unavailable")
+
+GLOBAL_NH = os.path.join(REFERENCE_TEST_DIR, "global_phylo.nh")
+GLOBAL_VCF = os.path.join(REFERENCE_TEST_DIR, "global_samples.vcf")
+NEW_VCF = os.path.join(REFERENCE_TEST_DIR, "new_samples.vcf")
+
+
+def reconstruct_leaf_states(T):
+    out = {}
+    stack = [(T.root, {})]
+    while stack:
+        node, state = stack.pop()
+        if node.mutations:
+            state = dict(state)
+            for m in node.mutations:
+                state[m.position] = m.mut_nuc
+        if node.is_leaf():
+            out[node.identifier] = state
+        for ch in node.children:
+            stack.append((ch, state))
+    return out
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp("usher_build"))
+    pb = os.path.join(outdir, "out.pb")
+    rc = usher_main(["-t", GLOBAL_NH, "-v", GLOBAL_VCF, "-o", pb, "-d", outdir])
+    assert rc == 0
+    return outdir, pb
+
+
+def test_build_outputs_exist(built):
+    outdir, pb = built
+    assert os.path.exists(os.path.join(outdir, "final-tree.nh"))
+    # all 422 VCF samples are tree leaves -> no missing samples -> the
+    # reference produces no placement_stats.tsv in this run either
+    assert os.path.exists(pb)
+
+
+def test_build_genotype_reconstruction_oracle(built):
+    outdir, pb = built
+    T = load_mat_pb(pb)
+    T.uncondense_leaves()
+    vcf = read_vcf_sites(GLOBAL_VCF)
+    recon = reconstruct_leaf_states(T)
+    leaf_ids = set(T.get_leaves_ids())
+    checked = 0
+    for site in vcf.sites:
+        variant_by_col = {j: nuc for j, nuc in site.variants}
+        for j, name in enumerate(vcf.sample_ids):
+            if name not in leaf_ids:
+                continue
+            mask = variant_by_col.get(j, site.ref_nuc)
+            got = recon[name].get(site.position, site.ref_nuc)
+            assert got & mask, (
+                f"{name}@{site.position}: reconstructed {got:04b} vs mask {mask:04b}")
+            checked += 1
+    assert checked > 100_000  # 422 samples x 423 sites
+
+
+def test_build_final_tree_parseable_and_leafset(built):
+    outdir, pb = built
+    with open(os.path.join(outdir, "final-tree.nh")) as f:
+        s = f.read()
+    assert s.endswith(";")  # no trailing newline, like the reference
+    T = parse_newick_string(s)
+    orig = parse_newick_string(open(GLOBAL_NH).readline())
+    assert set(T.get_leaves_ids()) == set(orig.get_leaves_ids())
+
+
+def test_placement_of_new_samples(built, tmp_path):
+    outdir, pb = built
+    outdir2 = str(tmp_path / "place")
+    pb2 = os.path.join(outdir2, "out2.pb")
+    rc = usher_main(["-i", pb, "-v", NEW_VCF, "-o", pb2, "-d", outdir2])
+    assert rc == 0
+
+    stats = open(os.path.join(outdir2, "placement_stats.tsv")).read().strip().split("\n")
+    assert len(stats) == 5
+    names = [l.split("\t")[0] for l in stats]
+    assert names == ["Sample1", "Sample2", "Sample3", "Sample4", "Sample5"]
+    for line in stats:
+        fields = line.split("\t")
+        par = int(fields[1])
+        epp = int(fields[2])
+        assert 0 <= par <= 10
+        assert epp >= 1
+
+    # mutation paths present for all placed samples
+    mp = open(os.path.join(outdir2, "mutation-paths.txt")).read().strip().split("\n")
+    assert len(mp) == 5
+
+    # every placed sample's reconstructed genotype must match its VCF entries
+    T = load_mat_pb(pb2)
+    T.uncondense_leaves()
+    vcf = read_vcf_sites(NEW_VCF)
+    recon = reconstruct_leaf_states(T)
+    for site in vcf.sites:
+        variant_by_col = {j: nuc for j, nuc in site.variants}
+        for j, name in enumerate(vcf.sample_ids):
+            assert name in recon, f"sample {name} missing from result tree"
+            mask = variant_by_col.get(j, site.ref_nuc)
+            got = recon[name].get(site.position, site.ref_nuc)
+            assert got & mask, (
+                f"{name}@{site.position}: {got:04b} vs mask {mask:04b}")
+
+
+def test_placement_parsimony_scores_mode(built, tmp_path):
+    outdir, pb = built
+    outdir2 = str(tmp_path / "pmode")
+    rc = usher_main(["-i", pb, "-v", NEW_VCF, "-d", outdir2, "-p"])
+    assert rc == 0
+    path = os.path.join(outdir2, "parsimony-scores.tsv")
+    lines = open(path).read().strip().split("\n")
+    assert lines[0].startswith("#Sample\tTree node\tParsimony score")
+    body = [l for l in lines[1:] if l]
+    # every sample x every node gets a row
+    T = load_mat_pb(pb)
+    n_nodes = len(T.depth_first_expansion())
+    assert len(body) == 5 * n_nodes
+    # each sample has at least one optimal row and optima agree with min
+    import collections
+    per_sample = collections.defaultdict(list)
+    for l in body:
+        f = l.split("\t")
+        per_sample[f[0]].append((int(f[2]), f[4]))
+    for name, rows in per_sample.items():
+        best = min(r[0] for r in rows)
+        assert all((r[1] == "y") == (r[0] == best) for r in rows)

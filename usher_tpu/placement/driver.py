@@ -1,0 +1,475 @@
+"""Sample placement driver: the usher_common equivalent.
+
+Orchestrates the end-to-end placement flow (reference src/usher_common.cpp):
+optional collapse/condense of the input tree, optional sample sorting,
+the per-sample placement loop (scored on device against ALL nodes at once),
+tree surgery, and all output artifacts (final-tree.nh, placement_stats.tsv,
+mutation-paths.txt, parsimony-scores.tsv, clades.txt, MAT .pb).
+
+Deterministic semantics: the reference's racy shared-best parallel search is
+replaced by an exact reduction -- the tie set is all VALID nodes achieving
+the minimum score, the winner maximizes (subtree leaf count, BFS index)
+(usher_mapper.cpp:458-497), which equals the reference's sequential-order
+outcome.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.flat import FlatMAT, collect_positions
+from ..core.tree import Mutation, MissingSample, Tree
+from ..io.newick import write_newick
+from ..io.pbio import save_mat_pb
+from ..ops import placement as dev
+from .mapper import score_placement
+
+
+def _err(*a):
+    print(*a, file=sys.stderr)
+
+
+@dataclass
+class UsherOptions:
+    dout_filename: str = ""
+    outdir: str = "."
+    max_trees: int = 1
+    max_uncertainty: int = 1_000_000
+    max_parsimony: int = 1_000_000
+    sort_before_placement_1: bool = False
+    sort_before_placement_2: bool = False
+    sort_before_placement_3: bool = False
+    reverse_sort: bool = False
+    collapse_tree: bool = False
+    collapse_output_tree: bool = False
+    print_uncondensed_tree: bool = False
+    print_parsimony_scores: bool = False
+    retain_original_branch_len: bool = False
+    no_add: bool = False
+    detailed_clades: bool = False
+    print_subtrees_size: int = 0
+    print_subtrees_single: int = 0
+
+
+@dataclass
+class SampleResult:
+    """Exact placement result for one sample against a tree snapshot."""
+    best_score: int
+    num_best: int
+    best_node: object
+    best_has_unique: bool
+    tied_nodes: list = field(default_factory=list)       # BFS order
+    tied_has_unique: list = field(default_factory=list)
+    scores_bfs: np.ndarray | None = None                 # per BFS node (for -p)
+    valid_bfs: np.ndarray | None = None
+
+
+class PlacementEngine:
+    """Holds the device-resident flat MAT and runs batched scoring."""
+
+    def __init__(self, T: Tree, vcf=None):
+        positions, ref, chrom = collect_positions(T, vcf)
+        self.flat = FlatMAT(T, positions, ref, chrom)
+
+    def score_samples(self, samples_mutations, want_matrix=False):
+        """Score a batch of samples against the current tree.
+
+        Returns a list of SampleResult (one per sample)."""
+        flat = self.flat
+        st_dev, parent_dev = flat.sync()
+        meta = flat.order_arrays()
+        g, E, miss = flat.encode_samples(samples_mutations)
+        score, num_common, node_num_mut = (
+            np.asarray(x) for x in dev.score_batch(
+                st_dev, parent_dev, flat.root_slot,
+                np.asarray(flat.ref), meta["active"], g, E, miss))
+        valid, has_unique = dev.placement_outputs(
+            score, num_common, node_num_mut, meta["is_root_mask"],
+            meta["is_leaf"], meta["active"])
+
+        bfs = meta["bfs"]
+        bfs_rank = meta["bfs_rank"]
+        num_leaves = meta["num_leaves"]
+        results = []
+        for b in range(len(samples_mutations)):
+            s_row, v_row, hu_row = score[b], valid[b], has_unique[b]
+            vs = np.where(v_row, s_row, 1 << 30)
+            best = int(vs.min())
+            tied_slots = np.nonzero(v_row & (s_row == best))[0]
+            # order tie set by BFS rank ascending
+            tied_slots = tied_slots[np.argsort(bfs_rank[tied_slots], kind="stable")]
+            # winner: max leaves then max BFS rank
+            tl = num_leaves[tied_slots]
+            cand = tied_slots[tl == tl.max()]
+            best_slot = int(cand[np.argmax(bfs_rank[cand])])
+            res = SampleResult(
+                best_score=best,
+                num_best=int(len(tied_slots)),
+                best_node=flat._slot_node[best_slot],
+                best_has_unique=bool(hu_row[best_slot]),
+                tied_nodes=[flat._slot_node[s] for s in tied_slots],
+                tied_has_unique=[bool(hu_row[s]) for s in tied_slots],
+            )
+            if want_matrix:
+                slots = np.array([n.slot for n in bfs])
+                res.scores_bfs = s_row[slots]
+                res.valid_bfs = v_row[slots]
+            results.append(res)
+        return results
+
+    # --- surgery ------------------------------------------------------------
+
+    def apply_placement(self, sample_name: str, res: SampleResult,
+                        excess: list[Mutation]) -> None:
+        """Insert the sample at the winning node (reference
+        usher_common.cpp:652-765)."""
+        T = self.flat.tree
+        best_node = res.best_node
+        if best_node.is_leaf() or res.best_has_unique:
+            # sibling: split the branch
+            nid = T.new_internal_node_id()
+            new_internal = T.create_node(nid, best_node.parent)
+            sample_node = T.create_node(sample_name, new_internal)
+            T.move_node(best_node.identifier, nid)
+
+            curr_l1 = [m.copy() for m in best_node.mutations]
+            best_node.clear_mutations()
+            l1, l2, common = [], [], []
+            for m1 in curr_l1:
+                if not any((not m1.is_masked()) and m1.position == m2.position
+                           and m1.mut_nuc == m2.mut_nuc for m2 in excess):
+                    l1.append(m1.copy())
+            for m1 in excess:
+                matched = any((not m1.is_masked()) and m1.position == m2.position
+                              and m1.mut_nuc == m2.mut_nuc for m2 in curr_l1)
+                (common if matched else l2).append(m1.copy())
+            for m in common:
+                new_internal.add_mutation(m)
+            for m in l1:
+                best_node.add_mutation(m)
+            for m in l2:
+                sample_node.add_mutation(m)
+
+            self.flat.add_node(new_internal)
+            self.flat.add_node(sample_node)
+            self.flat.reparent(best_node)
+        else:
+            # child
+            sample_node = T.create_node(sample_name, best_node.identifier)
+            curr_l1 = best_node.mutations
+            for m1 in excess:
+                if not any((not m1.is_masked()) and m1.position == m2.position
+                           and m1.mut_nuc == m2.mut_nuc for m2 in curr_l1):
+                    sample_node.add_mutation(m1.copy())
+            self.flat.add_node(sample_node)
+
+
+def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
+              vcf=None) -> int:
+    low_confidence_samples: list[str] = []
+
+    if opts.print_subtrees_size == 1:
+        _err("ERROR: print-subtrees-size should be larger than 1")
+        return 1
+    if (opts.sort_before_placement_1 + opts.sort_before_placement_2
+            + opts.sort_before_placement_3) > 1:
+        _err("ERROR: Can't use two or more of sort-before-placement-1, "
+             "sort-before-placement-2 and sort-before-placement-3 simultaneously.")
+        return 1
+    if opts.reverse_sort and not (opts.sort_before_placement_1
+                                  or opts.sort_before_placement_2
+                                  or opts.sort_before_placement_3):
+        _err("ERROR: Can't use reverse-sort without sorting options")
+        return 1
+    if opts.print_parsimony_scores and opts.max_trees > 1:
+        _err("ERROR: cannot use --multiple-placements (-M) and "
+             "--print_parsimony_scores (-p) options simulaneously.")
+        return 1
+    if opts.max_trees == 0:
+        _err("ERROR: Number of trees specified by --multiple-placements (-M) "
+             "should be >= 1")
+        return 1
+    if opts.max_trees > 1:
+        raise NotImplementedError(
+            "--multiple-placements > 1 is not implemented yet in usher-tpu")
+    if opts.no_add and (opts.print_subtrees_size > 0 or opts.print_subtrees_single):
+        _err("ERROR: Sorry, cannot output subtrees when -n/--no-add is specified.")
+        return 1
+
+    os.makedirs(opts.outdir, exist_ok=True)
+    outdir = os.path.realpath(opts.outdir)
+
+    if opts.collapse_tree:
+        _err("Collapsing input tree.")
+        T.collapse_tree()
+        _err("Condensing identical sequences.")
+        T.condense_leaves()
+        path = os.path.join(outdir, "condensed-tree.nh")
+        with open(path, "w") as f:
+            f.write(write_newick(T, print_internal=True, print_branch_len=True,
+                                 retain_original_branch_len=opts.retain_original_branch_len)
+                    + "\n")
+
+    _err(f"Found {len(missing_samples)} missing samples.\n")
+
+    if opts.sort_before_placement_3:
+        missing_samples.sort(key=lambda s: s.num_ambiguous)
+        if opts.reverse_sort:
+            missing_samples.reverse()
+
+    engine = PlacementEngine(T, vcf)
+    flat = engine.flat
+
+    if missing_samples:
+        indexes = list(range(len(missing_samples)))
+
+        if opts.print_parsimony_scores:
+            path = os.path.join(outdir, "current-tree.nh")
+            with open(path, "w") as f:
+                f.write(write_newick(T, print_internal=True, print_branch_len=True)
+                        + "\n")
+        elif ((opts.sort_before_placement_1 or opts.sort_before_placement_2)
+              and len(missing_samples) > 1):
+            _err("Computing parsimony scores and number of parsimony-optimal "
+                 "placements for new samples and using them to sort the samples.")
+            for s in missing_samples:
+                s.mutations.sort(key=lambda m: m.position)
+            pres = engine.score_samples([s.mutations for s in missing_samples])
+            best_scores = [r.best_score for r in pres]
+            num_placements = [r.num_best for r in pres]
+            if opts.sort_before_placement_1:
+                indexes.sort(key=lambda i: (best_scores[i], num_placements[i]))
+            else:
+                indexes.sort(key=lambda i: (num_placements[i], best_scores[i]))
+            if opts.reverse_sort:
+                indexes.reverse()
+
+        if not opts.print_parsimony_scores:
+            _err("Adding missing samples to the tree.")
+
+        stats_path = os.path.join(outdir, "placement_stats.tsv")
+        stats_f = open(stats_path, "w")
+        pars_f = None
+
+        for loop_i, idx in enumerate(indexes):
+            s = missing_samples[idx]
+            sample = s.name
+
+            if T.get_node(sample) is not None:
+                _err(f"WARNING: Sample {sample} already in the tree! Ignoring.\n")
+                continue
+
+            if opts.print_parsimony_scores and pars_f is None:
+                pars_path = os.path.join(outdir, "parsimony-scores.tsv")
+                _err(f"\nNow computing branch parsimony scores for adding the "
+                     f"missing samples at each of the nodes in the existing tree "
+                     f"without modifying the tree.\nThe branch parsimony scores "
+                     f"will be written to file {pars_path}\n")
+                pars_f = open(pars_path, "w")
+                pars_f.write("#Sample\tTree node\tParsimony score\tOptimal (y/n)\t"
+                             "Parsimony-increasing mutations (for optimal nodes)\n")
+
+            res = engine.score_samples([s.mutations],
+                                       want_matrix=opts.print_parsimony_scores)[0]
+            best_set_difference = res.best_score
+            num_best = res.num_best
+            best_node = res.best_node
+            total_nodes = len(flat.tree.breadth_first_expansion())
+
+            # Cross-check device score against the exact host scorer for the
+            # winner; also produces the excess/imputed vectors for surgery.
+            detail = score_placement(best_node, s.mutations)
+            if detail.set_difference != best_set_difference:
+                raise AssertionError(
+                    f"device/host score mismatch for {sample} at "
+                    f"{best_node.identifier}: {best_set_difference} vs "
+                    f"{detail.set_difference}")
+
+            if opts.print_parsimony_scores:
+                _err(f"Missing sample: {sample}\t Best parsimony score: "
+                     f"{best_set_difference}\tNumber of parsimony-optimal "
+                     f"placements: {num_best}")
+                bfs_nodes = flat.tree.breadth_first_expansion()
+                for k, node in enumerate(bfs_nodes):
+                    sc = int(res.scores_bfs[k])
+                    reported = sc if res.valid_bfs[k] else sc + 1
+                    is_opt = "y" if reported == best_set_difference else "n"
+                    pars_f.write(f"{sample}\t{node.identifier}\t{reported}\t\t{is_opt}\t")
+                    if reported == best_set_difference:
+                        det_k = score_placement(node, s.mutations)
+                        if reported == 0:
+                            pars_f.write("*")
+                        n_print = min(reported, len(det_k.excess))
+                        pars_f.write(",".join(
+                            det_k.excess[i].get_string() for i in range(n_print)))
+                    else:
+                        pars_f.write("N/A")
+                    pars_f.write("\n")
+                # the reference writes the (empty) per-sample stats terminator
+                # even in -p mode (usher_common.cpp:788)
+                stats_f.write("\n")
+                continue
+
+            _err(f"Current tree size (#nodes): {total_nodes}\tSample name: "
+                 f"{sample}\tParsimony score: {best_set_difference}\tNumber of "
+                 f"parsimony-optimal placements: {num_best}")
+            stats_f.write(f"{sample}\t{best_set_difference}\t{num_best}\t")
+
+            if num_best > 1:
+                if opts.max_trees == 1:
+                    low_confidence_samples.append(sample)
+                if num_best > opts.max_uncertainty:
+                    _err(f"WARNING: Number of parsimony-optimal placements exceeds "
+                         f"maximum allowed value ({opts.max_uncertainty}). Ignoring "
+                         f"sample {sample}.")
+                elif best_set_difference <= opts.max_parsimony:
+                    _err("WARNING: Multiple parsimony-optimal placements found. "
+                         "Placement done without high confidence.")
+            if best_set_difference > opts.max_parsimony:
+                _err(f"WARNING: Parsimony score of the most parsimonious placement "
+                     f"exceeds the maximum allowed value ({opts.max_parsimony}). "
+                     f"Ignoring sample {sample}.")
+
+            if (num_best <= opts.max_uncertainty
+                    and best_set_difference <= opts.max_parsimony):
+                # clade assignment over the tie set (usher_common.cpp:600-619)
+                num_annotations = T.get_num_annotations()
+                s.clade_assignments = []
+                s.best_clade_assignment = [""] * num_annotations
+                for c in range(num_annotations):
+                    assignments = []
+                    for node, hu in zip(res.tied_nodes, res.tied_has_unique):
+                        include_self = (not node.is_leaf()) and (not hu)
+                        clade = T.get_clade_assignment(node, c, include_self)
+                        assignments.append(clade)
+                        if node is best_node:
+                            s.best_clade_assignment[c] = clade
+                    assignments.sort()
+                    s.clade_assignments.append(assignments)
+
+                if not opts.no_add and T.get_node(sample) is None:
+                    engine.apply_placement(sample, res, detail.excess)
+
+                if detail.imputed:
+                    _err("Imputed mutations:\t" + ";".join(
+                        f"{m.position}:{_nuc_char(m.mut_nuc)}" for m in detail.imputed))
+                    stats_f.write(";".join(
+                        f"{m.position}:{_nuc_char(m.mut_nuc)}" for m in detail.imputed))
+            stats_f.write("\n")
+
+        stats_f.close()
+        if pars_f is not None:
+            pars_f.close()
+        if opts.print_parsimony_scores:
+            return 0
+
+    # --- outputs (usher_common.cpp:796-1044) --------------------------------
+
+    if opts.collapse_output_tree:
+        _err("Collapsing output tree.")
+        T.collapse_tree()
+
+    if opts.print_uncondensed_tree:
+        path = os.path.join(outdir, "uncondensed-final-tree.nh")
+        _err(f"Writing uncondensed final tree to file {path}")
+        _err(f"The parsimony score for this tree is: {T.get_parsimony_score()}")
+        with open(path, "w") as f:
+            f.write(write_newick(T, print_internal=True, print_branch_len=True,
+                                 uncondense_leaves=True))
+    else:
+        path = os.path.join(outdir, "final-tree.nh")
+        _err(f"Writing final tree to file {path}")
+        _err(f"The parsimony score for this tree is: {T.get_parsimony_score()}")
+        with open(path, "w") as f:
+            f.write(write_newick(T, print_internal=True, print_branch_len=True))
+
+    if missing_samples:
+        path = os.path.join(outdir, "mutation-paths.txt")
+        _err(f"Writing mutation paths to file {path}")
+        write_mutation_paths(T, [s.name for s in missing_samples], path)
+
+        num_annotations = T.get_num_annotations()
+        if num_annotations > 0:
+            path = os.path.join(outdir, "clades.txt")
+            _err(f"Writing clade annotations to file {path}")
+            with open(path, "w") as f:
+                for s in missing_samples:
+                    if not s.best_clade_assignment:
+                        continue
+                    f.write(f"{s.name}\t")
+                    cols = []
+                    for k in range(num_annotations):
+                        col = s.best_clade_assignment[k]
+                        if opts.max_trees == 1 and opts.detailed_clades:
+                            col += "*|"
+                            hist = []
+                            curr_clade, curr_count = "", 0
+                            total = len(s.clade_assignments[k])
+                            for clade in s.clade_assignments[k]:
+                                if clade == curr_clade:
+                                    curr_count += 1
+                                else:
+                                    if curr_count > 0:
+                                        hist.append(f"{curr_clade}({curr_count}/{total})")
+                                    curr_clade, curr_count = clade, 1
+                            if curr_count > 0:
+                                hist.append(f"{curr_clade}({curr_count}/{total})")
+                            col += ",".join(hist)
+                        cols.append(col)
+                    f.write("\t".join(cols) + "\n")
+
+    if opts.print_subtrees_single > 1 and missing_samples:
+        from ..tools.subtrees import write_single_subtree
+        T.uncondense_leaves()
+        write_single_subtree(T, [s.name for s in missing_samples], outdir,
+                             opts.print_subtrees_single)
+
+    if opts.print_subtrees_size > 1 and missing_samples:
+        from ..tools.subtrees import write_sample_subtrees
+        T.uncondense_leaves()
+        write_sample_subtrees(T, [s.name for s in missing_samples], outdir,
+                              opts.print_subtrees_size)
+
+    if low_confidence_samples:
+        _err("WARNING: Following samples had multiple possibilities of "
+             "parsimony-optimal placements:")
+        for name in low_confidence_samples:
+            _err(name)
+
+    if opts.dout_filename:
+        _err(f"Saving mutation-annotated tree object to file (after condensing "
+             f"identical sequences) {opts.dout_filename}")
+        if T.condensed_nodes:
+            T.uncondense_leaves()
+        T.condense_leaves()
+        save_mat_pb(T, opts.dout_filename)
+
+    return 0
+
+
+def _nuc_char(nuc_id: int) -> str:
+    from ..core.nuc import char_from_nuc_id
+    return char_from_nuc_id(nuc_id)
+
+
+def write_mutation_paths(T: Tree, samples: list[str], filename: str) -> None:
+    """Root->sample branch mutation paths (reference
+    mutation_annotated_tree.cpp:1991-2050)."""
+    with open(filename, "w") as f:
+        for sample in samples:
+            node = T.get_node(sample)
+            if node is None:
+                continue
+            chain = []
+            cur = node
+            while cur is not None:
+                if cur.mutations:
+                    chain.append(cur.identifier + ":"
+                                 + ",".join(m.get_string() for m in cur.mutations)
+                                 + " ")
+                cur = cur.parent
+            f.write(sample + "\t" + "".join(reversed(chain)) + "\n")
