@@ -1,0 +1,152 @@
+"""Benchmark: batched maximum-parsimony placement scoring throughput.
+
+Workload: BASELINE.json config #3 scale -- a synthetic 100k-node MAT over
+512 segregating sites, a batch of 1024 samples, every sample scored against
+EVERY tree node (the reference's hot loop #1, usher_mapper.cpp:167-504) plus
+the validity + argmin/tie-break reduction, all as ONE fused device step
+(usher_tpu.ops.placement.placement_step).
+
+Metric: samples placed/sec (scoring + best-placement reduction; host tree
+surgery is amortized bookkeeping in both systems).
+
+vs_baseline: the reference binary cannot be built in this image (no MPI /
+boost), so the baseline is the same scoring math executed by single-core
+vectorized numpy, scaled x64 (a stand-in for 64-thread CPU UShER; numpy's
+fused elementwise loops are comparable to the reference's memory-bound C++
+scan, and the reference's early-exit pruning is offset by numpy's SIMD).
+BASELINE.json target: >= 10x vs 64-thread CPU.
+
+Prints ONE json line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_NODES = 100_000
+P_SITES = 512
+BATCH = 1024
+MUTS_PER_SAMPLE = 16
+NIBBLES = np.array([1, 2, 4, 8], dtype=np.uint8)
+
+
+def _progress(msg, t0=time.time()):
+    print(f"[bench +{time.time()-t0:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def synth_flat_mat(rng):
+    """Random MAT as flat arrays: parent pointers (topologically ordered),
+    path states derived root->leaf with ~3 branch mutations per node."""
+    ref = NIBBLES[rng.integers(0, 4, size=P_SITES)]
+    parent = np.zeros(N_NODES, dtype=np.int32)
+    parent[1:] = (rng.random(N_NODES - 1)
+                  * np.arange(N_NODES - 1)).astype(np.int32)
+    st = np.zeros((N_NODES, P_SITES), dtype=np.uint8)
+    st[0] = ref
+    # vectorized root->leaf accumulation: nodes are topologically ordered, so
+    # process in chunks whose parents all precede the chunk
+    n_mut = 3
+    mut_pos = rng.integers(0, P_SITES, size=(N_NODES, n_mut))
+    mut_allele = NIBBLES[rng.integers(0, 4, size=(N_NODES, n_mut))]
+    for i in range(1, N_NODES):
+        row = st[parent[i]].copy()
+        row[mut_pos[i]] = mut_allele[i]
+        st[i] = row
+
+    is_leaf = np.ones(N_NODES, dtype=bool)
+    is_leaf[parent[1:]] = False
+    is_leaf[0] = False
+    num_leaves = np.zeros(N_NODES, dtype=np.int32)
+    num_leaves[is_leaf] = 1
+    for i in range(N_NODES - 1, 0, -1):
+        num_leaves[parent[i]] += num_leaves[i]
+    active = np.ones(N_NODES, dtype=bool)
+    is_root = np.zeros(N_NODES, dtype=bool)
+    is_root[0] = True
+    bfs_rank = np.arange(N_NODES, dtype=np.int32)  # topo order ~ BFS for ties
+    return st, parent, ref, active, is_leaf, is_root, num_leaves, bfs_rank
+
+
+def synth_samples(rng, ref):
+    g = np.tile(ref, (BATCH, 1))
+    E = np.zeros((BATCH, P_SITES), dtype=bool)
+    miss = np.zeros((BATCH, P_SITES), dtype=bool)
+    for b in range(BATCH):
+        idx = rng.choice(P_SITES, size=MUTS_PER_SAMPLE, replace=False)
+        g[b, idx] = NIBBLES[rng.integers(0, 4, size=MUTS_PER_SAMPLE)]
+        E[b, idx] = True
+    return g, E, miss
+
+
+def numpy_score_batch(st, stp, ref, g, E, miss):
+    """Single-core numpy version of the same scoring (the CPU baseline)."""
+    bm = st != stp
+    B = g.shape[0]
+    scores = np.empty((B, st.shape[0]), dtype=np.int32)
+    for b in range(B):
+        matched = (g[b][None, :] & st) != 0
+        excl = bm & ~matched
+        A = np.where(excl, stp, st)
+        term1 = E[b][None, :] & (~miss[b][None, :]) & ((g[b][None, :] & A) == 0)
+        term2 = (~E[b][None, :]) & (A != ref[None, :])
+        scores[b] = (term1 | term2).sum(axis=-1)
+    return scores
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from usher_tpu.ops import placement as dev
+
+    rng = np.random.default_rng(42)
+    st, parent, ref, active, is_leaf, is_root, num_leaves, bfs_rank = \
+        synth_flat_mat(rng)
+    g, E, miss = synth_samples(rng, ref)
+    _progress(f"synthetic MAT built ({N_NODES} nodes, {P_SITES} sites, "
+              f"B={BATCH})")
+
+    args = (jnp.asarray(st), jnp.asarray(parent), jnp.int32(0),
+            jnp.asarray(ref), jnp.asarray(active), jnp.asarray(is_leaf),
+            jnp.asarray(is_root), jnp.asarray(num_leaves),
+            jnp.asarray(bfs_rank), jnp.asarray(g), jnp.asarray(E),
+            jnp.asarray(miss))
+    # NOTE: force a host transfer to fence each step -- on the axon platform
+    # block_until_ready returns before execution completes.
+    best = [np.asarray(x) for x in dev.placement_step(*args)]
+    _progress("placement_step compiled")
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        best = [np.asarray(x) for x in dev.placement_step(*args)]
+    dt = (time.time() - t0) / iters
+    device_rate = BATCH / dt
+    _progress(f"device: {dt*1e3:.1f} ms/batch -> {device_rate:.0f} samples/s")
+
+    # baseline: single-core numpy on a subsample, extrapolated to 64 threads
+    Bs = 4
+    stp = st[parent]
+    stp[0] = st[0]
+    t0 = time.time()
+    numpy_score_batch(st, stp, ref, g[:Bs], E[:Bs], miss[:Bs])
+    cpu_dt = time.time() - t0
+    cpu_rate_64t = (Bs / cpu_dt) * 64
+    _progress(f"numpy 1-core: {cpu_dt/Bs*1e3:.1f} ms/sample "
+              f"-> x64 = {cpu_rate_64t:.0f} samples/s")
+
+    print(json.dumps({
+        "metric": "samples_placed_per_sec",
+        "value": round(device_rate, 2),
+        "unit": "samples/s (B=%d, %d-node MAT, %d sites, 1 chip)" % (
+            BATCH, N_NODES, P_SITES),
+        "vs_baseline": round(device_rate / cpu_rate_64t, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

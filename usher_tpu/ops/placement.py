@@ -107,6 +107,36 @@ def placement_outputs(score, num_common, node_num_mut, is_root_mask, is_leaf,
     return valid, has_unique
 
 
+def valid_mask(score, num_common, node_num_mut, is_root_mask, is_leaf, active):
+    """Device-side validity / has_unique (same math as placement_outputs)."""
+    has_unique = num_common < node_num_mut[None, :]
+    nc_pos = num_common > 0
+    leaf = is_leaf[None, :]
+    valid = (is_root_mask[None, :]
+             | (leaf & nc_pos)
+             | (~leaf & has_unique & nc_pos)
+             | (~leaf & ~has_unique))
+    return valid & active[None, :], has_unique
+
+
+@jax.jit
+def placement_step(st, parent, root_slot, ref, active, is_leaf, is_root_mask,
+                   num_leaves, bfs_rank, g, E, miss):
+    """One fused device step: score all nodes x the batch, apply validity,
+    reduce to the per-sample winner with the reference tie-break.
+
+    Returns (best_score [B], best_slot [B], num_best [B]) -- a few hundred
+    bytes across the host boundary instead of [B,N] matrices.
+    """
+    stp = st[parent]
+    stp = stp.at[root_slot].set(st[root_slot])
+    score, num_common, node_num_mut = score_with_stp(
+        st, stp, ref, active, g, E, miss)
+    valid, _ = valid_mask(score, num_common, node_num_mut, is_root_mask,
+                          is_leaf, active)
+    return reduce_best(score, valid, num_leaves, bfs_rank)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def reduce_best(score, valid, num_leaves, bfs_rank):
     """Per-sample argmin with the reference tie-break: minimize
