@@ -1,0 +1,163 @@
+"""matOptimize equivalent: whole-tree FS reassignment + SPR optimization.
+
+Oracles (SURVEY.md section 4): genotype reconstruction preserved exactly
+(check_samples equivalence), parsimony never increases, and a tree with a
+known suboptimal placement is repaired to the known optimum.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from usher_tpu.core.flat import collect_positions
+from usher_tpu.core.tree import Mutation, Tree
+from usher_tpu.io.newick import parse_newick
+from usher_tpu.io.vcf import read_vcf_sites
+from usher_tpu.ops.sankoff import assign_states_from_vcf
+from usher_tpu.optimize import OptimizeOptions, optimize_tree
+from usher_tpu.optimize.fitch import FitchEngine, leaf_masks_from_tree
+
+from conftest import REFERENCE_TEST_DIR
+
+GLOBAL_NH = os.path.join(REFERENCE_TEST_DIR, "global_phylo.nh")
+GLOBAL_VCF = os.path.join(REFERENCE_TEST_DIR, "global_samples.vcf")
+
+
+def leaf_genotypes(T, positions):
+    """leaf name -> {pos: allele-mask} accumulated root->leaf."""
+    pos = set(int(p) for p in positions)
+    out = {}
+    stack = [(T.root, {})]
+    while stack:
+        node, state = stack.pop()
+        if node.mutations:
+            state = dict(state)
+            for m in node.mutations:
+                if m.position in pos:
+                    state[m.position] = m.mut_nuc
+        if node.is_leaf():
+            out[node.identifier] = state
+        for ch in node.children:
+            stack.append((ch, state))
+    return out
+
+
+def mk_mut(pos, par, mut, ref=1):
+    return Mutation(chrom="c", position=pos, ref_nuc=ref, par_nuc=par,
+                    mut_nuc=mut)
+
+
+def build_suboptimal_tree():
+    """A tree where leaf D (genotype identical to B's clade) is misplaced
+    under the A-clade: SPR moving D next to B saves mutations.
+
+            root
+           /    \\
+         i1      i2
+        /  \\   /  \\
+       A    D  B    C
+
+    positions 100,200: A=ref; B,C carry G at 100; D carries G at 100 too but
+    sits under i1, costing an extra mutation.
+    """
+    T = Tree()
+    root = T.create_node("root")
+    i1 = T.create_node("i1", root)
+    i2 = T.create_node("i2", root)
+    a = T.create_node("A", i1)
+    d = T.create_node("D", i1)
+    b = T.create_node("B", i2)
+    c = T.create_node("C", i2)
+    # ref at 100 is A(1); clade i2 has G(4)
+    i2.mutations = [mk_mut(100, 1, 4)]
+    d.mutations = [mk_mut(100, 1, 4)]
+    # distinguish B and C so i2 isn't collapsible
+    b.mutations = [mk_mut(200, 1, 2)]
+    return T
+
+
+def test_fitch_reassignment_preserves_genotypes_and_score():
+    T = parse_newick(GLOBAL_NH)
+    vcf = read_vcf_sites(GLOBAL_VCF)
+    assign_states_from_vcf(T, vcf)
+    score0 = T.get_parsimony_score()
+    positions, ref, chrom = collect_positions(T)
+    geno_before = leaf_genotypes(T, positions)
+
+    engine = FitchEngine(T, positions)
+    leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
+    states, masks = engine.run(leaf_masks, ref_row)
+    score1 = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
+
+    assert score1 <= score0  # FS is optimal for the fixed topology
+    assert score1 == T.get_parsimony_score()
+
+    geno_after = leaf_genotypes(T, positions)
+    assert set(geno_before) == set(geno_after)
+    pos_ref = {int(p): int(r) for p, r in zip(positions, ref)}
+    for name, g0 in geno_before.items():
+        g1 = geno_after[name]
+        for p in set(g0) | set(g1):
+            m0 = g0.get(p, pos_ref[p])
+            m1 = g1.get(p, pos_ref[p])
+            assert m0 & m1, f"{name}@{p}: {m0:04b} vs {m1:04b}"
+
+
+def test_spr_repairs_known_misplacement():
+    T = build_suboptimal_tree()
+    assert T.get_parsimony_score() == 3
+    final = optimize_tree(T, OptimizeOptions(radius=8))
+    assert final == 2
+    d = T.get_node("D")
+    # D must now sit inside the old i2 clade (with B and C)
+    anc = {n.identifier for n in T.rsearch("D")}
+    assert "i2" in anc or {c.identifier for c in d.parent.children} >= {"D"}
+    # genotypes preserved
+    positions, ref, chrom = collect_positions(T)
+    geno = leaf_genotypes(T, positions)
+    assert geno["D"].get(100) & 4
+    assert geno["B"].get(100) & 4
+    assert geno["A"].get(100, 1) & 1
+
+
+def test_optimize_global_tree_monotone():
+    T = parse_newick(GLOBAL_NH)
+    vcf = read_vcf_sites(GLOBAL_VCF)
+    assign_states_from_vcf(T, vcf)
+    positions, _, _ = collect_positions(T)
+    geno_before = leaf_genotypes(T, positions)
+    score0 = T.get_parsimony_score()
+
+    final = optimize_tree(T, OptimizeOptions(radius=4, max_iterations=3,
+                                             source_chunk=256))
+    assert final <= score0
+    assert final == T.get_parsimony_score()
+
+    # full genotype-preservation oracle after optimization
+    positions2, ref2, _ = collect_positions(T)
+    geno_after = leaf_genotypes(T, positions2)
+    pos_ref = {int(p): int(r) for p, r in zip(positions2, ref2)}
+    assert set(geno_before) == set(geno_after)
+    checked = 0
+    for name, g0 in geno_before.items():
+        g1 = geno_after[name]
+        for p in set(g0) | set(g1):
+            m0 = g0.get(p, pos_ref.get(p, 0)) or 0xF
+            m1 = g1.get(p, pos_ref.get(p, 0)) or 0xF
+            assert m0 & m1, f"{name}@{p}: {m0:04b} vs {m1:04b}"
+            checked += 1
+    assert checked > 1000
+
+
+def test_matoptimize_cli(tmp_path):
+    from usher_tpu.cli.matoptimize_cli import main as mato_main
+    from usher_tpu.io.pbio import save_mat_pb, load_mat_pb
+    T = build_suboptimal_tree()
+    pb_in = str(tmp_path / "in.pb")
+    pb_out = str(tmp_path / "out.pb")
+    save_mat_pb(T, pb_in)
+    rc = mato_main(["-i", pb_in, "-o", pb_out, "-r", "8"])
+    assert rc == 0
+    T2 = load_mat_pb(pb_out)
+    assert T2.get_parsimony_score() == 2

@@ -1,0 +1,242 @@
+"""Whole-tree Fitch-Sankoff over all segregating positions, vectorized.
+
+The reference runs one task per position walking the pointer tree with SSE
+child-count kernels (src/matOptimize/Fitch_Sankoff.cpp:91-215).  Here ALL
+positions are vector lanes and the tree is walked level-synchronously with
+gather / scatter-add over the BFS-flattened parent array; positions are
+chunked to bound device memory.
+
+Normalized-cost DP: with unit transition costs, a child's contribution to
+its parent is min(score_j, min_score+1); subtracting each row's min keeps
+every stored score in {0,1} (the dropped offsets are per-row constants that
+cannot change argmins or ties), so the whole DP state is uint8 regardless of
+tree size.  Because a node's children all sit exactly one level below it,
+each parent row is accumulated in one level pass (int32 scatter-add into a
+compact unique-parents buffer, so polytomies of any width are safe), then
+clipped and renormalized immediately.
+
+Outputs per (node, position): the chosen state (forward pass, parent-
+following tie-break exactly as reference set_state_from_cnt:54-87 /
+usher_mapper.cpp:113-141) and the major-allele mask (the backward-pass
+argmin set), which is the subtree's Fitch set used for SPR move scoring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.tree import Mutation, Tree
+
+
+def flatten_bfs(T: Tree):
+    """BFS arrays: (bfs nodes, parent idx int32, is_leaf bool, levels) where
+    levels is a list of int32 index arrays per tree level (ascending)."""
+    bfs = T.breadth_first_expansion()
+    n = len(bfs)
+    idx = {id(node): i for i, node in enumerate(bfs)}
+    parent = np.zeros(n, dtype=np.int32)
+    is_leaf = np.zeros(n, dtype=bool)
+    levels: dict[int, list[int]] = {}
+    for i, node in enumerate(bfs):
+        parent[i] = idx[id(node.parent)] if node.parent is not None else 0
+        is_leaf[i] = node.is_leaf()
+        levels.setdefault(node.level, []).append(i)
+    keys = sorted(levels)
+    level_arrays = [np.asarray(levels[k], dtype=np.int32) for k in keys]
+    return bfs, parent, is_leaf, level_arrays
+
+
+def leaf_masks_from_tree(T: Tree, positions: np.ndarray, bfs=None):
+    """Reconstruct every leaf's genotype mask by root->leaf mutation
+    accumulation over the segregating positions (the Original_State_t of the
+    reference, check_samples.cpp:35-41).  Returns [n_bfs, P] uint8 with
+    nonzero rows only at leaves; internal rows hold the recorded path state
+    (useful as an FS warm reference)."""
+    if bfs is None:
+        bfs = T.breadth_first_expansion()
+    pos_index = {int(p): i for i, p in enumerate(positions)}
+    P = len(positions)
+    n = len(bfs)
+    idx = {id(node): i for i, node in enumerate(bfs)}
+    ref_row = np.zeros(P, dtype=np.uint8)
+    # reference alleles from recorded ref_nuc
+    for node in bfs:
+        for m in node.mutations:
+            if m.position in pos_index:
+                ref_row[pos_index[m.position]] = m.ref_nuc
+    state = np.zeros((n, P), dtype=np.uint8)
+    for i, node in enumerate(bfs):
+        row = state[idx[id(node.parent)]] if node.parent is not None else ref_row
+        if node.mutations:
+            row = row.copy()
+            for m in node.mutations:
+                j = pos_index.get(m.position)
+                if j is not None:
+                    row[j] = m.mut_nuc
+        state[i] = row
+    return state, ref_row
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "max_u"))
+def _fs_chunk(leaf_mask, is_leaf, parent_slot_pad, level_pad, level_len,
+              uparent_pad, uparent_len, parent, ref_nt,
+              n_levels: int, max_u: int):
+    """One position-chunk of the normalized-cost Fitch-Sankoff DP.
+
+    leaf_mask [N,S] uint8; level_pad [L,maxlen] int32 (padded with 0 and
+    masked by level_len); uparent_pad [L,maxU]: the unique parent rows per
+    level; parent_slot_pad [L,maxlen]: each level entry's parent's slot in
+    that level's unique-parent list.
+    Returns (states [N,S] int32, masks [N,S] uint8); scores are normalized,
+    so a node's score row is 0 at its subtree-optimal (Fitch-set) states.
+    """
+    N, S = leaf_mask.shape
+    k = jnp.arange(4, dtype=jnp.uint8)
+    in_mask = ((leaf_mask[:, :, None] >> k[None, None, :]) & 1).astype(jnp.bool_)
+    leaf_scores = jnp.where(in_mask, jnp.uint8(0), jnp.uint8(1))
+    scores = jnp.where(is_leaf[:, None, None], leaf_scores, jnp.uint8(0))
+
+    # backward (leaf -> root), level by level, deepest first
+    for li in range(n_levels - 1, 0, -1):
+        lev = level_pad[li]
+        lmask = (jnp.arange(lev.shape[0]) < level_len[li])
+        # normalized child rows are already the contributions (0/1)
+        contrib = scores[lev].astype(jnp.int32)              # [L,S,4]
+        slot = jnp.where(lmask, parent_slot_pad[li], max_u)
+        acc = jnp.zeros((max_u, S, 4), dtype=jnp.int32)
+        acc = acc.at[slot].add(contrib, mode="drop")
+        acc_min = jnp.min(acc, axis=-1, keepdims=True)
+        rows_new = jnp.minimum(acc - acc_min, 1).astype(jnp.uint8)
+        up = uparent_pad[li]
+        umask = (jnp.arange(up.shape[0]) < uparent_len[li])
+        prev = scores[up]
+        rows_new = jnp.where(umask[:, None, None], rows_new, prev)
+        scores = scores.at[up].set(rows_new, mode="drop")
+
+    masks_bits = (scores == 0)
+    masks = (masks_bits.astype(jnp.uint8)
+             * (jnp.uint8(1) << k[None, None, :])).sum(-1, dtype=jnp.uint8)
+
+    # forward (root -> leaf): normalized rows have min 0
+    def pick(sc, par_state):
+        first = jnp.argmin(sc, axis=-1).astype(jnp.int32)
+        par_sc = jnp.take_along_axis(sc, par_state[..., None], axis=-1)[..., 0]
+        return jnp.where(par_sc == 0, par_state, first)
+
+    states = jnp.zeros((N, S), dtype=jnp.int32)
+    states = states.at[0].set(pick(scores[0], ref_nt))
+    for li in range(1, n_levels):
+        lev = level_pad[li]
+        lmask = (jnp.arange(lev.shape[0]) < level_len[li])
+        ps = states[parent[lev]]
+        new = pick(scores[lev], ps)
+        states = states.at[jnp.where(lmask, lev, N)].set(new, mode="drop")
+    return states, masks
+
+
+class FitchEngine:
+    """Caches the flattened topology + padded level arrays for repeated FS
+    passes over the same tree snapshot."""
+
+    def __init__(self, T: Tree, positions: np.ndarray, chunk: int = 512):
+        self.T = T
+        self.positions = positions
+        self.bfs, self.parent, self.is_leaf, self.levels = flatten_bfs(T)
+        self.n = len(self.bfs)
+        self.chunk = int(chunk)
+
+        maxlen = max(len(a) for a in self.levels)
+        L = len(self.levels)
+        self.level_pad = np.zeros((L, maxlen), dtype=np.int32)
+        self.level_len = np.zeros(L, dtype=np.int32)
+        uparents = []
+        for a in self.levels:
+            uparents.append(np.unique(self.parent[a]))
+        self.max_u = max((len(u) for u in uparents[1:]), default=1) or 1
+        self.uparent_pad = np.zeros((L, self.max_u), dtype=np.int32)
+        self.uparent_len = np.zeros(L, dtype=np.int32)
+        self.parent_slot_pad = np.zeros((L, maxlen), dtype=np.int32)
+        for i, a in enumerate(self.levels):
+            self.level_pad[i, :len(a)] = a
+            self.level_len[i] = len(a)
+            up = uparents[i]
+            self.uparent_pad[i, :len(up)] = up
+            self.uparent_len[i] = len(up)
+            if i > 0:
+                self.parent_slot_pad[i, :len(a)] = np.searchsorted(
+                    up, self.parent[a])
+
+    def run(self, leaf_masks: np.ndarray, ref_row: np.ndarray):
+        """leaf_masks [n,P] uint8 (rows meaningful at leaves), ref_row [P].
+        Returns (states [n,P] int8 0..3, masks [n,P] uint8)."""
+        P = leaf_masks.shape[1]
+        ref_nt = np.zeros(P, dtype=np.int32)
+        nz = ref_row > 0
+        ref_nt[nz] = np.log2(ref_row[nz]).astype(np.int32)
+        states = np.empty((self.n, P), dtype=np.int8)
+        masks = np.empty((self.n, P), dtype=np.uint8)
+        parent_dev = jnp.asarray(self.parent)
+        is_leaf_dev = jnp.asarray(self.is_leaf)
+        lp = jnp.asarray(self.level_pad)
+        ll = jnp.asarray(self.level_len)
+        up = jnp.asarray(self.uparent_pad)
+        ul = jnp.asarray(self.uparent_len)
+        psl = jnp.asarray(self.parent_slot_pad)
+        for c0 in range(0, P, self.chunk):
+            c1 = min(c0 + self.chunk, P)
+            lm = leaf_masks[:, c0:c1]
+            rn = ref_nt[c0:c1]
+            pad = self.chunk - (c1 - c0)
+            if pad:
+                lm = np.pad(lm, ((0, 0), (0, pad)), constant_values=0xF)
+                rn = np.pad(rn, (0, pad))
+            st, mk = _fs_chunk(jnp.asarray(lm), is_leaf_dev, psl,
+                               lp, ll, up, ul, parent_dev, jnp.asarray(rn),
+                               n_levels=len(self.levels), max_u=self.max_u)
+            states[:, c0:c1] = np.asarray(st, dtype=np.int8)[:, :c1 - c0]
+            masks[:, c0:c1] = np.asarray(mk)[:, :c1 - c0]
+        return states, masks
+
+    def rewrite_mutations(self, states: np.ndarray, leaf_masks: np.ndarray,
+                          ref_row: np.ndarray, chrom: str) -> int:
+        """Replace every node's branch mutations from the FS states.
+
+        Internal nodes take single FS states; leaves keep their full original
+        genotype mask as mut_nuc when the parent state is outside it
+        (ambiguity-preserving, so genotype reconstruction stays exact).
+        Returns the new total parsimony score."""
+        positions = self.positions
+        n = self.n
+        par_states = states[self.parent]
+        par_states[0] = np.where(
+            ref_row > 0, np.log2(np.maximum(ref_row, 1)).astype(np.int8), 0)
+        total = 0
+        leaf_arr = self.is_leaf
+        # vectorized mutation site detection
+        par_nib = (1 << par_states.astype(np.int32)).astype(np.uint8)
+        self_nib = (1 << states.astype(np.int32)).astype(np.uint8)
+        internal_mut = (~leaf_arr[:, None]) & (self_nib != par_nib)
+        leaf_mut = leaf_arr[:, None] & ((leaf_masks & par_nib) == 0)
+        is_mut = internal_mut | leaf_mut
+        node_idx, site_idx = np.nonzero(is_mut)
+        per_node: list[list[Mutation]] = [[] for _ in range(n)]
+        for ni, si in zip(node_idx.tolist(), site_idx.tolist()):
+            pos = int(positions[si])
+            r = int(ref_row[si])
+            if leaf_arr[ni]:
+                mut_nuc = int(leaf_masks[ni, si])
+                if mut_nuc == 0:
+                    continue
+            else:
+                mut_nuc = int(self_nib[ni, si])
+            per_node[ni].append(Mutation(
+                chrom=chrom, position=pos, ref_nuc=r,
+                par_nuc=int(par_nib[ni, si]), mut_nuc=mut_nuc))
+            total += 1
+        for i, node in enumerate(self.bfs):
+            node.mutations = per_node[i]
+        return total

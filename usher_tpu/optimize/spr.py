@@ -1,0 +1,305 @@
+"""SPR move search + application, TPU-native.
+
+The reference's move search is a 3.7k-LoC incremental delta algebra
+(src/matOptimize/Profitable_Moves_Enumerators/) walking up/down from every
+source node under TBB.  Here a move is scored EXACTLY as a re-placement: the
+pruned subtree's Fitch major-allele set (from the vectorized whole-tree FS
+backward pass) is the "sample genotype", and the existing fused placement
+kernel scores it against every destination at once:
+
+  new branch cost(s -> d) = #{p : fitch_set(s,p) & path_state(d,p) == 0}
+    (with the kernel's branch-exclusion / sibling-split semantics)
+
+  improvement(s -> d) = len(muts(s)) + collapse_bonus(s) - cost(s, d)
+
+where collapse_bonus counts the mutations freed when pruning s leaves its
+parent single-child and the parent's branch merges into the sibling's
+(same-position merge semantics of the reference's add_mutation).  Fitch's
+theorem makes the subtree-internal parsimony invariant to which major-set
+state the new parent provides, so the improvement is exact given the current
+state assignment; a full FS reassignment after each apply batch recovers any
+additional gains (replacing the reference's local backward/forward patch-up,
+apply_move/).  Conflicts are resolved by DFS-interval disjointness, the
+vectorized analog of the reference's path-registration resolver
+(priority_conflict_resolver.cpp).
+
+Destination candidates are radius-bounded by hop distance like the
+reference's `find_moves_bounded` radius (Profitable_Moves_Enumerators.hpp:166).
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import deque
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.tree import Node, Tree
+from ..ops.placement import score_with_stp, valid_mask
+
+
+@dataclass
+class Move:
+    src: Node
+    dst: Node
+    improvement: int
+    sibling_split: bool
+    src_interval: tuple[int, int]
+    dst_dfs: int
+
+
+@jax.jit
+def _score_moves(st, stp, ref, active, g, dest_ok, num_leaves, bfs_rank):
+    """Score subtree masks g [B,P] against all dests; returns per-source
+    (best_cost [B], best_slot [B], best_has_unique [B])."""
+    E = jnp.ones(g.shape, dtype=jnp.bool_)
+    miss = jnp.zeros(g.shape, dtype=jnp.bool_)
+    score, num_common, node_num_mut = score_with_stp(
+        st, stp, ref, active, g, E, miss)
+    valid, has_unique = valid_mask(
+        score, num_common, node_num_mut,
+        jnp.zeros(st.shape[0], jnp.bool_).at[0].set(True),
+        jnp.zeros(st.shape[0], jnp.bool_),  # dest leaves get sibling-split via has_unique anyway
+        active)
+    valid = valid & dest_ok
+    big = jnp.int32(1 << 30)
+    s = jnp.where(valid, score, big)
+    best = jnp.min(s, axis=1)
+    is_best = valid & (score == best[:, None])
+    neg = jnp.int32(-1)
+    leaves_masked = jnp.where(is_best, num_leaves[None, :], neg)
+    best_leaves = jnp.max(leaves_masked, axis=1)
+    is_best2 = is_best & (num_leaves[None, :] == best_leaves[:, None])
+    rank_masked = jnp.where(is_best2, bfs_rank[None, :], neg)
+    best_rank = jnp.max(rank_masked, axis=1)
+    best_slot = jnp.argmax(
+        (bfs_rank[None, :] == best_rank[:, None]) & is_best2, axis=1)
+    hu_best = jnp.take_along_axis(has_unique, best_slot[:, None], axis=1)[:, 0]
+    return best, best_slot.astype(jnp.int32), hu_best
+
+
+def hop_distance_mask(adj: list[list[int]], src: int, radius: int,
+                      n: int) -> np.ndarray:
+    """Nodes within `radius` undirected hops of src (excluding src)."""
+    out = np.zeros(n, dtype=bool)
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        du = dist[u]
+        if du >= radius:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = du + 1
+                out[v] = True
+                q.append(v)
+    return out
+
+
+def merge_count(a, b) -> int:
+    """Length of add_mutation-merge of two sorted mutation lists (same-position
+    entries chain a.par->b.mut, cancelling when equal)."""
+    by_pos = {}
+    n = 0
+    for m in a:
+        by_pos[m.position] = (m.par_nuc, m.mut_nuc)
+        n += 1
+    for m in b:
+        prev = by_pos.get(m.position)
+        if prev is None:
+            by_pos[m.position] = (m.par_nuc, m.mut_nuc)
+            n += 1
+        else:
+            par, mut = prev
+            if mut != m.par_nuc and par != m.mut_nuc:
+                pass  # inconsistent chain; keep updated allele (count same)
+            if par == m.mut_nuc:
+                n -= 1  # reversal cancels the entry
+                del by_pos[m.position]
+            else:
+                by_pos[m.position] = (par, m.mut_nuc)
+    return n
+
+
+def collapse_bonus(s: Node) -> int:
+    """Mutations freed by the parent-merge when pruning s leaves its parent
+    with a single child."""
+    p = s.parent
+    if p is None or p.parent is None or len(p.children) != 2:
+        return 0
+    sib = p.children[0] if p.children[1] is s else p.children[1]
+    return len(p.mutations) + len(sib.mutations) - merge_count(
+        p.mutations, sib.mutations)
+
+
+class MoveFinder:
+    """One search round over a frozen tree snapshot."""
+
+    def __init__(self, T: Tree, states: np.ndarray, masks: np.ndarray,
+                 ref_row: np.ndarray, bfs: list[Node], parent: np.ndarray,
+                 chunk: int = 128):
+        self.T = T
+        self.bfs = bfs
+        self.parent = parent
+        self.chunk = chunk
+        n = len(bfs)
+        self.n = n
+        # flat arrays (BFS-indexed)
+        st = (1 << states.astype(np.int32)).astype(np.uint8)
+        stp = st[parent]
+        stp[0] = st[0]
+        self.st_host = st
+        self.masks = masks
+        self.ref_row = ref_row
+        self.st = jnp.asarray(st)
+        self.stp = jnp.asarray(stp)
+        self.ref = jnp.asarray(ref_row)
+        self.active = jnp.ones(n, dtype=jnp.bool_)
+
+        # DFS intervals on BFS indices
+        T.depth_first_expansion()
+        self.bfs_index = {id(node): i for i, node in enumerate(bfs)}
+        self.dfs_idx = np.array([node.dfs_idx for node in bfs], dtype=np.int64)
+        self.dfs_end = np.array([node.dfs_end_idx for node in bfs], dtype=np.int64)
+
+        num_leaves = np.zeros(n, dtype=np.int32)
+        for i in range(n - 1, 0, -1):
+            if bfs[i].is_leaf():
+                num_leaves[i] += 1
+            num_leaves[parent[i]] += num_leaves[i]
+        if bfs and bfs[0].is_leaf():
+            num_leaves[0] += 1
+        self.num_leaves = jnp.asarray(num_leaves)
+        self.bfs_rank = jnp.asarray(np.arange(n, dtype=np.int32))
+
+        # undirected adjacency for radius bounding
+        self.adj: list[list[int]] = [[] for _ in range(n)]
+        for i in range(1, n):
+            self.adj[i].append(int(parent[i]))
+            self.adj[parent[i]].append(i)
+
+    def find_moves(self, radius: int, sources=None,
+                   log=None) -> list[Move]:
+        n = self.n
+        bfs = self.bfs
+        if sources is None:
+            sources = [i for i in range(1, n)]
+        moves: list[Move] = []
+        wide = radius <= 0 or radius >= 2 * max(node.level for node in bfs)
+
+        for c0 in range(0, len(sources), self.chunk):
+            idxs = sources[c0:c0 + self.chunk]
+            B = len(idxs)
+            Bp = self.chunk
+            g = np.zeros((Bp, self.masks.shape[1]), dtype=np.uint8)
+            dest_ok = np.zeros((Bp, n), dtype=bool)
+            oldcost = np.zeros(Bp, dtype=np.int64)
+            for b, si in enumerate(idxs):
+                node = bfs[si]
+                g[b] = self.masks[si]
+                if wide:
+                    ok = np.ones(n, dtype=bool)
+                else:
+                    ok = hop_distance_mask(self.adj, si, radius, n)
+                # exclude subtree(s), s itself, parent(s)
+                lo, hi = self.dfs_idx[si], self.dfs_end[si]
+                ok &= ~((self.dfs_idx >= lo) & (self.dfs_idx < hi))
+                ok[self.parent[si]] = False
+                dest_ok[b] = ok
+                oldcost[b] = len(node.mutations) + collapse_bonus(node)
+            g[B:] = 0xF
+
+            cost, slot, hu = ( np.asarray(x) for x in _score_moves(
+                self.st, self.stp, self.ref, self.active, jnp.asarray(g),
+                jnp.asarray(dest_ok), self.num_leaves, self.bfs_rank))
+            for b, si in enumerate(idxs):
+                imp = int(oldcost[b]) - int(cost[b])
+                if imp > 0 and cost[b] < (1 << 29):
+                    d = int(slot[b])
+                    moves.append(Move(
+                        src=bfs[si], dst=bfs[d], improvement=imp,
+                        sibling_split=bool(hu[b]) or bfs[d].is_leaf(),
+                        src_interval=(int(self.dfs_idx[si]), int(self.dfs_end[si])),
+                        dst_dfs=int(self.dfs_idx[d])))
+        return moves
+
+
+def resolve_conflicts(moves: list[Move]) -> list[Move]:
+    """Greedy by improvement; a move is deferred if its source subtree or
+    destination touches an already-accepted move's region (the reference
+    defers path-crossing moves, priority_conflict_resolver.cpp:17-29)."""
+    accepted: list[Move] = []
+    hot_nodes: set[int] = set()
+    intervals: list[tuple[int, int]] = []
+    dst_points: list[int] = []
+
+    def covered(x: int) -> bool:
+        return any(lo <= x < hi for lo, hi in intervals)
+
+    for mv in sorted(moves, key=lambda m: (-m.improvement, m.src_interval[0])):
+        lo, hi = mv.src_interval
+        if any(not (hi <= l2 or h2 <= lo) for l2, h2 in intervals):
+            continue
+        if covered(mv.dst_dfs):
+            continue
+        if any(lo <= x < hi for x in dst_points):
+            continue
+        pid = id(mv.src.parent)
+        did = id(mv.dst)
+        dpid = id(mv.dst.parent) if mv.dst.parent is not None else 0
+        if {id(mv.src), pid, did, dpid} & hot_nodes:
+            continue
+        accepted.append(mv)
+        intervals.append((lo, hi))
+        dst_points.append(mv.dst_dfs)
+        hot_nodes.update({id(mv.src), pid, did, dpid})
+    return accepted
+
+
+def apply_move(T: Tree, mv: Move) -> None:
+    """Topological SPR: prune src (merging a single-child parent away), then
+    graft at dst (sibling split or child).  Branch mutations are left stale;
+    the caller re-runs whole-tree FS to rewrite them."""
+    s, d = mv.src, mv.dst
+    p = s.parent
+    p.children.remove(s)
+    if len(p.children) == 1 and p.parent is not None:
+        c = p.children[0]
+        # merge p away: c absorbs p's branch (mutations rewritten later)
+        gp = p.parent
+        i = gp.children.index(p)
+        gp.children[i] = c
+        c.parent = gp
+        # keep merged mutation list roughly consistent for oldcost accounting
+        merged = list(p.mutations)
+        tmp = c.mutations
+        c.mutations = []
+        for m in merged:
+            c.add_mutation(m)
+        for m in tmp:
+            c.add_mutation(m)
+        del T._all_nodes[p.identifier]
+        T._update_levels(c)
+    elif len(p.children) == 0:
+        # pruning the last child: p becomes an empty leaf; remove it upward
+        T.remove_node(p.identifier, True)
+
+    if mv.sibling_split and d.parent is not None:
+        ni = Node(T.new_internal_node_id(), d.parent, -1.0)
+        ni.clade_annotations = [""] * T.get_num_annotations()
+        gp = d.parent
+        i = gp.children.index(d)
+        gp.children[i] = ni
+        T._all_nodes[ni.identifier] = ni
+        d.parent = ni
+        ni.children = [d, s]
+        s.parent = ni
+        T._update_levels(ni)
+    else:
+        d.children.append(s)
+        s.parent = d
+        T._update_levels(s)
