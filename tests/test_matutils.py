@@ -1,0 +1,281 @@
+"""matUtils suite: extract/summary/annotate/uncertainty/merge/mask/fix."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from usher_tpu.cli.matutils_cli import main as matutils_main
+from usher_tpu.core.tree import Tree
+from usher_tpu.io.newick import parse_newick, parse_newick_string
+from usher_tpu.io.pbio import load_mat_pb, save_mat_pb
+from usher_tpu.io.vcf import read_vcf_sites
+from usher_tpu.ops.sankoff import assign_states_from_vcf
+
+from conftest import REFERENCE_TEST_DIR
+
+GLOBAL_NH = os.path.join(REFERENCE_TEST_DIR, "global_phylo.nh")
+GLOBAL_VCF = os.path.join(REFERENCE_TEST_DIR, "global_samples.vcf")
+
+
+@pytest.fixture(scope="module")
+def mat_pb(tmp_path_factory):
+    T = parse_newick(GLOBAL_NH)
+    vcf = read_vcf_sites(GLOBAL_VCF)
+    assign_states_from_vcf(T, vcf)
+    d = tmp_path_factory.mktemp("matutils")
+    pb = str(d / "mat.pb")
+    T.condense_leaves()
+    save_mat_pb(T, pb)
+    return pb
+
+
+def test_summary_console_and_tables(mat_pb, tmp_path, capsys):
+    rc = matutils_main(["summary", "-i", mat_pb])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Total Nodes in Tree:" in out
+    assert "Total Tree Parsimony:" in out
+
+    rc = matutils_main(["summary", "-i", mat_pb, "-d", str(tmp_path),
+                        "-s", "samples.tsv", "-m", "mutations.tsv",
+                        "-H", "haplotypes.tsv", "-A", "aberrant.tsv"])
+    assert rc == 0
+    samples = open(tmp_path / "samples.tsv").read().splitlines()
+    assert samples[0] == "sample\tparsimony\tparent_id"
+    assert len(samples) > 400
+    muts = open(tmp_path / "mutations.tsv").read().splitlines()
+    assert muts[0] == "ID\toccurrence"
+    assert len(muts) > 100
+    assert open(tmp_path / "haplotypes.tsv").read().startswith(
+        "mutation_set\tsample_count")
+
+
+def test_extract_clade_free_outputs(mat_pb, tmp_path):
+    T = load_mat_pb(mat_pb)
+    some = T.get_leaves_ids()[:20]
+    sf = tmp_path / "samples.txt"
+    sf.write_text("\n".join(some) + "\n")
+    rc = matutils_main([
+        "extract", "-i", mat_pb, "-s", str(sf), "-d", str(tmp_path),
+        "-t", "sub.nh", "-v", "sub.vcf", "-o", "sub.pb",
+        "-u", "used.txt", "-S", "paths.tsv", "--write-diff", "sub.diff",
+        "-j", "sub.json"])
+    assert rc == 0
+    used = open(tmp_path / "used.txt").read().split()
+    # the input samples may include condensed-away duplicates; the subtree
+    # must contain exactly the requested set
+    assert set(used) == set(some)
+    sub = parse_newick_string(open(tmp_path / "sub.nh").read().strip())
+    assert set(sub.get_leaves_ids()) == set(some)
+
+    # vcf: header + rows parse, genotype columns in DFS order
+    lines = open(tmp_path / "sub.vcf").read().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    header = lines[1].split("\t")
+    assert header[:9] == ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL",
+                          "FILTER", "INFO", "FORMAT"]
+    assert set(header[9:]) == set(some)
+    for row in lines[2:]:
+        fields = row.split("\t")
+        assert fields[8] == "GT"
+        assert len(fields) == 9 + len(some)
+        assert "AC=" in fields[7] and ";AN=" in fields[7]
+
+    # diff: one header per sample
+    diff = open(tmp_path / "sub.diff").read()
+    assert diff.count(">") == len(some)
+
+    # json: valid auspice v2 with all samples
+    doc = json.load(open(tmp_path / "sub.json"))
+    assert doc["version"] == "v2"
+
+    def leaves(obj):
+        if "children" not in obj:
+            return [obj["name"]]
+        out = []
+        for c in obj["children"]:
+            out.extend(leaves(c))
+        return out
+    assert set(leaves(doc["tree"])) == set(some)
+
+    # pb roundtrip of the subtree
+    T2 = load_mat_pb(str(tmp_path / "sub.pb"))
+    T2.uncondense_leaves()
+    assert set(T2.get_leaves_ids()) == set(some)
+
+
+def test_extract_vcf_genotypes_roundtrip(mat_pb, tmp_path):
+    """VCF written from the full MAT must reconstruct the same genotypes the
+    MAT encodes (compareVCF-style oracle)."""
+    rc = matutils_main(["extract", "-i", mat_pb, "-d", str(tmp_path),
+                        "-v", "all.vcf"])
+    assert rc == 0
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    # reconstruct from tree
+    recon = {}
+    stack = [(T.root, {})]
+    while stack:
+        node, state = stack.pop()
+        if node.mutations:
+            state = dict(state)
+            for m in node.mutations:
+                state[m.position] = (m.ref_nuc, m.mut_nuc)
+        if node.is_leaf():
+            recon[node.identifier] = state
+        for ch in node.children:
+            stack.append((ch, state))
+    # parse the vcf and compare
+    from usher_tpu.core.nuc import nuc_id_from_char
+    lines = open(tmp_path / "all.vcf").read().splitlines()
+    header = lines[1].split("\t")
+    names = header[9:]
+    checked = 0
+    for row in lines[2:]:
+        f = row.split("\t")
+        pos = int(f[1])
+        ref = nuc_id_from_char(f[3])
+        alts = [nuc_id_from_char(x) for x in f[4].split(",")]
+        codes = [ref] + alts
+        for name, gt in zip(names, f[9:]):
+            want = recon[name].get(pos, (ref, ref))[1]
+            assert codes[int(gt)] == want
+            checked += 1
+    assert checked > 10000
+
+
+def test_annotate_by_nid_and_sample_clades(mat_pb, tmp_path):
+    T = load_mat_pb(mat_pb)
+    # pick an internal node with >10 leaves
+    target = next(n for n in T.depth_first_expansion()
+                  if not n.is_leaf() and len(T.get_leaves_ids(n.identifier)) > 10
+                  and n.parent is not None)
+    nid_file = tmp_path / "c2n.tsv"
+    nid_file.write_text(f"20A\t{target.identifier}\n")
+    out_pb = str(tmp_path / "ann.pb")
+    rc = matutils_main(["annotate", "-i", mat_pb, "-o", out_pb,
+                        "-C", str(nid_file)])
+    assert rc == 0
+    T2 = load_mat_pb(out_pb)
+    n2 = T2.get_node(target.identifier)
+    assert n2 is not None and "20A" in n2.clade_annotations
+
+    # inference mode: members of that clade should map the clade root at (or
+    # above) the target node
+    T2u = load_mat_pb(out_pb)
+    T2u.uncondense_leaves()
+    members = [l for l in T2u.get_leaves_ids(target.identifier)][:30]
+    cn = tmp_path / "cnames.tsv"
+    cn.write_text("".join(f"CLADEX\t{m}\n" for m in members))
+    out2 = str(tmp_path / "ann2.pb")
+    rc = matutils_main(["annotate", "-i", mat_pb, "-o", out2,
+                        "-c", str(cn), "-f", "0.8", "-s", "0.5"])
+    assert rc == 0
+    T3 = load_mat_pb(out2)
+    annotated = [n.identifier for n in T3.depth_first_expansion()
+                 if "CLADEX" in n.clade_annotations]
+    assert len(annotated) == 1
+
+
+def test_uncertainty(mat_pb, tmp_path):
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    some = T.get_leaves_ids()[:10]
+    sf = tmp_path / "s.txt"
+    sf.write_text("\n".join(some) + "\n")
+    epps = str(tmp_path / "epps.tsv")
+    locs = str(tmp_path / "locs.tsv")
+    rc = matutils_main(["uncertainty", "-i", mat_pb, "-s", str(sf),
+                        "-e", epps, "-o", locs])
+    assert rc == 0
+    lines = open(epps).read().splitlines()
+    assert lines[0] == ("sample\tequally_parsimonious_placements\t"
+                        "neighborhood_size")
+    assert len(lines) == 11
+    for l in lines[1:]:
+        f = l.split("\t")
+        assert int(f[1]) >= 1
+        assert int(f[2]) >= 0
+
+
+def test_merge(mat_pb, tmp_path):
+    """Split the tree's samples into a base and an extension; merging the
+    extension into a pruned base must restore every sample."""
+    from usher_tpu.matutils.tree_filter import filter_master
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    keep1 = leaves[:-10]  # base: missing last 10
+    keep2 = leaves[:50] + leaves[-10:]  # extension: some shared + the 10
+
+    T1 = filter_master(T, keep1, False, True)
+    T2 = filter_master(T, keep2, False, True)
+    pb1 = str(tmp_path / "t1.pb")
+    pb2 = str(tmp_path / "t2.pb")
+    save_mat_pb(T1, pb1)
+    save_mat_pb(T2, pb2)
+    out = str(tmp_path / "merged.pb")
+    rc = matutils_main(["merge", "-1", pb1, "-2", pb2, "-o", out])
+    assert rc == 0
+    M = load_mat_pb(out)
+    M.uncondense_leaves()
+    assert set(M.get_leaves_ids()) == set(leaves)
+
+
+def test_mask_rename_and_simplify(mat_pb, tmp_path):
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    name = T.get_leaves_ids()[0]
+    rn = tmp_path / "rename.tsv"
+    rn.write_text(f"{name}\trenamed_sample_1\n")
+    out = str(tmp_path / "masked.pb")
+    rc = matutils_main(["mask", "-i", mat_pb, "-o", out, "-r", str(rn)])
+    assert rc == 0
+    T2 = load_mat_pb(out)
+    T2.uncondense_leaves()
+    assert T2.get_node("renamed_sample_1") is not None
+
+    out2 = str(tmp_path / "simple.pb")
+    rc = matutils_main(["mask", "-i", mat_pb, "-o", out2, "-S"])
+    assert rc == 0
+    T3 = load_mat_pb(out2)
+    assert all(l.identifier.startswith("l") for l in T3.get_leaves())
+
+
+def test_fix_grandparent_reversion(tmp_path):
+    from usher_tpu.core.tree import Mutation
+
+    def mk(pos, par, mut):
+        return Mutation(chrom="c", position=pos, ref_nuc=par, par_nuc=par,
+                        mut_nuc=mut)
+    T = Tree()
+    root = T.create_node("root")
+    a = T.create_node("A", root)       # N > A
+    a.mutations = [mk(100, 1, 4)]      # A100G
+    b = T.create_node("B", a)          # A > B
+    b.mutations = [mk(200, 1, 2)]      # A200C
+    r = T.create_node("R", b)          # B > revA (leaf sample)
+    r.mutations = [Mutation(chrom="c", position=100, ref_nuc=1, par_nuc=4,
+                            mut_nuc=1)]
+    T.create_node("L2", b)
+    T.create_node("L3", a)
+    pb = str(tmp_path / "fix_in.pb")
+    out = str(tmp_path / "fix_out.pb")
+    save_mat_pb(T, pb)
+    rc = matutils_main(["fix", "-i", pb, "-o", out, "-c", "0"])
+    assert rc == 0
+    T2 = load_mat_pb(out)
+    r2 = T2.get_node("R")
+    # R moved under root (= A's parent) with B's mutation
+    assert r2.parent.parent is None
+    assert [m.get_string() for m in r2.mutations] == ["A200C"]
+
+
+def test_extract_error_on_empty_selection(mat_pb, tmp_path):
+    sf = tmp_path / "none.txt"
+    sf.write_text("not_a_real_sample\n")
+    rc = matutils_main(["extract", "-i", mat_pb, "-s", str(sf),
+                        "-d", str(tmp_path), "-t", "x.nh"])
+    assert rc == 1

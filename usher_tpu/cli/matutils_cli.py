@@ -1,0 +1,284 @@
+"""matUtils-tpu CLI: query/manipulate/convert mutation-annotated trees.
+
+Subcommand surface mirrors the reference matUtils (src/matUtils/main.cpp:13-22:
+extract, summary, annotate, uncertainty, merge, mask, fix, introduce).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from ..io.pbio import load_mat_pb, save_mat_pb
+
+
+def _err(*a):
+    print(*a, file=sys.stderr)
+
+
+def _load(path: str):
+    T = load_mat_pb(path)
+    if T.root is None:
+        raise ValueError("ERROR: empty tree")
+    return T
+
+
+def cmd_extract(argv) -> int:
+    from ..matutils.extract import ExtractOptions, extract_main
+    p = argparse.ArgumentParser(prog="matUtils extract")
+    p.add_argument("--input-mat", "-i", required=True)
+    p.add_argument("--samples", "-s", default="", dest="samples_file")
+    p.add_argument("--clade", "-c", default="")
+    p.add_argument("--mutation", "-m", default="")
+    p.add_argument("--match", "-H", default="")
+    p.add_argument("--max-epps", "-e", type=int, default=0)
+    p.add_argument("--max-parsimony", "-a", type=int, default=-1)
+    p.add_argument("--max-branch-length", "-b", type=int, default=-1)
+    p.add_argument("--max-path-length", "-P", type=int, default=-1)
+    p.add_argument("--max-mutation-density", type=float, default=0.0)
+    p.add_argument("--nearest-k", "-k", default="")
+    p.add_argument("--set-size", "-z", type=int, default=0)
+    p.add_argument("--limit-to-lca", "-Z", action="store_true")
+    p.add_argument("--get-internal-descendents", "-I", default="")
+    p.add_argument("--from-mrca", "-U", action="store_true")
+    p.add_argument("--get-representative", "-r", type=int, default=0)
+    p.add_argument("--prune", "-p", action="store_true")
+    p.add_argument("--resolve-polytomies", "-R", action="store_true")
+    p.add_argument("--output-directory", "-d", default="./", dest="outdir")
+    p.add_argument("--used-samples", "-u", default="")
+    p.add_argument("--sample-paths", "-S", default="")
+    p.add_argument("--clade-paths", "-C", default="")
+    p.add_argument("--all-paths", "-A", default="")
+    p.add_argument("--write-diff", default="")
+    p.add_argument("--write-vcf", "-v", default="")
+    p.add_argument("--no-genotypes", "-n", action="store_true")
+    p.add_argument("--collapse-tree", "-O", action="store_true")
+    p.add_argument("--write-mat", "-o", default="")
+    p.add_argument("--write-json", "-j", default="")
+    p.add_argument("--write-tree", "-t", default="")
+    p.add_argument("--retain-branch-length", "-E", action="store_true")
+    p.add_argument("--reroot", "-y", default="")
+    p.add_argument("--metadata", "-M", default="")
+    p.add_argument("--title", "-B", default="mutation_annotated_tree")
+    p.add_argument("--usher-single-subtree-size", "-X", type=int, default=0)
+    p.add_argument("--usher-minimum-subtrees-size", "-x", type=int, default=0)
+    a = p.parse_args(argv)
+    T = _load(a.input_mat)
+    opts = ExtractOptions(
+        input_mat=a.input_mat, samples_file=a.samples_file, clade=a.clade,
+        mutation=a.mutation, match=a.match, max_epps=a.max_epps,
+        max_parsimony=a.max_parsimony, max_branch_length=a.max_branch_length,
+        max_path_length=a.max_path_length,
+        max_mutation_density=a.max_mutation_density, nearest_k=a.nearest_k,
+        set_size=a.set_size, limit_to_lca=a.limit_to_lca,
+        get_internal_descendents=a.get_internal_descendents,
+        from_mrca=a.from_mrca, get_representative=a.get_representative,
+        prune=a.prune, resolve_polytomies=a.resolve_polytomies,
+        outdir=a.outdir, used_samples=a.used_samples,
+        sample_paths=a.sample_paths, clade_paths=a.clade_paths,
+        all_paths=a.all_paths, write_diff=a.write_diff,
+        write_vcf=a.write_vcf, no_genotypes=a.no_genotypes,
+        collapse_tree=a.collapse_tree, write_mat=a.write_mat,
+        write_json=a.write_json, write_tree=a.write_tree,
+        retain_branch_length=a.retain_branch_length, reroot=a.reroot,
+        metadata=a.metadata, title=a.title,
+        usher_single_subtree_size=a.usher_single_subtree_size,
+        usher_minimum_subtrees_size=a.usher_minimum_subtrees_size)
+    return extract_main(T, opts)
+
+
+def cmd_summary(argv) -> int:
+    from ..matutils import summary as summ
+    p = argparse.ArgumentParser(prog="matUtils summary")
+    p.add_argument("--input-mat", "-i", required=True)
+    p.add_argument("--samples", "-s", default="")
+    p.add_argument("--clades", "-c", default="")
+    p.add_argument("--mutations", "-m", default="")
+    p.add_argument("--haplotypes", "-H", default="")
+    p.add_argument("--sample-clades", "-C", default="")
+    p.add_argument("--aberrant", "-A", default="")
+    p.add_argument("--get-all", "-a", action="store_true")
+    p.add_argument("--output-directory", "-d", default="./")
+    a = p.parse_args(argv)
+    T = _load(a.input_mat)
+    T.uncondense_leaves()
+    os.makedirs(a.output_directory, exist_ok=True)
+
+    def out(p_):
+        return os.path.join(a.output_directory, p_)
+
+    did = False
+    if a.get_all:
+        a.samples = a.samples or "samples.tsv"
+        a.clades = a.clades or "clades.tsv"
+        a.mutations = a.mutations or "mutations.tsv"
+        a.aberrant = a.aberrant or "aberrant.tsv"
+    if a.samples:
+        summ.write_sample_table(T, out(a.samples))
+        did = True
+    if a.clades:
+        summ.write_clade_table(T, out(a.clades))
+        did = True
+    if a.mutations:
+        summ.write_mutation_table(T, out(a.mutations))
+        did = True
+    if a.haplotypes:
+        summ.write_haplotype_table(T, out(a.haplotypes))
+        did = True
+    if a.sample_clades:
+        summ.write_sample_clades_table(T, out(a.sample_clades))
+        did = True
+    if a.aberrant:
+        summ.write_aberrant_table(T, out(a.aberrant))
+        did = True
+    if not did:
+        summ.print_summary(T)
+    return 0
+
+
+def cmd_annotate(argv) -> int:
+    from ..matutils import annotate as ann
+    p = argparse.ArgumentParser(prog="matUtils annotate")
+    p.add_argument("--input-mat", "-i", required=True)
+    p.add_argument("--output-mat", "-o", required=True)
+    p.add_argument("--clade-names", "-c", default="")
+    p.add_argument("--clade-to-nid", "-C", default="")
+    p.add_argument("--clade-paths", "-P", default="")
+    p.add_argument("--allele-frequency", "-f", type=float, default=0.8)
+    p.add_argument("--set-overlap", "-s", type=float, default=0.6)
+    p.add_argument("--clip-sample-frequency", "-p", type=float, default=0.1)
+    p.add_argument("--clear-current", "-l", action="store_true")
+    p.add_argument("--write-mutations", "-u", default="")
+    a = p.parse_args(argv)
+    T = _load(a.input_mat)
+    if a.clade_to_nid:
+        if a.clade_names or a.clade_paths:
+            _err("ERROR: --clade-to-nid cannot be used with --clade-names "
+                 "or --clade-paths")
+            return 1
+        ann.assign_lineages_by_nid(T, a.clade_to_nid, a.clear_current)
+    elif a.clade_paths:
+        ann.assign_lineages_from_paths(T, a.clade_paths, a.clear_current)
+    elif a.clade_names:
+        ann.assign_lineages_by_samples(
+            T, a.clade_names, min_freq=a.allele_frequency,
+            set_overlap=a.set_overlap,
+            clip_sample_frequency=a.clip_sample_frequency,
+            clear_current=a.clear_current, mutations_out=a.write_mutations)
+    else:
+        _err("ERROR: annotate requires one of -c, -C, -P")
+        return 1
+    save_mat_pb(T, a.output_mat)
+    return 0
+
+
+def cmd_uncertainty(argv) -> int:
+    from ..matutils.uncertainty import uncertainty_main
+    p = argparse.ArgumentParser(prog="matUtils uncertainty")
+    p.add_argument("--input-mat", "-i", required=True)
+    p.add_argument("--samples", "-s", required=True)
+    p.add_argument("--find-epps", "-e", default="")
+    p.add_argument("--record-placements", "-o", default="")
+    a = p.parse_args(argv)
+    T = _load(a.input_mat)
+    T.uncondense_leaves()
+    return uncertainty_main(T, a.samples, a.find_epps, a.record_placements)
+
+
+def cmd_merge(argv) -> int:
+    from ..matutils.merge import merge_mats
+    p = argparse.ArgumentParser(prog="matUtils merge")
+    p.add_argument("--input-mat-1", "-1", required=True, dest="mat1")
+    p.add_argument("--input-mat-2", "-2", required=True, dest="mat2")
+    p.add_argument("--output-mat", "-o", required=True)
+    a = p.parse_args(argv)
+    T1 = _load(a.mat1)
+    T2 = _load(a.mat2)
+    # the reference picks the larger tree as the base
+    if len(T2.get_leaves_ids()) > len(T1.get_leaves_ids()):
+        T1, T2 = T2, T1
+    merged = merge_mats(T1, T2)
+    merged.condense_leaves()
+    save_mat_pb(merged, a.output_mat)
+    return 0
+
+
+def cmd_mask(argv) -> int:
+    from ..matutils import mask as mk
+    p = argparse.ArgumentParser(prog="matUtils mask")
+    p.add_argument("--input-mat", "-i", required=True)
+    p.add_argument("--output-mat", "-o", required=True)
+    p.add_argument("--restricted-samples", "-s", default="")
+    p.add_argument("--rename-samples", "-r", default="")
+    p.add_argument("--mask-mutations", "-m", default="")
+    p.add_argument("--simplify", "-S", action="store_true")
+    p.add_argument("--move-nodes", "-M", default="")
+    a = p.parse_args(argv)
+    T = _load(a.input_mat)
+    if a.simplify:
+        T.uncondense_leaves()
+    if a.restricted_samples:
+        mk.restrict_samples(T, a.restricted_samples)
+    if a.rename_samples:
+        mk.rename_samples(T, a.rename_samples)
+    if a.mask_mutations:
+        n = mk.mask_mutations(T, a.mask_mutations)
+        _err(f"Masked {n} mutation instances")
+    if a.simplify:
+        mk.simplify_tree(T)
+    if a.move_nodes:
+        mk.move_nodes(T, a.move_nodes)
+    save_mat_pb(T, a.output_mat)
+    return 0
+
+
+def cmd_fix(argv) -> int:
+    from ..matutils.fix import fix_grandparent_reversions
+    p = argparse.ArgumentParser(prog="matUtils fix")
+    p.add_argument("--input-mat", "-i", required=True)
+    p.add_argument("--output-mat", "-o", required=True)
+    p.add_argument("--iterations", "-n", type=int, default=1)
+    p.add_argument("--min-descendent-count", "-c", type=int, default=1)
+    a = p.parse_args(argv)
+    T = _load(a.input_mat)
+    fix_grandparent_reversions(T, a.iterations, a.min_descendent_count)
+    save_mat_pb(T, a.output_mat)
+    return 0
+
+
+COMMANDS = {
+    "extract": cmd_extract,
+    "summary": cmd_summary,
+    "annotate": cmd_annotate,
+    "uncertainty": cmd_uncertainty,
+    "merge": cmd_merge,
+    "mask": cmd_mask,
+    "fix": cmd_fix,
+}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        _err("matUtils-tpu: query/manipulate/convert mutation-annotated "
+             "trees.\nSubcommands: " + " ".join(sorted(COMMANDS))
+             + "\nUse 'matUtils <subcommand> --help' for details.")
+        return 0 if argv else 1
+    if argv[0] == "--version":
+        print("matUtils-tpu (v0.1.0)")
+        return 0
+    cmd = COMMANDS.get(argv[0])
+    if cmd is None:
+        _err(f"Invalid command: {argv[0]}. Choose from: "
+             + " ".join(sorted(COMMANDS)))
+        return 1
+    try:
+        return cmd(argv[1:])
+    except (OSError, KeyError, ValueError) as e:
+        _err(str(e))
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

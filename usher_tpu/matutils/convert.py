@@ -1,0 +1,253 @@
+"""Format writers/readers for matUtils extract.
+
+Parity targets: make_vcf (reference src/matUtils/convert.cpp:294-322, row
+semantics :120-265), make_diff (:325-401), Auspice JSON v2 write
+(:585-663) and read (:421-583).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import sys
+
+from ..core.nuc import char_from_nuc_id, nuc_id_from_char
+from ..core.tree import Mutation, Tree
+
+
+def _open_out(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "wt")
+    return open(path, "w")
+
+
+def _leaf_genotypes_by_pos(T: Tree, samples: set[str]):
+    """DFS allele propagation: {position: (ref_nuc, {sample: allele})} for
+    alleles differing from ref (reference r_add_genotypes, convert.cpp:63-118)."""
+    by_pos: dict[int, tuple[int, dict[str, int]]] = {}
+    stack = [(T.root, {})]
+    while stack:
+        node, state = stack.pop()
+        if node.mutations:
+            state = dict(state)
+            for m in node.mutations:
+                if m.is_masked():
+                    continue
+                state[m.position] = (m.ref_nuc, m.mut_nuc)
+        if node.is_leaf() and node.identifier in samples:
+            for pos, (ref, allele) in state.items():
+                if pos not in by_pos:
+                    by_pos[pos] = (ref, {})
+                if allele != ref:
+                    by_pos[pos][1][node.identifier] = allele
+        for ch in node.children:
+            stack.append((ch, state))
+    return by_pos
+
+
+def make_vcf(T: Tree, vcf_filepath: str, no_genotypes: bool = False,
+             samples_vec: list[str] | None = None, chrom: str = "") -> None:
+    """VCF writer with AC/AN INFO and 0/1/2... genotype codes
+    (reference convert.cpp:294-322)."""
+    if not samples_vec:
+        samples = T.get_leaves_ids()
+    else:
+        samples = samples_vec
+    sample_set = set(samples)
+    # DFS order of sample columns, like the reference header writer
+    dfs_samples = [n.identifier for n in T.depth_first_expansion()
+                   if n.identifier in sample_set]
+    chrom = chrom or "NC_045512v2"
+
+    by_pos = _leaf_genotypes_by_pos(T, sample_set)
+    leaf_count = len(dfs_samples)
+    col = {name: i for i, name in enumerate(dfs_samples)}
+
+    with _open_out(vcf_filepath) as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO")
+        if not no_genotypes:
+            f.write("\tFORMAT")
+            for name in dfs_samples:
+                f.write("\t" + name)
+        f.write("\n")
+        for pos in sorted(by_pos):
+            ref, variants = by_pos[pos]
+            if not variants:
+                continue
+            counts: dict[int, int] = {}
+            for allele in variants.values():
+                counts[allele] = counts.get(allele, 0) + 1
+            # alts ordered by count desc then allele asc (reference
+            # make_alts: sort by count desc, then emitted in map (allele)
+            # order -- i.e. final order is by allele value)
+            alts = sorted(counts.keys())
+            codes = {ref: 0}
+            for i, a in enumerate(alts):
+                codes[a] = i + 1
+            idstr = ",".join(f"{char_from_nuc_id(ref)}{pos}{char_from_nuc_id(a)}"
+                             for a in alts)
+            alt_str = ",".join(char_from_nuc_id(a) for a in alts)
+            info = "AC=" + ",".join(str(counts[a]) for a in alts) + \
+                   ";AN=" + str(leaf_count)
+            f.write(f"{chrom}\t{pos}\t{idstr}\t{char_from_nuc_id(ref)}\t"
+                    f"{alt_str}\t.\t.\t{info}")
+            if not no_genotypes:
+                row = [0] * leaf_count
+                for name, allele in variants.items():
+                    row[col[name]] = codes[allele]
+                f.write("\tGT\t" + "\t".join(map(str, row)))
+            f.write("\n")
+
+
+def make_diff(T: Tree, diff_filename: str,
+              samples_vec: list[str] | None = None) -> None:
+    """MAPLE diff writer (reference convert.cpp:325-401): per selected leaf,
+    '>name' then lowercase-allele/position lines for net differences from the
+    tree's implied reference."""
+    samples = set(samples_vec) if samples_vec else set(T.get_leaves_ids())
+    with _open_out(diff_filename) as f:
+        # iterative DFS with mutation stack
+        stack = [(T.root, False)]
+        mut_stack: list[Mutation] = []
+        while stack:
+            node, done = stack.pop()
+            if done:
+                del mut_stack[len(mut_stack) - len(node.mutations):]
+                continue
+            mut_stack.extend(node.mutations)
+            stack.append((node, True))
+            for ch in reversed(node.children):
+                stack.append((ch, False))
+            if node.is_leaf() and node.identifier in samples:
+                f.write(">" + node.identifier + "\n")
+                refs: dict[int, str] = {}
+                alts: dict[int, str] = {}
+                for m in mut_stack:
+                    if m.position not in refs:
+                        refs[m.position] = char_from_nuc_id(m.par_nuc).lower()
+                    alts[m.position] = char_from_nuc_id(m.mut_nuc).lower()
+                for pos in sorted(alts):
+                    if alts[pos] != refs[pos]:
+                        f.write(f"{alts[pos]}\t{pos}\n")
+
+
+# --- Auspice JSON v2 ---------------------------------------------------------
+
+def _json_node(node: Tree, metadata: dict[str, dict[str, str]],
+               div: int) -> dict:
+    obj: dict = {"name": node.identifier}
+    muts = ",".join(m.get_string() for m in node.mutations)
+    attrs = {"div": div + len(node.mutations)}
+    body = {"branch_attrs": {"labels": {}, "mutations":
+                             {"nuc": [m.get_string() for m in node.mutations]}},
+            "node_attrs": attrs}
+    obj.update(body)
+    clades = [c for c in node.clade_annotations if c]
+    if clades:
+        obj["branch_attrs"]["labels"]["clade"] = clades[0]
+    meta = metadata.get(node.identifier)
+    if meta:
+        for k, v in meta.items():
+            attrs[k] = {"value": v}
+    kids = [_json_node(c, metadata, div + len(node.mutations))
+            for c in node.children]
+    if kids:
+        obj["children"] = kids
+    return obj
+
+
+def write_json_from_mat(T: Tree, path: str, title: str = "mutation_annotated_tree",
+                        metadata: dict[str, dict[str, str]] | None = None) -> None:
+    """Auspice (nextstrain) v2 JSON writer (reference convert.cpp:585-663)."""
+    import sys as _sys
+    old_limit = _sys.getrecursionlimit()
+    _sys.setrecursionlimit(max(old_limit, 4 * T.get_max_level() + 1000))
+    try:
+        doc = {
+            "version": "v2",
+            "meta": {
+                "title": title,
+                "filters": [],
+                "panels": ["tree"],
+                "colorings": [],
+                "display_defaults": {"branch_label": "clade"},
+                "description": "JSON generated by matUtils extract (usher-tpu).",
+            },
+            "tree": _json_node(T.root, metadata or {}, 0),
+        }
+        with _open_out(path) as f:
+            json.dump(doc, f)
+    finally:
+        _sys.setrecursionlimit(old_limit)
+
+
+def load_mat_from_json(path: str) -> Tree:
+    """Auspice JSON v2 -> MAT (reference create_node_from_json,
+    convert.cpp:421-583).  Mutations parsed from branch_attrs.mutations.nuc."""
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt") as f:
+            doc = json.load(f)
+    else:
+        with open(path) as f:
+            doc = json.load(f)
+    tree_obj = doc["tree"] if "tree" in doc else doc
+    T = Tree()
+
+    def parse_muts(obj) -> list[Mutation]:
+        out = []
+        nuc = (obj.get("branch_attrs", {}).get("mutations", {})
+               .get("nuc", []))
+        for s in nuc:
+            if len(s) < 3:
+                continue
+            par = nuc_id_from_char(s[0])
+            mut = nuc_id_from_char(s[-1])
+            try:
+                pos = int(s[1:-1])
+            except ValueError:
+                continue
+            out.append(Mutation(chrom="", position=pos, ref_nuc=par,
+                                par_nuc=par, mut_nuc=mut))
+        return out
+
+    counter = [0]
+
+    def name_of(obj) -> str:
+        n = obj.get("name")
+        if not n:
+            counter[0] += 1
+            n = f"node_{counter[0]}"
+        return n
+
+    root_obj = tree_obj
+    root = T.create_node(name_of(root_obj))
+    for m in parse_muts(root_obj):
+        root.add_mutation(m)
+    label = root_obj.get("branch_attrs", {}).get("labels", {}).get("clade")
+    root.clade_annotations = [label or ""]
+    stack = [(root_obj, root)]
+    while stack:
+        obj, node = stack.pop()
+        for ch in obj.get("children", []):
+            cn = T.create_node(name_of(ch), node)
+            for m in parse_muts(ch):
+                cn.add_mutation(m)
+            label = ch.get("branch_attrs", {}).get("labels", {}).get("clade")
+            cn.clade_annotations = [label or ""]
+            stack.append((ch, cn))
+    return T
+
+
+def read_metafile(path: str) -> dict[str, dict[str, str]]:
+    """Metadata tsv/csv keyed by first column (reference select.cpp:468-504)."""
+    sep = "," if path.endswith(".csv") else "\t"
+    out: dict[str, dict[str, str]] = {}
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split(sep)
+        for line in f:
+            fields = line.rstrip("\n").split(sep)
+            if not fields or not fields[0]:
+                continue
+            out[fields[0]] = dict(zip(header[1:], fields[1:]))
+    return out

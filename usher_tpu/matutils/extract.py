@@ -1,0 +1,219 @@
+"""matUtils extract: select samples, manipulate, write every output format.
+
+Flow parity with reference src/matUtils/extract.cpp:106-780 (selection
+intersection -> optional mrca expansion / random fill / representatives ->
+prune or subtree -> polytomy resolution / collapse -> writers).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass, field
+
+from ..core.tree import Tree
+from ..io.newick import write_newick
+from ..io.pbio import save_mat_pb
+from . import select as sel
+from . import convert as conv
+from . import describe
+from .tree_filter import filter_master, resolve_polytomies, reroot_tree
+
+
+def _err(*a):
+    print(*a, file=sys.stderr)
+
+
+@dataclass
+class ExtractOptions:
+    input_mat: str = ""
+    samples_file: str = ""
+    clade: str = ""
+    mutation: str = ""
+    match: str = ""
+    max_epps: int = 0
+    max_parsimony: int = -1
+    max_branch_length: int = -1
+    max_path_length: int = -1
+    max_mutation_density: float = 0.0
+    nearest_k: str = ""
+    set_size: int = 0
+    limit_to_lca: bool = False
+    get_internal_descendents: str = ""
+    from_mrca: bool = False
+    get_representative: int = 0
+    prune: bool = False
+    resolve_polytomies: bool = False
+    outdir: str = "./"
+    used_samples: str = ""
+    sample_paths: str = ""
+    clade_paths: str = ""
+    all_paths: str = ""
+    write_diff: str = ""
+    write_vcf: str = ""
+    no_genotypes: bool = False
+    collapse_tree: bool = False
+    write_mat: str = ""
+    write_json: str = ""
+    write_tree: str = ""
+    retain_branch_length: bool = False
+    reroot: str = ""
+    metadata: str = ""
+    title: str = "mutation_annotated_tree"
+    usher_single_subtree_size: int = 0
+    usher_minimum_subtrees_size: int = 0
+    seed: int = 0
+
+
+def select_samples(T: Tree, opts: ExtractOptions) -> list[str]:
+    """Every active filter produces a sample list; lists intersect
+    (reference extract.cpp:300-480)."""
+    sets: list[list[str]] = []
+    if opts.samples_file:
+        named = sel.read_sample_names(opts.samples_file)
+        present = []
+        for s in named:
+            n = T.get_node(s)
+            if n is None or not n.is_leaf():
+                _err(f"WARNING: sample {s} not found in the tree; ignoring")
+            else:
+                present.append(s)
+        sets.append(present)
+    if opts.clade:
+        got: list[str] = []
+        for c in opts.clade.split(","):
+            cs = sel.get_clade_samples(T, c.strip())
+            if not cs:
+                _err(f"ERROR: clade {c} not found in tree")
+            got.extend(cs)
+        sets.append(got)
+    if opts.mutation:
+        got = []
+        for m in opts.mutation.split(","):
+            got.extend(sel.get_mutation_samples(T, m.strip()))
+        sets.append(got)
+    if opts.match:
+        sets.append(sel.get_sample_match(T, opts.match))
+    if opts.max_parsimony >= 0:
+        sets.append(sel.get_parsimony_samples(T, opts.max_parsimony))
+    if opts.get_internal_descendents:
+        sets.append(sel.get_internal_descendents(
+            T, opts.get_internal_descendents))
+    if opts.nearest_k:
+        sample_id, _, k = opts.nearest_k.rpartition(":")
+        sets.append(sel.get_nearby(T, sample_id, int(k)))
+    if opts.max_epps > 0:
+        from .uncertainty import get_samples_under_max_epps
+        sets.append(get_samples_under_max_epps(T, opts.max_epps))
+
+    if not sets:
+        samples = T.get_leaves_ids()
+    else:
+        samples = sets[0]
+        for other in sets[1:]:
+            os_ = set(other)
+            samples = [s for s in samples if s in os_]
+    # ordered, deduplicated
+    samples = list(dict.fromkeys(samples))
+
+    if opts.max_branch_length >= 0:
+        samples = sel.get_short_steppers(T, samples, opts.max_branch_length)
+    if opts.max_path_length >= 0:
+        samples = sel.get_short_paths(T, samples, opts.max_path_length)
+    if opts.max_mutation_density > 0:
+        samples = sel.filter_mut_density(T, samples, opts.max_mutation_density)
+    if opts.from_mrca and samples:
+        samples = sel.get_mrca_samples(T, samples)
+    if opts.set_size > 0:
+        samples = sel.fill_random_samples(T, samples, opts.set_size,
+                                          opts.limit_to_lca, opts.seed)
+    return samples
+
+
+def extract_main(T: Tree, opts: ExtractOptions) -> int:
+    os.makedirs(opts.outdir, exist_ok=True)
+
+    def out(p):
+        return os.path.join(opts.outdir, p)
+
+    if opts.reroot:
+        T = reroot_tree(T, opts.reroot)
+    if T.condensed_nodes:
+        T.uncondense_leaves()
+
+    samples = select_samples(T, opts)
+    if not samples:
+        _err("ERROR: No samples fulfill selected criteria. Change arguments "
+             "and try again")
+        return 1
+    _err(f"{len(samples)} samples selected.")
+
+    all_leaves = T.get_leaves_ids()
+    if len(samples) < len(all_leaves) or opts.prune:
+        subtree = filter_master(T, samples, opts.prune,
+                                keep_clade_annotations=True)
+    else:
+        subtree = T
+
+    if opts.get_representative > 0:
+        reps = sel.get_clade_representatives(subtree, opts.get_representative)
+        if reps:
+            subtree = filter_master(subtree, reps, False, True)
+            samples = reps
+
+    if opts.resolve_polytomies:
+        resolve_polytomies(subtree)
+    if opts.collapse_tree:
+        subtree.collapse_tree()
+
+    final_samples = (subtree.get_leaves_ids() if not opts.prune
+                     else subtree.get_leaves_ids())
+
+    if opts.used_samples:
+        with open(out(opts.used_samples), "w") as f:
+            for s in final_samples:
+                f.write(s + "\n")
+    if opts.sample_paths:
+        with open(out(opts.sample_paths), "w") as f:
+            for line in describe.mutation_paths(subtree, final_samples):
+                f.write(line + "\n")
+    if opts.clade_paths:
+        with open(out(opts.clade_paths), "w") as f:
+            for line in describe.clade_paths(subtree):
+                f.write(line + "\n")
+    if opts.all_paths:
+        with open(out(opts.all_paths), "w") as f:
+            for line in describe.all_paths(subtree):
+                f.write(line + "\n")
+    if opts.write_vcf:
+        _err(f"Generating VCF of final tree at {out(opts.write_vcf)}")
+        conv.make_vcf(subtree, out(opts.write_vcf), opts.no_genotypes)
+    if opts.write_diff:
+        _err(f"Generating MAPLE diff of final tree at {out(opts.write_diff)}")
+        conv.make_diff(subtree, out(opts.write_diff))
+    if opts.write_json:
+        metadata = {}
+        if opts.metadata:
+            for mpath in opts.metadata.split(","):
+                metadata.update(conv.read_metafile(mpath))
+        conv.write_json_from_mat(subtree, out(opts.write_json),
+                                 title=opts.title, metadata=metadata)
+    if opts.write_tree:
+        _err(f"Writing final tree to {out(opts.write_tree)}")
+        with open(out(opts.write_tree), "w") as f:
+            f.write(write_newick(
+                subtree, print_internal=True, print_branch_len=True,
+                retain_original_branch_len=opts.retain_branch_length) + "\n")
+    if opts.usher_single_subtree_size or opts.usher_minimum_subtrees_size:
+        from ..tools.subtrees import write_single_subtree, write_sample_subtrees
+        if opts.usher_single_subtree_size:
+            write_single_subtree(subtree, final_samples, opts.outdir,
+                                 opts.usher_single_subtree_size)
+        if opts.usher_minimum_subtrees_size:
+            write_sample_subtrees(subtree, final_samples, opts.outdir,
+                                  opts.usher_minimum_subtrees_size)
+    if opts.write_mat:
+        _err(f"Saving output MAT file to {out(opts.write_mat)}")
+        subtree.condense_leaves()
+        save_mat_pb(subtree, out(opts.write_mat))
+    return 0

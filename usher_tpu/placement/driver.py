@@ -75,9 +75,13 @@ class PlacementEngine:
         positions, ref, chrom = collect_positions(T, vcf)
         self.flat = FlatMAT(T, positions, ref, chrom)
 
-    def score_samples(self, samples_mutations, want_matrix=False):
+    def score_samples(self, samples_mutations, want_matrix=False,
+                      exclude_slots=None):
         """Score a batch of samples against the current tree.
 
+        exclude_slots: optional per-sample node slot to invalidate (self-
+        mapping exclusion for uncertainty re-placement, reference
+        uncertainty.cpp:218).
         Returns a list of SampleResult (one per sample)."""
         flat = self.flat
         st_dev, parent_dev = flat.sync()
@@ -90,6 +94,11 @@ class PlacementEngine:
         valid, has_unique = dev.placement_outputs(
             score, num_common, node_num_mut, meta["is_root_mask"],
             meta["is_leaf"], meta["active"])
+        if exclude_slots is not None:
+            valid = np.asarray(valid).copy()
+            for b, slot in enumerate(exclude_slots):
+                if slot is not None and slot >= 0:
+                    valid[b, slot] = False
 
         bfs = meta["bfs"]
         bfs_rank = meta["bfs_rank"]
