@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--node_seed", "-y", type=int, default=0)
     p.add_argument("--do-not-write-intermediate-files", "-n",
                    action="store_true")
+    p.add_argument("--no-reduce-back-mutations", action="store_true",
+                   help="Skip the final (parsimony, back-mutation) "
+                        "lexicographic state reassignment")
     p.add_argument("--threads", "-T", type=int, default=0,
                    help="Accepted for CLI parity; XLA manages parallelism")
     p.add_argument("--version", action="version",
@@ -97,6 +100,7 @@ def main(argv=None) -> int:
         profitable_src_log=args.src_log,
         node_proportion=args.node_proportion,
         seed=args.node_seed,
+        reduce_back_mutations=not args.no_reduce_back_mutations,
     )
     optimize_tree(T, opts)
     save_mat_pb(T, args.dout)

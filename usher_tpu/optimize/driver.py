@@ -52,6 +52,8 @@ class OptimizeOptions:
     node_proportion: float = 1.0     # reference -z
     seed: int = 0                    # reference -y
     exhaustive_first: bool = False
+    reduce_back_mutations: bool = True  # final min-back FS pass (reference
+                                        # matOptimize main.cpp:570-581 default)
 
 
 def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
@@ -170,6 +172,19 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                 radius *= 2
             else:
                 break
+
+    if opts.reduce_back_mutations:
+        # final pass: re-pick states minimizing (parsimony, back-mutations)
+        engine = FitchEngine(T, positions)
+        leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
+        states, masks = engine.run(leaf_masks, ref_row, min_back=True)
+        mb_score = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
+        if mb_score > score:
+            # never trade parsimony away; redo with the plain pass
+            states, masks = engine.run(leaf_masks, ref_row)
+            score = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
+        else:
+            score = mb_score
 
     if log_f:
         log_f.close()

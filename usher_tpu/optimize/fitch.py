@@ -138,6 +138,90 @@ def _fs_chunk(leaf_mask, is_leaf, parent_slot_pad, level_pad, level_len,
     return states, masks
 
 
+_BACK_K = 1 << 12  # parsimony weight; back-mutation counts stay below this
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "max_u"))
+def _min_back_chunk(leaf_mask, is_leaf, parent_slot_pad, level_pad, level_len,
+                    uparent_pad, uparent_len, parent, ref_nt,
+                    n_levels: int, max_u: int):
+    """Min-back-mutation Fitch-Sankoff: lexicographically minimize
+    (parsimony, #back-mutations) -- a mutation a->b is "back" when b is the
+    reference base (reference src/usher-sampled/Min_back_FS.cpp:55-192, a
+    4x4 DP per node per position).
+
+    Weighted-cost DP: edge cost(a->b) = 0 if a==b else K + (b==ref), K large.
+    Scores are normalized per row (offsets are row constants) and clipped to
+    2K+3: transitions add at most K+1, so any value above that bound can
+    never win or tie a comparison (including the forward pass's
+    score+cost sums), keeping the DP exact.
+    """
+    N, S = leaf_mask.shape
+    K = jnp.int32(_BACK_K)
+    k = jnp.arange(4, dtype=jnp.uint8)
+    in_mask = ((leaf_mask[:, :, None] >> k[None, None, :]) & 1).astype(jnp.bool_)
+    big = 2 * K + 3
+    leaf_scores = jnp.where(in_mask, jnp.int32(0), big)
+    scores = jnp.where(is_leaf[:, None, None], leaf_scores, jnp.int32(0))
+
+    # cost[a, b] per position: 0 if a==b else K + (b == ref)
+    a_idx = jnp.arange(4)[:, None]
+    b_idx = jnp.arange(4)[None, :]
+    # [S, 4(a), 4(b)]
+    cost = jnp.where(a_idx[None] == b_idx[None], 0,
+                     K + (b_idx[None] == ref_nt[:, None, None]).astype(jnp.int32))
+
+    def contrib_of(child_rows):
+        # child_rows [L,S,4(b)] -> contribution [L,S,4(a)]
+        tot = child_rows[:, :, None, :] + cost[None]         # [L,S,a,b]
+        return jnp.min(tot, axis=-1)
+
+    for li in range(n_levels - 1, 0, -1):
+        lev = level_pad[li]
+        lmask = (jnp.arange(lev.shape[0]) < level_len[li])
+        contrib = contrib_of(scores[lev])
+        contrib = jnp.where(lmask[:, None, None], contrib, 0)
+        slot = jnp.where(lmask, parent_slot_pad[li], max_u)
+        acc = jnp.zeros((max_u, S, 4), dtype=jnp.int32)
+        acc = acc.at[slot].add(contrib, mode="drop")
+        acc_min = jnp.min(acc, axis=-1, keepdims=True)
+        rows_new = jnp.minimum(acc - acc_min, big)
+        up = uparent_pad[li]
+        umask = (jnp.arange(up.shape[0]) < uparent_len[li])
+        prev = scores[up]
+        rows_new = jnp.where(umask[:, None, None], rows_new, prev)
+        scores = scores.at[up].set(rows_new, mode="drop")
+
+    # forward: child picks argmin_b(score[b] + cost(par->b)), parent-
+    # following on ties
+    def pick(sc, par_state):
+        c_par = cost[jnp.arange(S)[None, :], par_state]      # [L,S,4]
+        tot = sc + c_par
+        mn = jnp.min(tot, axis=-1)
+        first = jnp.argmin(tot, axis=-1).astype(jnp.int32)
+        par_tot = jnp.take_along_axis(tot, par_state[..., None], axis=-1)[..., 0]
+        return jnp.where(par_tot == mn, par_state, first)
+
+    states = jnp.zeros((N, S), dtype=jnp.int32)
+    # root: prefer ref when tied for min
+    root_sc = scores[0]
+    root_min = jnp.min(root_sc, axis=-1)
+    ref_sc = jnp.take_along_axis(root_sc, ref_nt[:, None], axis=-1)[:, 0]
+    root_pick = jnp.where(ref_sc == root_min, ref_nt,
+                          jnp.argmin(root_sc, axis=-1).astype(jnp.int32))
+    states = states.at[0].set(root_pick)
+    for li in range(1, n_levels):
+        lev = level_pad[li]
+        lmask = (jnp.arange(lev.shape[0]) < level_len[li])
+        ps = states[parent[lev]]
+        new = pick(scores[lev], ps)
+        states = states.at[jnp.where(lmask, lev, N)].set(new, mode="drop")
+    masks_bits = (scores == 0)
+    masks = (masks_bits.astype(jnp.uint8)
+             * (jnp.uint8(1) << k[None, None, :])).sum(-1, dtype=jnp.uint8)
+    return states, masks
+
+
 class FitchEngine:
     """Caches the flattened topology + padded level arrays for repeated FS
     passes over the same tree snapshot."""
@@ -170,8 +254,11 @@ class FitchEngine:
                 self.parent_slot_pad[i, :len(a)] = np.searchsorted(
                     up, self.parent[a])
 
-    def run(self, leaf_masks: np.ndarray, ref_row: np.ndarray):
+    def run(self, leaf_masks: np.ndarray, ref_row: np.ndarray,
+            min_back: bool = False):
         """leaf_masks [n,P] uint8 (rows meaningful at leaves), ref_row [P].
+        min_back selects the (parsimony, #back-mutations) lexicographic DP
+        (reference Min_back_FS.cpp) instead of plain Fitch-Sankoff.
         Returns (states [n,P] int8 0..3, masks [n,P] uint8)."""
         P = leaf_masks.shape[1]
         ref_nt = np.zeros(P, dtype=np.int32)
@@ -194,9 +281,10 @@ class FitchEngine:
             if pad:
                 lm = np.pad(lm, ((0, 0), (0, pad)), constant_values=0xF)
                 rn = np.pad(rn, (0, pad))
-            st, mk = _fs_chunk(jnp.asarray(lm), is_leaf_dev, psl,
-                               lp, ll, up, ul, parent_dev, jnp.asarray(rn),
-                               n_levels=len(self.levels), max_u=self.max_u)
+            fn = _min_back_chunk if min_back else _fs_chunk
+            st, mk = fn(jnp.asarray(lm), is_leaf_dev, psl,
+                        lp, ll, up, ul, parent_dev, jnp.asarray(rn),
+                        n_levels=len(self.levels), max_u=self.max_u)
             states[:, c0:c1] = np.asarray(st, dtype=np.int8)[:, :c1 - c0]
             masks[:, c0:c1] = np.asarray(mk)[:, :c1 - c0]
         return states, masks

@@ -71,8 +71,21 @@ class SampleResult:
 class PlacementEngine:
     """Holds the device-resident flat MAT and runs batched scoring."""
 
-    def __init__(self, T: Tree, vcf=None):
+    def __init__(self, T: Tree, vcf=None, extra_mutations=None):
+        """extra_mutations: iterable of Mutation whose positions must join
+        the segregating-position set (diff-ingested samples can mutate
+        positions the tree does not)."""
         positions, ref, chrom = collect_positions(T, vcf)
+        if extra_mutations:
+            pos_ref = {int(p): int(r) for p, r in zip(positions, ref)}
+            for m in extra_mutations:
+                if m.position >= 0 and m.position not in pos_ref:
+                    pos_ref[m.position] = m.ref_nuc
+                    chrom = chrom or m.chrom
+            import numpy as _np
+            positions = _np.array(sorted(pos_ref), dtype=_np.int64)
+            ref = _np.array([pos_ref[p] for p in positions.tolist()],
+                            dtype=_np.uint8)
         self.flat = FlatMAT(T, positions, ref, chrom)
 
     def score_samples(self, samples_mutations, want_matrix=False,
