@@ -61,9 +61,27 @@ def _leading_int(s: str):
 
 
 def read_vcf_sites(vcf_filename: str) -> VcfData:
-    """Parse the full VCF into per-site sparse variant lists (build mode)."""
-    sample_ids: list[str] = []
-    sites: list[VcfSite] = []
+    """Parse the full VCF into per-site sparse variant lists (build mode).
+
+    Uses the native C++ parser when built (usher_tpu/native, ~20x faster);
+    the pure-Python path below is the reference implementation and fallback.
+    """
+    try:
+        from ..native import ext, HAVE_NATIVE
+    except ImportError:
+        HAVE_NATIVE = False
+    if HAVE_NATIVE:
+        sample_ids, raw_sites = ext.parse_vcf(vcf_filename)
+        sites = [VcfSite(chrom=c, position=p, ref_nuc=r,
+                         variants=[(int(a), int(b)) for a, b in v])
+                 for c, p, r, v in raw_sites]
+        for site in sites:
+            if site.ref_nuc & (site.ref_nuc - 1):
+                raise ValueError(
+                    f"ambiguous reference base at {site.position}")
+        return VcfData(sample_ids=sample_ids, sites=sites)
+    sample_ids = []
+    sites = []
     header_found = False
     with _open(vcf_filename) as f:
         for line in f:

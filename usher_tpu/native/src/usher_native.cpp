@@ -1,0 +1,443 @@
+// usher_tpu native host layer: transpose-VCF codec + fast VCF ingest.
+//
+// The reference implements these in C++ with TBB pipelines
+// (/root/reference/src/matOptimize/transpose_vcf/transpose_vcf.hpp and
+// src/matOptimize/import_vcf_fast.cpp); this extension provides the same
+// on-disk formats and parsing semantics behind a CPython API, with the
+// device compute left to JAX/XLA.
+//
+// Transposed-VCF format (transposed_vcf.md):
+//   [u32 little-endian compressed block length][zlib block]*
+//   block = sample records; record =
+//     name\0
+//     called mutations\0: (varint pos1 [varint pos2] allele_byte)*,
+//       allele_byte = (allele2<<4)|allele1 one-hot nibbles
+//     N ranges\0: varint end [varint start if start<end] per range
+//       (decoder rule: first>second => range [second,first], else single)
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+void write_varint(std::string& out, unsigned int v) {
+    while (v >= 0x80) {
+        out.push_back(static_cast<char>((v & 0x7f) | 0x80));
+        v >>= 7;
+    }
+    out.push_back(static_cast<char>(v));
+}
+
+unsigned int load_varint(const uint8_t*& in) {
+    unsigned int out = (*in & 0x7f);
+    int shamt = 7;
+    while (*in & 0x80) {
+        in++;
+        out |= ((*in & 0x7f) << shamt);
+        shamt += 7;
+    }
+    in++;
+    return out;
+}
+
+// ---------------------------------------------------------------- encode
+
+// samples: list of (name, [(pos, allele)], [(start, end)]) tuples
+PyObject* transpose_encode(PyObject*, PyObject* args) {
+    PyObject* samples;
+    const char* path;
+    int append = 0;
+    if (!PyArg_ParseTuple(args, "Os|p", &samples, &path, &append)) {
+        return nullptr;
+    }
+    PyObject* seq = PySequence_Fast(samples, "samples must be a sequence");
+    if (!seq) return nullptr;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+
+    std::string raw;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject* item = PySequence_Fast_GET_ITEM(seq, i);
+        PyObject* name_obj = PyTuple_GetItem(item, 0);
+        PyObject* muts = PyTuple_GetItem(item, 1);
+        PyObject* nranges = PyTuple_GetItem(item, 2);
+        if (!name_obj || !muts || !nranges) {
+            Py_DECREF(seq);
+            return nullptr;
+        }
+        const char* name = PyUnicode_AsUTF8(name_obj);
+        if (!name) {
+            Py_DECREF(seq);
+            return nullptr;
+        }
+        raw.append(name);
+        raw.push_back('\0');
+
+        Py_ssize_t nm = PySequence_Size(muts);
+        for (Py_ssize_t k = 0; k + 1 < nm; k += 2) {
+            PyObject* m1 = PySequence_GetItem(muts, k);
+            PyObject* m2 = PySequence_GetItem(muts, k + 1);
+            unsigned p1 = PyLong_AsUnsignedLong(PyTuple_GetItem(m1, 0));
+            unsigned a1 = PyLong_AsUnsignedLong(PyTuple_GetItem(m1, 1));
+            unsigned p2 = PyLong_AsUnsignedLong(PyTuple_GetItem(m2, 0));
+            unsigned a2 = PyLong_AsUnsignedLong(PyTuple_GetItem(m2, 1));
+            Py_DECREF(m1);
+            Py_DECREF(m2);
+            write_varint(raw, p1);
+            write_varint(raw, p2);
+            raw.push_back(static_cast<char>((a2 << 4) | (a1 & 0xf)));
+        }
+        if (nm & 1) {
+            PyObject* m1 = PySequence_GetItem(muts, nm - 1);
+            unsigned p1 = PyLong_AsUnsignedLong(PyTuple_GetItem(m1, 0));
+            unsigned a1 = PyLong_AsUnsignedLong(PyTuple_GetItem(m1, 1));
+            Py_DECREF(m1);
+            write_varint(raw, p1);
+            raw.push_back(static_cast<char>(a1 & 0xf));
+        }
+        raw.push_back('\0');
+
+        Py_ssize_t nr = PySequence_Size(nranges);
+        for (Py_ssize_t k = 0; k < nr; k++) {
+            PyObject* r = PySequence_GetItem(nranges, k);
+            unsigned start = PyLong_AsUnsignedLong(PyTuple_GetItem(r, 0));
+            unsigned end = PyLong_AsUnsignedLong(PyTuple_GetItem(r, 1));
+            Py_DECREF(r);
+            write_varint(raw, end);
+            if (start < end) {
+                write_varint(raw, start);
+            }
+        }
+        raw.push_back('\0');
+    }
+    Py_DECREF(seq);
+
+    uLongf bound = compressBound(raw.size());
+    std::vector<uint8_t> comp(bound);
+    if (compress2(comp.data(), &bound,
+                  reinterpret_cast<const Bytef*>(raw.data()), raw.size(),
+                  Z_DEFAULT_COMPRESSION) != Z_OK) {
+        PyErr_SetString(PyExc_RuntimeError, "zlib compress failed");
+        return nullptr;
+    }
+
+    FILE* f = fopen(path, append ? "ab" : "wb");
+    if (!f) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return nullptr;
+    }
+    uint32_t len = static_cast<uint32_t>(bound);
+    fwrite(&len, 4, 1, f);
+    fwrite(comp.data(), 1, bound, f);
+    fclose(f);
+    Py_RETURN_NONE;
+}
+
+// ---------------------------------------------------------------- decode
+
+PyObject* transpose_decode(PyObject*, PyObject* args) {
+    const char* path;
+    if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+    FILE* f = fopen(path, "rb");
+    if (!f) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return nullptr;
+    }
+    PyObject* out = PyList_New(0);
+    uint32_t len;
+    std::vector<uint8_t> comp, raw;
+    while (fread(&len, 4, 1, f) == 1) {
+        comp.resize(len);
+        if (fread(comp.data(), 1, len, f) != len) {
+            fclose(f);
+            Py_DECREF(out);
+            PyErr_SetString(PyExc_ValueError, "truncated transpose-vcf block");
+            return nullptr;
+        }
+        // blocks are bounded (MAX_SIZ=0x30000 in the reference); grow as
+        // needed for robustness
+        uLongf out_len = 0x30000;
+        int zrc;
+        do {
+            raw.resize(out_len);
+            zrc = uncompress(raw.data(), &out_len, comp.data(), len);
+            if (zrc == Z_BUF_ERROR) out_len *= 2;
+        } while (zrc == Z_BUF_ERROR && out_len < (1u << 28));
+        if (zrc != Z_OK) {
+            fclose(f);
+            Py_DECREF(out);
+            PyErr_SetString(PyExc_ValueError, "zlib uncompress failed");
+            return nullptr;
+        }
+        const uint8_t* in = raw.data();
+        const uint8_t* end = raw.data() + out_len;
+        while (in < end) {
+            std::string name;
+            while (*in) name.push_back(static_cast<char>(*in++));
+            in++;
+            PyObject* muts = PyList_New(0);
+            while (*in) {
+                unsigned p1 = load_varint(in);
+                if (*(in + 1)) {
+                    unsigned p2 = load_varint(in);
+                    PyObject* t1 = Py_BuildValue("(II)", p1, (*in) & 0xf);
+                    PyObject* t2 = Py_BuildValue("(II)", p2, ((*in) >> 4) & 0xf);
+                    PyList_Append(muts, t1);
+                    PyList_Append(muts, t2);
+                    Py_DECREF(t1);
+                    Py_DECREF(t2);
+                } else {
+                    PyObject* t1 = Py_BuildValue("(II)", p1, (*in) & 0xf);
+                    PyList_Append(muts, t1);
+                    Py_DECREF(t1);
+                }
+                in++;
+            }
+            in++;
+            PyObject* nranges = PyList_New(0);
+            while (*in) {
+                unsigned first = load_varint(in);
+                const uint8_t* after_first = in;
+                if (!(*in)) {
+                    PyObject* r = Py_BuildValue("(II)", first, first);
+                    PyList_Append(nranges, r);
+                    Py_DECREF(r);
+                    break;
+                }
+                unsigned second = load_varint(in);
+                if (first > second) {
+                    PyObject* r = Py_BuildValue("(II)", second, first);
+                    PyList_Append(nranges, r);
+                    Py_DECREF(r);
+                } else {
+                    PyObject* r = Py_BuildValue("(II)", first, first);
+                    PyList_Append(nranges, r);
+                    Py_DECREF(r);
+                    in = after_first;
+                }
+            }
+            in++;
+            PyObject* rec = Py_BuildValue("(sNN)", name.c_str(), muts, nranges);
+            PyList_Append(out, rec);
+            Py_DECREF(rec);
+        }
+    }
+    fclose(f);
+    return out;
+}
+
+// ---------------------------------------------------------------- VCF parse
+
+// one-hot nibble per IUPAC char, matching the reference get_nuc_id
+// (mutation_annotated_tree.cpp:19-86, including the V->N quirk)
+uint8_t nuc_table[256];
+
+void init_nuc_table() {
+    for (int i = 0; i < 256; i++) nuc_table[i] = 0xf;
+    nuc_table['a'] = nuc_table['A'] = 0x1;
+    nuc_table['c'] = nuc_table['C'] = 0x2;
+    nuc_table['g'] = nuc_table['G'] = 0x4;
+    nuc_table['t'] = nuc_table['T'] = 0x8;
+    nuc_table['R'] = 0x5;
+    nuc_table['Y'] = 0xa;
+    nuc_table['S'] = 0x6;
+    nuc_table['W'] = 0x9;
+    nuc_table['K'] = 0xc;
+    nuc_table['M'] = 0x3;
+    nuc_table['B'] = 0xe;
+    nuc_table['D'] = 0xd;
+    nuc_table['H'] = 0xb;
+    // 'V' falls through to N in the reference
+}
+
+// Returns (sample_ids: list[str],
+//          sites: list[(chrom, pos, ref_nuc, [(col, nuc)])]).
+// Genotype semantics match usher_tpu.io.vcf.read_vcf_sites: allele index 0
+// = ref (not recorded), '.'/missing = N recorded as 0xf, multi-allele GT
+// uses the first index; per-sample allele = alleles[idx].
+PyObject* parse_vcf(PyObject*, PyObject* args) {
+    const char* path;
+    if (!PyArg_ParseTuple(args, "s", &path)) return nullptr;
+    gzFile f = gzopen(path, "rb");
+    if (!f) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return nullptr;
+    }
+    gzbuffer(f, 1 << 20);
+
+    PyObject* sample_ids = PyList_New(0);
+    PyObject* sites = PyList_New(0);
+
+    std::string line;
+    line.reserve(1 << 20);
+    std::vector<char> buf(1 << 20);
+    bool header_done = false;
+    std::string carry;
+
+    auto is_sep = [](char c) { return c == '\t' || c == ' '; };
+
+    // header row is detected like the reference read_vcf: second
+    // whitespace-separated field == "POS" (mutation_annotated_tree.cpp:2062)
+    auto process_line = [&](const char* s, size_t n) -> bool {
+        if (n == 0) return true;
+        const char* end = s + n;
+        if (!header_done) {
+            // tokenize fully; cheap for header-ish lines
+            std::vector<std::pair<const char*, size_t>> fields;
+            size_t start = 0;
+            for (size_t i = 0; i <= n; i++) {
+                if (i == n || is_sep(s[i])) {
+                    if (i > start) fields.emplace_back(s + start, i - start);
+                    start = i + 1;
+                }
+            }
+            if (fields.size() > 1 && fields[1].second == 3 &&
+                memcmp(fields[1].first, "POS", 3) == 0) {
+                for (size_t k = 9; k < fields.size(); k++) {
+                    PyObject* nm = PyUnicode_FromStringAndSize(
+                        fields[k].first, fields[k].second);
+                    PyList_Append(sample_ids, nm);
+                    Py_DECREF(nm);
+                }
+                header_done = true;
+            }
+            return true;
+        }
+        // data row: CHROM POS ID REF ALT QUAL FILTER INFO FORMAT GT...
+        const char* field_start[9];
+        size_t field_len[9];
+        size_t col = 0, start = 0;
+        size_t i = 0;
+        for (; i <= n && col < 9; i++) {
+            if (i == n || is_sep(s[i])) {
+                field_start[col] = s + start;
+                field_len[col] = i - start;
+                col++;
+                start = i + 1;
+            }
+        }
+        if (col < 9) return true;  // malformed / no genotypes
+        std::string chrom(field_start[0], field_len[0]);
+        long pos = strtol(std::string(field_start[1], field_len[1]).c_str(),
+                          nullptr, 10);
+        // alleles: index 0 = ref, then ALT comma-separated
+        std::vector<uint8_t> alleles;
+        alleles.push_back(field_len[3] ? nuc_table[(uint8_t)field_start[3][0]]
+                                       : 0xf);
+        {
+            const char* a = field_start[4];
+            const char* ae = a + field_len[4];
+            while (a < ae) {
+                const char* c = a;
+                while (c < ae && *c != ',') c++;
+                alleles.push_back(a < c ? nuc_table[(uint8_t)*a] : 0xf);
+                a = c + 1;
+            }
+        }
+        uint8_t ref_nuc = alleles[0];
+        PyObject* variants = PyList_New(0);
+        long sample_col = 0;
+        const char* gt = s + start;
+        while (gt <= end) {
+            const char* t = gt;
+            while (t < end && *t != '\t' && *t != ' ') t++;
+            // parse leading integer (or '.' = missing)
+            long idx = -1;
+            if (t > gt) {
+                if (*gt == '.') {
+                    idx = -1;
+                } else {
+                    idx = 0;
+                    const char* d = gt;
+                    while (d < t && *d >= '0' && *d <= '9') {
+                        idx = idx * 10 + (*d - '0');
+                        d++;
+                    }
+                    if (d == gt) idx = -1;
+                }
+            }
+            uint8_t nuc;
+            bool record;
+            if (idx < 0) {
+                nuc = 0xf;
+                record = true;
+            } else if (idx == 0) {
+                nuc = ref_nuc;
+                record = false;
+            } else if ((size_t)idx < alleles.size()) {
+                nuc = alleles[idx];
+                record = true;
+            } else {
+                nuc = 0xf;
+                record = true;
+            }
+            if (record) {
+                PyObject* v = Py_BuildValue("(lB)", sample_col, nuc);
+                PyList_Append(variants, v);
+                Py_DECREF(v);
+            }
+            sample_col++;
+            if (t >= end) break;
+            gt = t + 1;
+        }
+        PyObject* site = Py_BuildValue("(slBN)", chrom.c_str(), pos,
+                                       ref_nuc, variants);
+        PyList_Append(sites, site);
+        Py_DECREF(site);
+        return true;
+    };
+
+    int nread;
+    while ((nread = gzread(f, buf.data(), buf.size())) > 0) {
+        size_t begin = 0;
+        for (int i = 0; i < nread; i++) {
+            if (buf[i] == '\n') {
+                if (!carry.empty()) {
+                    carry.append(buf.data() + begin, i - begin);
+                    process_line(carry.data(), carry.size());
+                    carry.clear();
+                } else {
+                    process_line(buf.data() + begin, i - begin);
+                }
+                begin = i + 1;
+            }
+        }
+        if (begin < (size_t)nread) {
+            carry.append(buf.data() + begin, nread - begin);
+        }
+    }
+    if (!carry.empty()) {
+        process_line(carry.data(), carry.size());
+    }
+    gzclose(f);
+    return Py_BuildValue("(NN)", sample_ids, sites);
+}
+
+PyMethodDef methods[] = {
+    {"transpose_encode", transpose_encode, METH_VARARGS,
+     "transpose_encode(samples, path, append=False): write a transposed-VCF "
+     "block (reference transpose_vcf format)"},
+    {"transpose_decode", transpose_decode, METH_VARARGS,
+     "transpose_decode(path) -> [(name, [(pos, allele)], [(start, end)])]"},
+    {"parse_vcf", parse_vcf, METH_VARARGS,
+     "parse_vcf(path) -> (sample_ids, sites); gzip-transparent"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_usher_native",
+    "Native host layer: transpose-VCF codec + fast VCF ingest", -1, methods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__usher_native() {
+    init_nuc_table();
+    return PyModule_Create(&moduledef);
+}
