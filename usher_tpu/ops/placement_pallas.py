@@ -1,0 +1,320 @@
+"""Pallas TPU kernel for batched placement scoring (sparse-sample path).
+
+Mathematically identical to ops.placement.score_batch (the reference scoring
+semantics of usher_mapper.cpp:167-504 — see ops/placement.py for the
+derivation), but restructured around the workload's sparsity: a sample has
+only a few dozen VCF entries out of the P segregating sites, and at every
+no-entry position the per-(sample,node) term collapses to a sample-
+independent value.
+
+Decomposition (exact, by case analysis on g == ref at no-entry positions):
+
+  score[b,n]      = base[n]    + sum_k corr(b, n, pos[b,k])
+  num_common[b,n] = nc_base[n] + sum_k corr_nc(b, n, pos[b,k])
+
+  base[n]    = sum_p [ (ref & st) != 0 ? st != ref
+                       : (st != stp ? stp != ref : 1) ]
+               (the no-entry g == ref case of the dense term1|term2,
+               valid for ambiguous multi-bit states too)
+  nc_base[n] = #{p : st != stp  and  (ref & st) != 0}
+
+and the per-entry corrections only need st/stp at the K entry positions of
+sample b.  The column gather st[:, pos[b,:]] is realized as a one-hot matmul
+on the MXU — the canonical TPU gather — with st and stp packed into ONE
+bf16 operand (st | stp<<4 <= 255 is exact in bf16), so a single
+[TN,TP] x [TP, TB*K] dot per grid step serves TB samples x K entries for
+both states.  The VPU then evaluates the correction terms on the gathered
+[TN, TB*K] tile and a tiny block-diagonal matmul segment-sums each sample's
+K slots.
+
+Compute drops from O(B*N*P) VPU ops (dense path) to O(N*P) + O(B*N*K) MXU
+MACs; on v5e the MXU:VPU throughput ratio makes this ~5-10x faster for
+K ~ 32.
+
+Outputs are produced node-major ([N, B]) so kernel tiles write without a
+transpose; reduce_best_T reduces over the node axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tile sizes. TBK = TB * K is the lane width of the gathered tile; K (entry
+# slots per sample) is a power of two <= TBK so TB = TBK // K samples share
+# one grid step.
+TN = 512        # node rows per step
+TP = 512        # position slab per step (contraction accumulated over slabs)
+TBK = 1024      # gathered lane width
+
+BIG = np.int32(1 << 30)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(meta_ref, base_ref, packed_ref, o_ref, score_ref, nc_ref,
+            acc_ref, *, K: int):
+    """Grid (Nt, Bt, Pt); Pt innermost accumulates the one-hot contraction.
+
+    meta_ref   [1, 1, TBK] int32  per-slot word: gval | kvalid<<4 | kmiss<<5
+                                  | refk<<8 (broadcast over node rows)
+    base_ref   [TN, 2]  int32  col 0 = base, col 1 = nc_base
+    packed_ref [TN, TP] bf16   st | stp << 4
+    o_ref      [TP, TBK] bf16  one-hot position selectors
+    score/nc   [1, TN, TB] int32  outputs (sample-tile major)
+    acc_ref    [TN, TBK] f32   scratch: gathered packed states
+    """
+    kp = pl.program_id(2)
+    part = jnp.dot(packed_ref[:], o_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(kp == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(kp > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(kp == pl.num_programs(2) - 1)
+    def _():
+        v = acc_ref[:].astype(jnp.int32)            # [TN, TBK]
+        st_k = v & 0xF
+        stp_k = v >> 4
+        w = meta_ref[0]                              # [1, TBK]
+        gv = w & 0xF
+        kvalid = (w >> 4) & 1
+        kmiss = (w >> 5) & 1
+        rk = (w >> 8) & 0xF
+
+        bm = st_k != stp_k
+        matched = (gv & st_k) != 0
+        a = jnp.where(bm & ~matched, stp_k, st_k)
+        term1 = jnp.where((kmiss == 0) & ((gv & a) == 0), 1, 0)
+        # what this position contributed to base[n] (the g == ref no-entry
+        # value), to be replaced by term1
+        sub = jnp.where((rk & st_k) != 0,
+                        jnp.where(st_k != rk, 1, 0),
+                        jnp.where(bm, jnp.where(stp_k != rk, 1, 0), 1))
+        corr = kvalid * (term1 - sub)                # [TN, TBK]
+
+        nca = jnp.where(bm & matched, 1, 0)
+        ncb = jnp.where(bm & ((rk & st_k) != 0), 1, 0)
+        corr_nc = kvalid * (nca - ncb)
+
+        tb = TBK // K
+        row = jax.lax.broadcasted_iota(jnp.int32, (TBK, tb), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TBK, tb), 1)
+        seg = ((row // K) == col).astype(jnp.float32)
+        cs = jnp.dot(corr.astype(jnp.float32), seg,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+        ns = jnp.dot(corr_nc.astype(jnp.float32), seg,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+        score_ref[0] = base_ref[:, 0:1] + cs
+        nc_ref[0] = base_ref[:, 1:2] + ns
+
+
+def _pad_to(x, n, axis, value=0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("k_slots",))
+def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
+    """Node-major sparse scoring.
+
+    st     [N, P] uint8   path-state nibbles
+    parent [N]    int32
+    ref    [P]    uint8
+    pos    [B, K] int32   entry positions (>= P means padding slot)
+    gval   [B, K] uint8   sample allele mask per entry (0xF at missing)
+    kmiss  [B, K] bool    entry is missing (N)
+    k_slots = K, a power of two dividing TBK.
+
+    Returns (score_T [N, B] int32, num_common_T [N, B] int32,
+             node_num_mut [N] int32) — exactly score_batch's outputs,
+    transposed, without the inactive-slot masking (callers mask).
+    """
+    K = k_slots
+    assert TBK % K == 0
+    tb = TBK // K
+    N, P = st.shape
+    B = pos.shape[0]
+
+    stp = st[parent]
+    stp = stp.at[root_slot].set(st[root_slot])
+
+    sti = st.astype(jnp.int32)
+    stpi = stp.astype(jnp.int32)
+    refi = ref.astype(jnp.int32)[None, :]
+    matched0 = (refi & sti) != 0
+    bm0 = sti != stpi
+    base = jnp.where(matched0, sti != refi,
+                     jnp.where(bm0, stpi != refi, True)
+                     ).sum(1, dtype=jnp.int32)
+    nc_base = ((sti != stpi) & ((refi & sti) != 0)).sum(1, dtype=jnp.int32)
+    node_num_mut = (sti != stpi).sum(1, dtype=jnp.int32)
+
+    n_pad = -(-N // TN) * TN
+    p_pad = -(-P // TP) * TP
+    b_pad = -(-B // tb) * tb
+
+    packed = (sti | (stpi << 4)).astype(jnp.bfloat16)
+    packed = _pad_to(_pad_to(packed, n_pad, 0), p_pad, 1)
+    base2 = jnp.stack([base, nc_base], axis=1)
+    base2 = _pad_to(base2, n_pad, 0)
+
+    posi = pos.astype(jnp.int32)
+    kvalid = posi < P
+    pos_eff = jnp.where(kvalid, posi, p_pad)
+    refk = refi[0][jnp.clip(posi, 0, P - 1)] * kvalid
+    meta = (gval.astype(jnp.int32)
+            | (kvalid.astype(jnp.int32) << 4)
+            | (kmiss.astype(jnp.int32) << 5)
+            | (refk << 8))
+    meta = _pad_to(meta, b_pad, 0)                     # [Bp, K]
+    meta = meta.reshape(b_pad // tb, 1, TBK)           # [Bt, 1, TBK]
+    pos_eff = _pad_to(pos_eff, b_pad, 0, value=p_pad)  # [Bp, K]
+    onehot = (pos_eff.reshape(-1)[None, :]
+              == jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+              ).astype(jnp.bfloat16)                   # [Pp, Bp*K]
+
+    nt, bt, pt = n_pad // TN, b_pad // tb, p_pad // TP
+    grid = (nt, bt, pt)
+    score_t, nc_t = pl.pallas_call(
+        functools.partial(_kernel, K=K),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, TBK), lambda i, j, k: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 2), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TP), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, TBK), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TN, tb), lambda i, j, k: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN, tb), lambda i, j, k: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt, n_pad, tb), jnp.int32),
+            jax.ShapeDtypeStruct((bt, n_pad, tb), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TN, TBK), jnp.float32)],
+        interpret=_interpret(),
+    )(meta, base2, packed, onehot)
+    score_t = score_t.transpose(1, 0, 2).reshape(n_pad, b_pad)
+    nc_t = nc_t.transpose(1, 0, 2).reshape(n_pad, b_pad)
+    return score_t[:N, :B], nc_t[:N, :B], node_num_mut
+
+
+def valid_mask_T(score_t, nc_t, node_num_mut, is_root_mask, is_leaf, active):
+    """Node-major validity (ops.placement.valid_mask transposed)."""
+    has_unique = nc_t < node_num_mut[:, None]
+    nc_pos = nc_t > 0
+    leaf = is_leaf[:, None]
+    valid = (is_root_mask[:, None]
+             | (leaf & nc_pos)
+             | (~leaf & has_unique & nc_pos)
+             | (~leaf & ~has_unique))
+    return valid & active[:, None], has_unique
+
+
+def reduce_best_T(score_t, valid_t, num_leaves, bfs_rank):
+    """Per-sample argmin over the node axis with the reference tie-break
+    (ops.placement.reduce_best on [N, B] inputs)."""
+    s = jnp.where(valid_t, score_t, BIG)
+    best_score = jnp.min(s, axis=0)
+    is_best = valid_t & (score_t == best_score[None, :])
+    num_best = is_best.sum(axis=0, dtype=jnp.int32)
+    neg = jnp.int32(-1)
+    leaves_masked = jnp.where(is_best, num_leaves[:, None], neg)
+    best_leaves = jnp.max(leaves_masked, axis=0)
+    is_best2 = is_best & (num_leaves[:, None] == best_leaves[None, :])
+    rank_masked = jnp.where(is_best2, bfs_rank[:, None], neg)
+    best_rank = jnp.max(rank_masked, axis=0)
+    best_slot = jnp.argmax(
+        (bfs_rank[:, None] == best_rank[None, :]) & is_best2, axis=0)
+    return best_score, best_slot.astype(jnp.int32), num_best
+
+
+@functools.partial(jax.jit, static_argnames=("k_slots",))
+def placement_step_sparse(st, parent, root_slot, ref, active, is_leaf,
+                          is_root_mask, num_leaves, bfs_rank,
+                          pos, gval, kmiss, k_slots: int):
+    """Fused sparse equivalent of ops.placement.placement_step: MXU-gathered
+    scoring + validity + tie-broken argmin.  Returns
+    (best_score [B], best_slot [B], num_best [B])."""
+    score_t, nc_t, nnm = score_sparse_T(st, parent, root_slot, ref,
+                                        pos, gval, kmiss, k_slots)
+    score_t = jnp.where(active[:, None], score_t, BIG)
+    valid_t, _ = valid_mask_T(score_t, nc_t, nnm, is_root_mask, is_leaf,
+                              active)
+    return reduce_best_T(score_t, valid_t, num_leaves, bfs_rank)
+
+
+def sparsify(samples_mutations, pos_index, P, k_slots=None):
+    """Host-side: mutation lists -> (pos [B,K] i32, gval [B,K] u8,
+    kmiss [B,K] bool) padded to a power-of-two K dividing TBK."""
+    from ..core.nuc import NUC_N
+    B = len(samples_mutations)
+    kmax = max((len(m) for m in samples_mutations), default=1)
+    K = k_slots or 8
+    while K < kmax:
+        K *= 2
+    if K > TBK:
+        raise ValueError(f"sample has {kmax} entries > TBK={TBK}")
+    pos = np.full((B, K), P, dtype=np.int32)
+    gval = np.zeros((B, K), dtype=np.uint8)
+    kmiss = np.zeros((B, K), dtype=bool)
+    for b, muts in enumerate(samples_mutations):
+        for k, m in enumerate(muts):
+            idx = pos_index.get(m.position)
+            if idx is None:
+                raise KeyError(f"sample position {m.position} not in MAT")
+            pos[b, k] = idx
+            if m.is_missing:
+                gval[b, k] = NUC_N
+                kmiss[b, k] = True
+            else:
+                gval[b, k] = m.mut_nuc
+    return pos, gval, kmiss
+
+
+def sparsify_dense(g, E, miss, k_slots=None):
+    """Host-side: dense (g, E, miss) sample encoding -> sparse slot arrays.
+    Requires g == ref at ~E positions (encode_samples guarantees this)."""
+    g = np.asarray(g)
+    E = np.asarray(E)
+    miss = np.asarray(miss)
+    B, P = g.shape
+    counts = E.sum(1)
+    kmax = int(counts.max()) if B else 1
+    K = k_slots or 8
+    while K < max(kmax, 1):
+        K *= 2
+    if K > TBK:
+        raise ValueError(f"sample has {kmax} entries > TBK={TBK}")
+    pos = np.full((B, K), P, dtype=np.int32)
+    gval = np.zeros((B, K), dtype=np.uint8)
+    kmiss = np.zeros((B, K), dtype=bool)
+    for b in range(B):
+        idx = np.nonzero(E[b])[0]
+        pos[b, :len(idx)] = idx
+        gval[b, :len(idx)] = g[b, idx]
+        kmiss[b, :len(idx)] = miss[b, idx]
+    return pos, gval, kmiss
