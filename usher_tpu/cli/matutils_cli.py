@@ -63,6 +63,13 @@ def cmd_extract(argv) -> int:
     p.add_argument("--title", "-B", default="mutation_annotated_tree")
     p.add_argument("--usher-single-subtree-size", "-X", type=int, default=0)
     p.add_argument("--usher-minimum-subtrees-size", "-x", type=int, default=0)
+    p.add_argument("--write-taxodium", "-l", default="")
+    p.add_argument("--input-gtf", "-g", default="")
+    p.add_argument("--input-fasta", "-f", default="")
+    p.add_argument("--description", "-D", default="")
+    p.add_argument("--extra-fields", "-F", default="")
+    p.add_argument("--x-scale", "-G", type=float, default=0.2)
+    p.add_argument("--include-nt", "-J", action="store_true")
     a = p.parse_args(argv)
     T = _load(a.input_mat)
     opts = ExtractOptions(
@@ -84,7 +91,11 @@ def cmd_extract(argv) -> int:
         retain_branch_length=a.retain_branch_length, reroot=a.reroot,
         metadata=a.metadata, title=a.title,
         usher_single_subtree_size=a.usher_single_subtree_size,
-        usher_minimum_subtrees_size=a.usher_minimum_subtrees_size)
+        usher_minimum_subtrees_size=a.usher_minimum_subtrees_size,
+        write_taxodium=a.write_taxodium, input_gtf=a.input_gtf,
+        input_fasta=a.input_fasta, description=a.description,
+        extra_fields=a.extra_fields, x_scale=a.x_scale,
+        include_nt=a.include_nt)
     return extract_main(T, opts)
 
 
@@ -100,6 +111,15 @@ def cmd_summary(argv) -> int:
     p.add_argument("--aberrant", "-A", default="")
     p.add_argument("--get-all", "-a", action="store_true")
     p.add_argument("--output-directory", "-d", default="./")
+    p.add_argument("--translate", "-t", default="",
+                   help="aa+nt mutations per node (needs -g and -f)")
+    p.add_argument("--input-gtf", "-g", default="")
+    p.add_argument("--input-fasta", "-f", default="")
+    p.add_argument("--node-stats", "-N", default="")
+    p.add_argument("--calculate-roho", "-R", default="")
+    p.add_argument("--expanded-roho", "-E", action="store_true")
+    p.add_argument("--metadata", "-M", default="",
+                   help="sample metadata TSV with date column (expanded RoHo)")
     a = p.parse_args(argv)
     T = _load(a.input_mat)
     T.uncondense_leaves()
@@ -131,6 +151,32 @@ def cmd_summary(argv) -> int:
         did = True
     if a.aberrant:
         summ.write_aberrant_table(T, out(a.aberrant))
+        did = True
+    if a.translate:
+        if not (a.input_gtf and a.input_fasta):
+            _err("ERROR: --translate requires --input-gtf and --input-fasta")
+            return 1
+        from ..matutils.translate import translate_main
+        translate_main(T, out(a.translate), a.input_gtf, a.input_fasta)
+        did = True
+    if a.node_stats:
+        summ.write_node_stats(T, out(a.node_stats))
+        did = True
+    if a.calculate_roho:
+        date_meta = {}
+        if a.expanded_roho and a.metadata:
+            from ..matutils.translate import read_metafiles_tax  # noqa: F401
+            import csv
+            with open(a.metadata) as mf:
+                delim = "," if a.metadata.endswith(".csv") else "\t"
+                rdr = csv.DictReader(mf, delimiter=delim)
+                for row in rdr:
+                    key = row.get("strain") or row.get("sample") or ""
+                    if key:
+                        date_meta[key] = row.get("date", "")
+        summ.write_roho_table(T, out(a.calculate_roho),
+                              get_dates=a.expanded_roho,
+                              date_metadata=date_meta)
         did = True
     if not did:
         summ.print_summary(T)

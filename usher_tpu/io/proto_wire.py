@@ -73,6 +73,20 @@ def write_packed_int32_field(field_number: int, values, out: bytearray) -> None:
     write_bytes_field(field_number, bytes(payload), out)
 
 
+def write_packed_float_field(field_number: int, values, out: bytearray) -> None:
+    """proto3 packed `repeated float` (4-byte LE IEEE754)."""
+    if not values:
+        return
+    import struct
+    write_bytes_field(field_number, struct.pack(f"<{len(values)}f", *values), out)
+
+
+def decode_packed_float(payload) -> list[float]:
+    import struct
+    n = len(payload) // 4
+    return list(struct.unpack(f"<{n}f", bytes(payload)))
+
+
 def iter_fields(buf, start: int = 0, end: int | None = None):
     """Yield (field_number, wire_type, value, new_pos).
 

@@ -63,6 +63,14 @@ class ExtractOptions:
     usher_single_subtree_size: int = 0
     usher_minimum_subtrees_size: int = 0
     seed: int = 0
+    # Taxodium export (reference extract.cpp --write-taxodium and friends)
+    write_taxodium: str = ""
+    input_gtf: str = ""
+    input_fasta: str = ""
+    description: str = ""
+    extra_fields: str = ""
+    x_scale: float = 0.2
+    include_nt: bool = False
 
 
 def select_samples(T: Tree, opts: ExtractOptions) -> list[str]:
@@ -212,6 +220,17 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
         if opts.usher_minimum_subtrees_size:
             write_sample_subtrees(subtree, final_samples, opts.outdir,
                                   opts.usher_minimum_subtrees_size)
+    if opts.write_taxodium:
+        from .translate import save_taxodium_tree
+        _err(f"Writing taxodium protobuf to {out(opts.write_taxodium)}")
+        save_taxodium_tree(
+            subtree, out(opts.write_taxodium),
+            [m for m in opts.metadata.split(",") if m],
+            opts.input_gtf, opts.input_fasta, title=opts.title,
+            description=opts.description,
+            additional_meta_fields=[f for f in opts.extra_fields.split(",")
+                                    if f],
+            x_scale=opts.x_scale, include_nt=opts.include_nt)
     if opts.write_mat:
         _err(f"Saving output MAT file to {out(opts.write_mat)}")
         subtree.condense_leaves()

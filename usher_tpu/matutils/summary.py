@@ -141,8 +141,205 @@ def write_sample_clades_table(T: Tree, filename: str) -> None:
                 node = node.parent
             f.write(s.identifier)
             for i in range(num_annotations):
-                f.write("\t" + (found[i] or "UNDEFINED"))
+                f.write("\t" + (found[i] or "None"))
             f.write("\n")
+
+
+def _sorted_muts(muts):
+    return sorted(muts, key=lambda m: m.position)
+
+
+def _combine_muts(parent_muts, node_muts):
+    """Merge two sorted mutation lists, collapsing same-position entries and
+    cancelling reversions (summary.cpp add_mutations:353-...)."""
+    if not parent_muts:
+        return list(node_muts)
+    if not node_muts:
+        return list(parent_muts)
+    out = []
+    px = 0
+    for n in node_muts:
+        while px < len(parent_muts) and parent_muts[px].position < n.position:
+            out.append(parent_muts[px])
+            px += 1
+        if px < len(parent_muts) and parent_muts[px].position == n.position:
+            p = parent_muts[px]
+            if n.mut_nuc != p.par_nuc:  # else they cancel: add neither
+                m = n.copy()
+                m.par_nuc = p.par_nuc
+                out.append(m)
+            px += 1
+        else:
+            out.append(n)
+    out.extend(parent_muts[px:])
+    return out
+
+
+def _count_reversions(clade_muts, node_muts) -> int:
+    """#reversions to reference of clade_muts in node_muts (summary.cpp:566-585)."""
+    rev = 0
+    cx = 0
+    if clade_muts and node_muts:
+        for n in node_muts:
+            while cx < len(clade_muts) and clade_muts[cx].position < n.position:
+                cx += 1
+            if (cx < len(clade_muts)
+                    and clade_muts[cx].position == n.position
+                    and n.mut_nuc == clade_muts[cx].par_nuc):
+                rev += 1
+    return rev
+
+
+def write_node_stats(T: Tree, filename: str) -> None:
+    """node\\tleaf_count\\tmut_count\\tmut_density\\trev_from_lineage
+    (summary.cpp print_node_stats:587-633): per-node subtree leaf and
+    mutation totals plus reversion count since the last annotated clade.
+
+    The reference recurses and prints children before parents (post-order);
+    we do the same with an explicit stack."""
+    with open(filename, "w") as f:
+        f.write("node\tleaf_count\tmut_count\tmut_density\trev_from_lineage\n")
+        # state per visit: (node, clade_muts, my_muts, rev_count)
+        leaf_counts: dict[str, int] = {}
+        mut_counts: dict[str, int] = {}
+        stack = [(T.root, [], [], 0, False)]
+        while stack:
+            node, clade_muts, parent_muts, parent_rev, exiting = stack.pop()
+            if exiting:
+                lc = sum(leaf_counts[c.identifier] for c in node.children)
+                mc = (len(node.mutations)
+                      + sum(mut_counts[c.identifier] for c in node.children))
+                leaf_counts[node.identifier] = lc
+                mut_counts[node.identifier] = mc
+                f.write(f"{node.identifier}\t{lc}\t{mc}\t"
+                        f"{_fmt_density(mc / lc if lc else 0.0)}\t{parent_rev}\n")
+                continue
+            muts = _sorted_muts(node.mutations)
+            my_muts = _combine_muts(parent_muts, muts)
+            is_clade_root = any(a != "" for a in node.clade_annotations)
+            rev = 0 if is_clade_root else (parent_rev
+                                           + _count_reversions(clade_muts, muts))
+            if node.children:
+                cmuts = my_muts if is_clade_root else clade_muts
+                stack.append((node, clade_muts, parent_muts, rev, True))
+                for child in reversed(node.children):
+                    stack.append((child, cmuts, my_muts, rev, False))
+            else:
+                leaf_counts[node.identifier] = 1
+                mut_counts[node.identifier] = len(node.mutations)
+                f.write(f"{node.identifier}\t1\t{len(node.mutations)}\t"
+                        f"{len(node.mutations)}\t{rev}\n")
+
+
+def _fmt_density(v: float) -> str:
+    # match C++ ostream default double formatting (6 significant digits)
+    s = f"{v:.6g}"
+    return s
+
+
+def write_roho_table(T: Tree, filename: str, get_dates: bool = False,
+                     date_metadata: dict[str, str] | None = None) -> None:
+    """RoHo (ratio of homoplasic offspring, van Dorp et al. 2021) per
+    mutation occurrence (summary.cpp write_roho_table:343-506).
+
+    For each internal node: candidate mutations are those on its non-leaf
+    children that never recur anywhere below; for each candidate, offspring
+    with the mutation vs the median of sibling subtrees without it
+    (subtrees of <=5 leaves excluded), single_roho = log10(with/median_without).
+    `get_dates` adds sibling counts and earliest/latest collection dates from
+    `date_metadata` (sample -> ISO date), the expanded-roho mode."""
+    import math
+    date_metadata = date_metadata or {}
+
+    def daterange(samples):
+        ds = sorted(d for d in (date_metadata.get(s, "") for s in samples) if d)
+        return (ds[0], ds[-1]) if ds else ("None", "None")
+
+    with open(filename, "w") as f:
+        f.write("mutation\tparent_node\tchild_count\toccurrence_node\t"
+                "offspring_with\tmedian_offspring_without\tsingle_roho")
+        if get_dates:
+            f.write("\tsister_clade_offspring_counts\t"
+                    "identical_sample_sibling_count\tearliest_date\t"
+                    "latest_date\tearliest_identical_sibling\t"
+                    "latest_identical_sibling\tearliest_clade_sibling_dates\t"
+                    "latest_clade_sibling_dates\n")
+        else:
+            f.write("\n")
+        for n in T.depth_first_expansion():
+            candidate: dict[str, str] = {}
+            parent_identical: list[str] = []
+            ccheck = []
+            for c in n.children:
+                if not c.is_leaf():
+                    ccheck.append(c.identifier)
+                    for m in c.mutations:
+                        candidate[m.get_string()] = c.identifier
+                elif not c.mutations:
+                    parent_identical.append(c.identifier)
+            if not candidate:
+                continue
+            child_increment: dict[str, int] = {}
+            child_samples: dict[str, list[str]] = {}
+            for c in n.children:
+                if c.is_leaf():
+                    continue
+                samples = []
+                ccount = 0
+                for dn in T.depth_first_expansion(c):
+                    if dn.identifier == c.identifier:
+                        continue
+                    if dn.is_leaf():
+                        ccount += 1
+                        if get_dates:
+                            samples.append(dn.identifier)
+                    for m in dn.mutations:
+                        candidate.pop(m.get_string(), None)
+                if ccount > 1:
+                    child_increment[c.identifier] = ccount
+                    if get_dates:
+                        child_samples[c.identifier] = samples
+            if not candidate or len(child_increment) <= 1:
+                continue
+            datemap = {}
+            if get_dates:
+                for cid, samples in child_samples.items():
+                    datemap[cid] = daterange(samples)
+                parent_identical_dates = daterange(parent_identical)
+            for mstr, occ_node in sorted(candidate.items()):
+                all_non = sorted(v for k, v in child_increment.items()
+                                 if k != occ_node and v > 5)
+                sum_wit = sum(v for k, v in child_increment.items()
+                              if k == occ_node and v > 5)
+                if not all_non or not sum_wit:
+                    continue
+                h = len(all_non) // 2
+                if len(all_non) % 2 == 0:
+                    # reference does integer division before assigning to float
+                    med_non = float((all_non[h - 1] + all_non[h]) // 2)
+                else:
+                    med_non = float(all_non[h])
+                roho = math.log10(sum_wit / med_non)
+                f.write(f"{mstr}\t{n.identifier}\t{len(ccheck)}\t{occ_node}\t"
+                        f"{sum_wit}\t{_fmt_density(med_non)}\t"
+                        f"{_fmt_density(roho)}")
+                if get_dates:
+                    others = [k for k in child_increment if k != occ_node]
+                    nonstrs = ",".join(str(len(child_samples[k]))
+                                       for k in others)
+                    ned = ",".join(datemap[k][0] for k in others)
+                    nld = ",".join(datemap[k][1] for k in others)
+                    dd = datemap.get(occ_node, ("None", "None"))
+                    f.write(f"\t{nonstrs}\t{len(parent_identical)}\t"
+                            f"{dd[0]}\t{dd[1]}\t")
+                    if parent_identical:
+                        f.write(f"{parent_identical_dates[0]}\t"
+                                f"{parent_identical_dates[1]}\t")
+                    else:
+                        f.write("None\tNone\t")
+                    f.write(f"{ned}\t{nld}\n")
+                else:
+                    f.write("\n")
 
 
 def print_summary(T: Tree, out=sys.stdout) -> None:
