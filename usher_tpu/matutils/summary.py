@@ -70,8 +70,9 @@ def write_mutation_table(T: Tree, filename: str) -> None:
             f.write(f"{name}\t{counts[name]}\n")
 
 
-def print_mutation_type_counts(T: Tree, out=sys.stdout) -> None:
+def print_mutation_type_counts(T: Tree, out=None) -> None:
     """4x4 from->to counts printed as 'X->Y\\tcount' (summary.cpp:224-243)."""
+    out = out if out is not None else sys.stdout
     freq = [[0] * 4 for _ in range(4)]
     for s in T.depth_first_expansion():
         for m in s.mutations:
@@ -342,8 +343,9 @@ def write_roho_table(T: Tree, filename: str, get_dates: bool = False,
                     f.write("\n")
 
 
-def print_summary(T: Tree, out=sys.stdout) -> None:
+def print_summary(T: Tree, out=None) -> None:
     """Default console summary: counts + parsimony (summary.cpp main)."""
+    out = out if out is not None else sys.stdout
     leaves = T.get_leaves()
     total_nodes = T.num_nodes()
     score = T.get_parsimony_score()
