@@ -3,8 +3,11 @@
 Workload: BASELINE.json config #3 scale -- a synthetic 100k-node MAT over
 512 segregating sites, a batch of 1024 samples, every sample scored against
 EVERY tree node (the reference's hot loop #1, usher_mapper.cpp:167-504) plus
-the validity + argmin/tie-break reduction, all as ONE fused device step
-(usher_tpu.ops.placement.placement_step).
+the validity + argmin/tie-break reduction, all as ONE fused device step.
+Both production kernels are measured and cross-checked for equality: the
+dense XLA path (ops/placement.placement_step) and the sparse Pallas MXU
+kernel (ops/placement_pallas.placement_step_sparse); the headline number is
+the faster (sparse) path, which is what PlacementEngine uses on TPU.
 
 Metric: samples placed/sec (scoring + best-placement reduction; host tree
 surgery is amortized bookkeeping in both systems).
@@ -118,15 +121,41 @@ def main():
     # NOTE: force a host transfer to fence each step -- on the axon platform
     # block_until_ready returns before execution completes.
     best = [np.asarray(x) for x in dev.placement_step(*args)]
-    _progress("placement_step compiled")
+    _progress("placement_step (dense) compiled")
 
     iters = 5
     t0 = time.time()
     for _ in range(iters):
         best = [np.asarray(x) for x in dev.placement_step(*args)]
     dt = (time.time() - t0) / iters
-    device_rate = BATCH / dt
-    _progress(f"device: {dt*1e3:.1f} ms/batch -> {device_rate:.0f} samples/s")
+    dense_rate = BATCH / dt
+    _progress(f"dense: {dt*1e3:.1f} ms/batch -> {dense_rate:.0f} samples/s")
+
+    # sparse Pallas path (the production kernel: MXU one-hot gather over the
+    # samples' entry positions; ops/placement_pallas.py)
+    from usher_tpu.ops import placement_pallas as pp
+    pos, gval, kmiss = pp.sparsify_dense(g, E, miss)
+    sargs = (jnp.asarray(st), jnp.asarray(parent), jnp.int32(0),
+             jnp.asarray(ref), jnp.asarray(active), jnp.asarray(is_leaf),
+             jnp.asarray(is_root), jnp.asarray(num_leaves),
+             jnp.asarray(bfs_rank), jnp.asarray(pos), jnp.asarray(gval),
+             jnp.asarray(kmiss))
+    sbest = [np.asarray(x)
+             for x in pp.placement_step_sparse(*sargs, pos.shape[1])]
+    _progress("placement_step_sparse compiled")
+    for a, b in zip(best, sbest):
+        np.testing.assert_array_equal(a, b)
+    _progress("sparse == dense on the bench workload")
+
+    t0 = time.time()
+    for _ in range(iters):
+        sbest = [np.asarray(x)
+                 for x in pp.placement_step_sparse(*sargs, pos.shape[1])]
+    sdt = (time.time() - t0) / iters
+    sparse_rate = BATCH / sdt
+    _progress(f"sparse: {sdt*1e3:.1f} ms/batch -> {sparse_rate:.0f} samples/s "
+              f"({dt/sdt:.2f}x over dense)")
+    device_rate = max(dense_rate, sparse_rate)
 
     # baseline: single-core numpy on a subsample, extrapolated to 64 threads
     Bs = 4

@@ -151,3 +151,53 @@ def test_placement_parsimony_scores_mode(built, tmp_path):
     for name, rows in per_sample.items():
         best = min(r[0] for r in rows)
         assert all((r[1] == "y") == (r[0] == best) for r in rows)
+
+
+def test_placement_subtree_outputs(built, tmp_path):
+    """-k/-K subtree writers produce well-formed newick + mutation lists
+    (reference get_random_single_subtree / get_random_sample_subtrees,
+    mutation_annotated_tree.cpp:1693-1990)."""
+    outdir, pb = built
+    outdir2 = str(tmp_path / "subtrees")
+    rc = usher_main(["-i", pb, "-v", NEW_VCF, "-d", outdir2,
+                     "-k", "20", "-K", "50"])
+    assert rc == 0
+
+    single = os.path.join(outdir2, "single-subtree.nh")
+    assert os.path.exists(single)
+    sT = parse_newick_string(open(single).read())
+    leaves = set(sT.get_leaves_ids())
+    for name in ["Sample1", "Sample2", "Sample3", "Sample4", "Sample5"]:
+        assert name in leaves
+    assert len(leaves) >= 50
+    assert os.path.exists(os.path.join(outdir2, "single-subtree-mutations.txt"))
+
+    # -k: at least one numbered subtree containing Sample1
+    sub1 = os.path.join(outdir2, "subtree-1.nh")
+    assert os.path.exists(sub1)
+    t1 = parse_newick_string(open(sub1).read())
+    sub_leaves = set(t1.get_leaves_ids())
+    assert any(f"Sample{i}" in sub_leaves for i in range(1, 6))
+    assert len(sub_leaves) <= 21
+    muts1 = open(os.path.join(outdir2, "subtree-1-mutations.txt")).read()
+    assert ": " in muts1
+
+
+def test_batched_placement_equals_sequential(built, tmp_path):
+    """Batched scoring with the staleness discipline must reproduce the
+    sequential reference semantics byte-for-byte (placement_stats.tsv and
+    final-tree.nh identical at batch_size 1 vs 64)."""
+    outdir, pb = built
+    out_seq = str(tmp_path / "seq")
+    out_bat = str(tmp_path / "bat")
+    rc = usher_main(["-i", pb, "-v", NEW_VCF, "-d", out_seq,
+                     "--batch-size", "1"])
+    assert rc == 0
+    rc = usher_main(["-i", pb, "-v", NEW_VCF, "-d", out_bat,
+                     "--batch-size", "64"])
+    assert rc == 0
+    for fname in ["placement_stats.tsv", "final-tree.nh",
+                  "mutation-paths.txt"]:
+        a = open(os.path.join(out_seq, fname), "rb").read()
+        b = open(os.path.join(out_bat, fname), "rb").read()
+        assert a == b, f"{fname} differs between batch sizes"

@@ -40,7 +40,7 @@ def test_summary_console_and_tables(mat_pb, tmp_path, capsys):
 
     rc = matutils_main(["summary", "-i", mat_pb, "-d", str(tmp_path),
                         "-s", "samples.tsv", "-m", "mutations.tsv",
-                        "-H", "haplotypes.tsv", "-A", "aberrant.tsv"])
+                        "-H", "haplotypes.tsv", "-a", "aberrant.tsv"])
     assert rc == 0
     samples = open(tmp_path / "samples.tsv").read().splitlines()
     assert samples[0] == "sample\tparsimony\tparent_id"

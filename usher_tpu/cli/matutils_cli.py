@@ -106,10 +106,14 @@ def cmd_summary(argv) -> int:
     p.add_argument("--samples", "-s", default="")
     p.add_argument("--clades", "-c", default="")
     p.add_argument("--mutations", "-m", default="")
-    p.add_argument("--haplotypes", "-H", default="")
+    p.add_argument("--haplotype", "--haplotypes", "-H", dest="haplotypes",
+                   default="")
     p.add_argument("--sample-clades", "-C", default="")
-    p.add_argument("--aberrant", "-A", default="")
-    p.add_argument("--get-all", "-a", action="store_true")
+    p.add_argument("--aberrant", "-a", default="")
+    p.add_argument("--get-all-basic", "--get-all", "-A", dest="get_all",
+                   action="store_true")
+    p.add_argument("--mutation-stats", "-M", action="store_true",
+                   help="print counts of different kinds of mutations")
     p.add_argument("--output-directory", "-d", default="./")
     p.add_argument("--translate", "-t", default="",
                    help="aa+nt mutations per node (needs -g and -f)")
@@ -118,7 +122,7 @@ def cmd_summary(argv) -> int:
     p.add_argument("--node-stats", "-N", default="")
     p.add_argument("--calculate-roho", "-R", default="")
     p.add_argument("--expanded-roho", "-E", action="store_true")
-    p.add_argument("--metadata", "-M", default="",
+    p.add_argument("--metadata", default="",
                    help="sample metadata TSV with date column (expanded RoHo)")
     a = p.parse_args(argv)
     T = _load(a.input_mat)
@@ -162,10 +166,12 @@ def cmd_summary(argv) -> int:
     if a.node_stats:
         summ.write_node_stats(T, out(a.node_stats))
         did = True
+    if a.mutation_stats:
+        summ.print_mutation_type_counts(T)
+        did = True
     if a.calculate_roho:
         date_meta = {}
         if a.expanded_roho and a.metadata:
-            from ..matutils.translate import read_metafiles_tax  # noqa: F401
             import csv
             with open(a.metadata) as mf:
                 delim = "," if a.metadata.endswith(".csv") else "\t"

@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threads", "-T", type=int, default=0,
                    help="Accepted for CLI parity; device parallelism is "
                         "managed by XLA")
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="Samples scored per device call; results are exactly "
+                        "the sequential reference semantics at any value")
+    p.add_argument("--mesh-devices", type=int, default=-1,
+                   help="Shard scoring over N devices (-1 auto, 0 off)")
     p.add_argument("--version", action="version",
                    version="usher-tpu (v0.1.0)")
     return p
@@ -87,6 +92,8 @@ def main(argv=None) -> int:
     opts = UsherOptions(
         dout_filename=args.dout,
         outdir=args.outdir,
+        batch_size=args.batch_size,
+        mesh_devices=args.mesh_devices,
         max_trees=args.multiple_placements,
         max_uncertainty=args.max_uncertainty_per_sample,
         max_parsimony=args.max_parsimony_per_sample,

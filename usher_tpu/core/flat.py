@@ -22,6 +22,7 @@ mutation_annotated_tree.hpp:242-388) but as dense vector lanes.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .nuc import N as NUC_N
@@ -56,9 +57,16 @@ def collect_positions(T: Tree, vcf=None):
 
 
 class FlatMAT:
+    """mesh: optional jax.sharding.Mesh with ("data", "model") axes.  When
+    set, the [cap, P] state arrays live sharded over "model" (the node axis)
+    and the parent path-state matrix stp is maintained explicitly alongside
+    st, so scoring needs no cross-shard parent gather (each node shard is
+    self-contained; see parallel/mesh.py)."""
+
     def __init__(self, T: Tree, positions: np.ndarray, ref: np.ndarray,
-                 chrom: str = ""):
+                 chrom: str = "", mesh=None):
         self.tree = T
+        self.mesh = mesh
         self.positions = positions
         self.pos_index = {int(p): i for i, p in enumerate(positions)}
         self.chrom = chrom
@@ -91,11 +99,28 @@ class FlatMAT:
             self.st_host[slot] = row
 
         self.root_slot = T.root.slot
-        self._st_dev = jnp.asarray(self.st_host)
-        self._parent_dev = jnp.asarray(self.parent_slot)
+        if mesh is not None:
+            self.stp_host = self.st_host[self.parent_slot].copy()
+            self.stp_host[self.root_slot] = self.st_host[self.root_slot]
+        else:
+            self.stp_host = None
+        self._put_device()
         self._dirty: list[int] = []
 
     # --- incremental maintenance -------------------------------------------
+
+    def _put_device(self) -> None:
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            node_sh = NamedSharding(self.mesh, P("model", None))
+            self._st_dev = jax.device_put(self.st_host, node_sh)
+            self._stp_dev = jax.device_put(self.stp_host, node_sh)
+            self._parent_dev = jax.device_put(
+                self.parent_slot, NamedSharding(self.mesh, P("model")))
+        else:
+            self._st_dev = jnp.asarray(self.st_host)
+            self._stp_dev = None
+            self._parent_dev = jnp.asarray(self.parent_slot)
 
     def _grow(self, min_cap: int) -> None:
         new_cap = self.cap
@@ -107,10 +132,13 @@ class FlatMAT:
         par = np.zeros(new_cap, dtype=np.int32)
         par[: self.cap] = self.parent_slot
         self.parent_slot = par
+        if self.stp_host is not None:
+            stp = np.zeros((new_cap, self.P_pad), dtype=np.uint8)
+            stp[: self.cap] = self.stp_host
+            self.stp_host = stp
         self._slot_node.extend([None] * (new_cap - self.cap))
         self.cap = new_cap
-        self._st_dev = jnp.asarray(self.st_host)
-        self._parent_dev = jnp.asarray(self.parent_slot)
+        self._put_device()
         self._dirty = []
 
     def add_node(self, node: Node) -> int:
@@ -124,21 +152,29 @@ class FlatMAT:
         self._slot_node[slot] = node
         parent = node.parent
         self.parent_slot[slot] = parent.slot if parent is not None else slot
-        row = (self.st_host[parent.slot].copy() if parent is not None
-               else self.ref.copy())
+        parent_row = (self.st_host[parent.slot] if parent is not None
+                      else self.ref)
+        row = parent_row.copy()
         for m in node.mutations:
             if m.position >= 0:
                 row[self.pos_index[m.position]] = m.mut_nuc
         self.st_host[slot] = row
+        if self.stp_host is not None:
+            self.stp_host[slot] = parent_row
         self._dirty.append(slot)
         return slot
 
     def reparent(self, node: Node) -> None:
         """Record a parent change (e.g. sibling split re-grafts the best node
         under a new internal node). Path states are unchanged by placement
-        surgery, only the parent pointer moves."""
+        surgery, only the parent pointer (and hence the node's stp row)
+        moves."""
         self.parent_slot[node.slot] = node.parent.slot
-        self._dirty.append(-1)  # parent array refresh marker
+        if self.stp_host is not None:
+            self.stp_host[node.slot] = self.st_host[node.parent.slot]
+            self._dirty.append(node.slot)
+        else:
+            self._dirty.append(-1)  # parent array refresh marker
 
     def sync(self):
         """Flush pending host-side edits to the device arrays."""
@@ -148,9 +184,24 @@ class FlatMAT:
                 idx = jnp.asarray(np.array(slots, dtype=np.int32))
                 rows = jnp.asarray(self.st_host[slots])
                 self._st_dev = self._st_dev.at[idx].set(rows)
-            self._parent_dev = jnp.asarray(self.parent_slot)
+                if self._stp_dev is not None:
+                    srows = jnp.asarray(self.stp_host[slots])
+                    self._stp_dev = self._stp_dev.at[idx].set(srows)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self._parent_dev = jax.device_put(
+                    self.parent_slot, NamedSharding(self.mesh, P("model")))
+            else:
+                self._parent_dev = jnp.asarray(self.parent_slot)
             self._dirty = []
         return self._st_dev, self._parent_dev
+
+    def sync_mesh(self):
+        """Mesh-mode flush: returns (st_dev, stp_dev), both sharded over the
+        "model" axis."""
+        assert self.mesh is not None
+        self.sync()
+        return self._st_dev, self._stp_dev
 
     # --- per-call metadata --------------------------------------------------
 

@@ -250,10 +250,35 @@ def write_roho_table(T: Tree, filename: str, get_dates: bool = False,
     `get_dates` adds sibling counts and earliest/latest collection dates from
     `date_metadata` (sample -> ISO date), the expanded-roho mode."""
     import math
+    from datetime import date as _date
     date_metadata = date_metadata or {}
 
+    def _parse_date(d):
+        try:
+            return _date.fromisoformat(d) and d
+        except ValueError:
+            return None
+
     def daterange(samples):
-        ds = sorted(d for d in (date_metadata.get(s, "") for s in samples) if d)
+        # dates come from the metadata file when present, else from the
+        # sample identifier suffix (name|accession|YYYY-MM-DD), matching the
+        # reference daterange_from_list (introduce.cpp:395-436) which is
+        # called with empty datemeta when no date file is given
+        ds = []
+        for s in samples:
+            d = date_metadata.get(s, "")
+            if not d:
+                datend = s.rsplit("|", 1)[-1]
+                if len(datend) == 8:
+                    d = "20" + datend
+                elif len(datend) == 10:
+                    d = datend
+                else:
+                    continue
+            d = _parse_date(d)
+            if d:
+                ds.append(d)
+        ds.sort()
         return (ds[0], ds[-1]) if ds else ("None", "None")
 
     with open(filename, "w") as f:
@@ -321,9 +346,11 @@ def write_roho_table(T: Tree, filename: str, get_dates: bool = False,
                 else:
                     med_non = float(all_non[h])
                 roho = math.log10(sum_wit / med_non)
+                # the reference writes a trailing tab after single_roho in
+                # both modes (summary.cpp:483)
                 f.write(f"{mstr}\t{n.identifier}\t{len(ccheck)}\t{occ_node}\t"
                         f"{sum_wit}\t{_fmt_density(med_non)}\t"
-                        f"{_fmt_density(roho)}")
+                        f"{_fmt_density(roho)}\t")
                 if get_dates:
                     others = [k for k in child_increment if k != occ_node]
                     nonstrs = ",".join(str(len(child_samples[k]))
@@ -331,7 +358,7 @@ def write_roho_table(T: Tree, filename: str, get_dates: bool = False,
                     ned = ",".join(datemap[k][0] for k in others)
                     nld = ",".join(datemap[k][1] for k in others)
                     dd = datemap.get(occ_node, ("None", "None"))
-                    f.write(f"\t{nonstrs}\t{len(parent_identical)}\t"
+                    f.write(f"{nonstrs}\t{len(parent_identical)}\t"
                             f"{dd[0]}\t{dd[1]}\t")
                     if parent_identical:
                         f.write(f"{parent_identical_dates[0]}\t"

@@ -310,10 +310,12 @@ def read_metafiles_tax(filenames: list[str],
         delim = "," if fname.endswith(".csv") else "\t"
         with open(fname) as f:
             header = f.readline().rstrip("\n").split(delim)
+            file_strain_col = -1
             for i, name in enumerate(header):
                 low = name.strip().lower()
                 columns.append(name.strip())
                 if low == "strain":
+                    file_strain_col = i
                     strain_col = col_base + i
                 elif low == "date":
                     date_col = col_base + i
@@ -322,14 +324,25 @@ def read_metafiles_tax(filenames: list[str],
                 elif low in ("country", "pango_lineage_usher", "lineage",
                              "pangolin_lineage") or name.strip() in additional:
                     generic_cols.append((name.strip(), col_base + i))
+            # the reference requires a strain column per file
+            # (translate.cpp:700-710)
+            if file_strain_col < 0:
+                raise ValueError(
+                    'The column "strain" (sample ID) is missing from at '
+                    f"least one metadata file: {fname}")
             ncol = len(header)
+            seen_in_this_file: set[str] = set()
             for line in f:
                 fields = line.rstrip("\n").split(delim)
                 fields += [""] * (ncol - len(fields))
-                key = fields[strain_col - col_base] if strain_col >= col_base \
-                    else fields[0]
-                metadata.setdefault(key, [""] * col_base)
-                metadata[key].extend(fields)
+                key = fields[file_strain_col]
+                # ignore duplicate rows within a file (translate.cpp:713-716)
+                if key in seen_in_this_file:
+                    continue
+                seen_in_this_file.add(key)
+                row = metadata.setdefault(key, [])
+                row.extend([""] * (col_base - len(row)))
+                row.extend(fields)
             col_base += ncol
     for v in metadata.values():
         v.extend([""] * (col_base - len(v)))
@@ -488,10 +501,11 @@ def save_taxodium_tree(T: Tree, out_filename: str,
         for s in genbanks:
             pw.write_string_field(9, s, node_data)
     pw.write_packed_int32_field(11, num_tips, node_data)
+    # epi_isl_numbers: the reference writes a 0 per node (translate.cpp:409)
+    pw.write_packed_int32_field(10, [0] * len(names), node_data)
     for g in generic_data:
         sub = bytearray()
         pw.write_string_field(1, _taxodium_meta_name(g["name"]), sub)
-        pw.write_string_field(2, g["name"], sub)
         for s in g["mapping"]:
             pw.write_string_field(3, s, sub)
         pw.write_packed_int32_field(4, g["values"], sub)
@@ -515,12 +529,15 @@ def save_taxodium_tree(T: Tree, out_filename: str,
 
 
 def _taxodium_meta_name(col: str) -> str:
+    """Taxodium expects the standard column names renamed to plain
+    "Lineage"/"Country"; anything else keeps its raw column name
+    (reference translate.cpp:784-792)."""
     low = col.lower()
     if low == "country":
-        return "meta_Country"
+        return "Country"
     if low in ("pango_lineage_usher", "lineage", "pangolin_lineage"):
-        return "meta_Lineage"
-    return "meta_" + col
+        return "Lineage"
+    return col
 
 
 def _leaves_per_node(T: Tree, dfs) -> dict[str, int]:

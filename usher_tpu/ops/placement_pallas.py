@@ -95,13 +95,14 @@ def _kernel(meta_ref, base_ref, packed_ref, o_ref, score_ref, nc_ref,
 
         bm = st_k != stp_k
         matched = (gv & st_k) != 0
+        matched_r = (rk & st_k) != 0
         a = jnp.where(bm & ~matched, stp_k, st_k)
         term1 = jnp.where((kmiss == 0) & ((gv & a) == 0), 1, 0)
         # what this position contributed to base[n] (the g == ref no-entry
         # value), to be replaced by term1
-        sub = jnp.where((rk & st_k) != 0,
-                        jnp.where(st_k != rk, 1, 0),
-                        jnp.where(bm, jnp.where(stp_k != rk, 1, 0), 1))
+        sub = jnp.where(bm & ~matched_r,
+                        jnp.where(stp_k != rk, 1, 0),
+                        jnp.where(st_k != rk, 1, 0))
         corr = kvalid * (term1 - sub)                # [TN, TBK]
 
         nca = jnp.where(bm & matched, 1, 0)
@@ -159,9 +160,11 @@ def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
     refi = ref.astype(jnp.int32)[None, :]
     matched0 = (refi & sti) != 0
     bm0 = sti != stpi
-    base = jnp.where(matched0, sti != refi,
-                     jnp.where(bm0, stpi != refi, True)
-                     ).sum(1, dtype=jnp.int32)
+    # no-entry term with g == ref: A = (bm & ~matched) ? stp : st, term = A != ref.
+    # (At lane-padding positions ref == st == 0 this is exactly 0, unlike the
+    # shortcut "(ref & st) == 0 implies st != ref" which assumes ref != 0.)
+    base = jnp.where(bm0 & ~matched0, stpi != refi,
+                     sti != refi).sum(1, dtype=jnp.int32)
     nc_base = ((sti != stpi) & ((refi & sti) != 0)).sum(1, dtype=jnp.int32)
     node_num_mut = (sti != stpi).sum(1, dtype=jnp.int32)
 
@@ -270,7 +273,7 @@ def placement_step_sparse(st, parent, root_slot, ref, active, is_leaf,
 def sparsify(samples_mutations, pos_index, P, k_slots=None):
     """Host-side: mutation lists -> (pos [B,K] i32, gval [B,K] u8,
     kmiss [B,K] bool) padded to a power-of-two K dividing TBK."""
-    from ..core.nuc import NUC_N
+    from ..core.nuc import N as NUC_N
     B = len(samples_mutations)
     kmax = max((len(m) for m in samples_mutations), default=1)
     K = k_slots or 8

@@ -96,3 +96,14 @@ def sharded_placement_step(mesh: Mesh):
     out_sh = NamedSharding(mesh, P("data"))
     return jax.jit(_placement_step,
                    out_shardings=(out_sh, out_sh, out_sh))
+
+
+def sharded_score_fn(mesh: Mesh):
+    """jit the raw scorer with sharded outputs: score/num_common stay sharded
+    (data, model) until the host pulls them; node_num_mut stays on "model".
+    Used by PlacementEngine's mesh path (the follower-replica scoring of
+    reference place_sample_follower.cpp:95-249, without the replicas)."""
+    out = (NamedSharding(mesh, P("data", "model")),
+           NamedSharding(mesh, P("data", "model")),
+           NamedSharding(mesh, P("model")))
+    return jax.jit(score_with_stp, out_shardings=out)

@@ -37,6 +37,10 @@ def _err(*a):
 class UsherOptions:
     dout_filename: str = ""
     outdir: str = "."
+    batch_size: int = 64
+    # -1 = auto (shard over all devices when >1 TPU chip is attached),
+    # 0 = single-device, N>1 = shard over the first N devices
+    mesh_devices: int = -1
     max_trees: int = 1
     max_uncertainty: int = 1_000_000
     max_parsimony: int = 1_000_000
@@ -69,12 +73,29 @@ class SampleResult:
 
 
 class PlacementEngine:
-    """Holds the device-resident flat MAT and runs batched scoring."""
+    """Holds the device-resident flat MAT and runs batched scoring.
 
-    def __init__(self, T: Tree, vcf=None, extra_mutations=None):
+    backend selects the scoring kernel: "dense" = ops.placement.score_batch
+    (O(B*N*P) VPU work), "sparse" = the Pallas MXU-gather kernel
+    (ops.placement_pallas, O(N*P) + O(B*N*K)), "auto" = sparse on TPU when
+    every sample fits the kernel's entry-slot budget, dense otherwise.  The
+    two are bit-identical (see tests/test_placement_pallas.py); the host
+    oracle cross-check in run_usher guards every applied placement either way.
+    """
+
+    def __init__(self, T: Tree, vcf=None, extra_mutations=None,
+                 backend: str = "auto", mesh=None):
         """extra_mutations: iterable of Mutation whose positions must join
         the segregating-position set (diff-ingested samples can mutate
-        positions the tree does not)."""
+        positions the tree does not).
+
+        mesh: optional jax Mesh with ("data", "model") axes — node axis
+        sharded over "model", sample batches over "data" (the TPU-native
+        replacement for the reference's MPI follower protocol,
+        place_sample.cpp:591-662)."""
+        self.backend = backend
+        self.mesh = mesh
+        self._mesh_score = None
         positions, ref, chrom = collect_positions(T, vcf)
         if extra_mutations:
             pos_ref = {int(p): int(r) for p, r in zip(positions, ref)}
@@ -86,7 +107,7 @@ class PlacementEngine:
             positions = _np.array(sorted(pos_ref), dtype=_np.int64)
             ref = _np.array([pos_ref[p] for p in positions.tolist()],
                             dtype=_np.uint8)
-        self.flat = FlatMAT(T, positions, ref, chrom)
+        self.flat = FlatMAT(T, positions, ref, chrom, mesh=mesh)
 
     def score_samples(self, samples_mutations, want_matrix=False,
                       exclude_slots=None):
@@ -99,11 +120,8 @@ class PlacementEngine:
         flat = self.flat
         st_dev, parent_dev = flat.sync()
         meta = flat.order_arrays()
-        g, E, miss = flat.encode_samples(samples_mutations)
-        score, num_common, node_num_mut = (
-            np.asarray(x) for x in dev.score_batch(
-                st_dev, parent_dev, flat.root_slot,
-                np.asarray(flat.ref), meta["active"], g, E, miss))
+        score, num_common, node_num_mut = self._score_matrices(
+            st_dev, parent_dev, samples_mutations, meta["active"])
         valid, has_unique = dev.placement_outputs(
             score, num_common, node_num_mut, meta["is_root_mask"],
             meta["is_leaf"], meta["active"])
@@ -142,6 +160,70 @@ class PlacementEngine:
                 res.valid_bfs = v_row[slots]
             results.append(res)
         return results
+
+    def _resolve_backend(self, samples_mutations) -> str:
+        if self.backend != "auto":
+            return self.backend
+        import jax
+        if jax.default_backend() != "tpu":
+            return "dense"
+        from ..ops import placement_pallas as pp
+        kmax = max((len(m) for m in samples_mutations), default=0)
+        return "sparse" if kmax <= pp.TBK else "dense"
+
+    def _score_matrices(self, st_dev, parent_dev, samples_mutations, active):
+        """Raw (score [B,N], num_common [B,N], node_num_mut [N]) numpy arrays
+        from the selected kernel."""
+        flat = self.flat
+        if self.mesh is not None:
+            return self._score_mesh(samples_mutations, active)
+        if self._resolve_backend(samples_mutations) == "sparse":
+            from ..ops import placement_pallas as pp
+            pos, gval, kmiss = pp.sparsify(samples_mutations, flat.pos_index,
+                                           flat.P_pad)
+            score_t, nc_t, nnm = pp.score_sparse_T(
+                st_dev, parent_dev, flat.root_slot, np.asarray(flat.ref),
+                pos, gval, kmiss, pos.shape[1])
+            return (np.asarray(score_t).T, np.asarray(nc_t).T,
+                    np.asarray(nnm))
+        g, E, miss = flat.encode_samples(samples_mutations)
+        return tuple(np.asarray(x) for x in dev.score_batch(
+            st_dev, parent_dev, flat.root_slot,
+            np.asarray(flat.ref), active, g, E, miss))
+
+    def _score_mesh(self, samples_mutations, active):
+        """Sharded scoring over the (data, model) mesh: the sample batch is
+        padded to the data-axis size, placed P("data", None); st/stp live
+        sharded P("model", None) in the FlatMAT.  Identical math to the
+        single-device path — XLA inserts the collectives."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import mesh as pmesh
+        flat = self.flat
+        st_dev, stp_dev = flat.sync_mesh()
+        if self._mesh_score is None:
+            self._mesh_score = pmesh.sharded_score_fn(self.mesh)
+        g, E, miss = flat.encode_samples(samples_mutations)
+        B = len(samples_mutations)
+        dsize = self.mesh.shape["data"]
+        Bp = -(-B // dsize) * dsize
+        if Bp != B:
+            pad = Bp - B
+            g = np.concatenate([g, np.tile(flat.ref, (pad, 1))], 0)
+            E = np.concatenate([E, np.zeros((pad, E.shape[1]), bool)], 0)
+            miss = np.concatenate(
+                [miss, np.zeros((pad, miss.shape[1]), bool)], 0)
+        batch_sh = NamedSharding(self.mesh, P("data", None))
+        g = jax.device_put(g, batch_sh)
+        E = jax.device_put(E, batch_sh)
+        miss = jax.device_put(miss, batch_sh)
+        ref_dev = jax.device_put(np.asarray(flat.ref),
+                                 NamedSharding(self.mesh, P()))
+        active_dev = jax.device_put(active,
+                                    NamedSharding(self.mesh, P("model")))
+        score, nc, nnm = self._mesh_score(st_dev, stp_dev, ref_dev,
+                                          active_dev, g, E, miss)
+        return (np.asarray(score)[:B], np.asarray(nc)[:B], np.asarray(nnm))
 
     # --- surgery ------------------------------------------------------------
 
@@ -243,7 +325,17 @@ def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
         if opts.reverse_sort:
             missing_samples.reverse()
 
-    engine = PlacementEngine(T, vcf)
+    mesh = None
+    want = opts.mesh_devices
+    if want == -1:
+        import jax
+        nd = len(jax.devices())
+        want = nd if (nd > 1 and jax.default_backend() == "tpu") else 0
+    if want > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(want)
+        _err(f"Sharding placement over a {dict(mesh.shape)} device mesh.")
+    engine = PlacementEngine(T, vcf, mesh=mesh)
     flat = engine.flat
 
     if missing_samples:
@@ -277,111 +369,187 @@ def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
         stats_f = open(stats_path, "w")
         pars_f = None
 
-        for loop_i, idx in enumerate(indexes):
-            s = missing_samples[idx]
-            sample = s.name
+        # Batched scoring with exact sequential semantics: a whole batch is
+        # scored against a frozen tree snapshot in one device call; before
+        # applying each proposal, cheap host checks prove it equals what a
+        # sequential re-score would produce (or trigger an exact re-score).
+        # Earlier applies in a batch only change (a) scores of the touched
+        # node whose branch was split, (b) the two new nodes, (c) tie-break
+        # metadata (leaf counts / BFS ranks) -- each is checked below.
+        bsz = max(1, opts.batch_size)
+        fresh_order = {"meta": None}  # lazily recomputed tie-break metadata
 
-            if T.get_node(sample) is not None:
-                _err(f"WARNING: Sample {sample} already in the tree! Ignoring.\n")
-                continue
+        def _fresh_rank_leaves():
+            if fresh_order["meta"] is None:
+                bfs = T.breadth_first_expansion()
+                rank = {id(n): r for r, n in enumerate(bfs)}
+                cnt: dict[int, int] = {}
+                for n in reversed(bfs):
+                    cnt[id(n)] = (1 if n.is_leaf()
+                                  else sum(cnt[id(c)] for c in n.children))
+                fresh_order["meta"] = (rank, cnt)
+            return fresh_order["meta"]
 
-            if opts.print_parsimony_scores and pars_f is None:
-                pars_path = os.path.join(outdir, "parsimony-scores.tsv")
-                _err(f"\nNow computing branch parsimony scores for adding the "
-                     f"missing samples at each of the nodes in the existing tree "
-                     f"without modifying the tree.\nThe branch parsimony scores "
-                     f"will be written to file {pars_path}\n")
-                pars_f = open(pars_path, "w")
-                pars_f.write("#Sample\tTree node\tParsimony score\tOptimal (y/n)\t"
-                             "Parsimony-increasing mutations (for optimal nodes)\n")
+        def _refresh_winner(res: SampleResult) -> None:
+            """Re-resolve the tie-break (max leaves, then max BFS rank;
+            usher_mapper.cpp:476-497) against the CURRENT tree when the
+            snapshot's ordering metadata went stale."""
+            rank, cnt = _fresh_rank_leaves()
+            pairs = sorted(zip(res.tied_nodes, res.tied_has_unique),
+                           key=lambda p: rank[id(p[0])])
+            res.tied_nodes = [p[0] for p in pairs]
+            res.tied_has_unique = [p[1] for p in pairs]
+            best_i = max(range(len(pairs)),
+                         key=lambda i: (cnt[id(pairs[i][0])],
+                                        rank[id(pairs[i][0])]))
+            res.best_node = pairs[best_i][0]
+            res.best_has_unique = pairs[best_i][1]
 
-            res = engine.score_samples([s.mutations],
-                                       want_matrix=opts.print_parsimony_scores)[0]
-            best_set_difference = res.best_score
-            num_best = res.num_best
-            best_node = res.best_node
-            total_nodes = len(flat.tree.breadth_first_expansion())
+        flat_batches = [indexes[i:i + bsz] for i in range(0, len(indexes), bsz)]
+        for batch_idx in flat_batches:
+            batch = [missing_samples[i] for i in batch_idx]
+            pres = engine.score_samples(
+                [s.mutations for s in batch],
+                want_matrix=opts.print_parsimony_scores)
+            # nodes whose score could differ from the snapshot due to earlier
+            # applies in this batch (split node + the nodes it created)
+            check_nodes: list = []
+            check_ids: set[str] = set()
+            tree_dirty = False
 
-            # Cross-check device score against the exact host scorer for the
-            # winner; also produces the excess/imputed vectors for surgery.
-            detail = score_placement(best_node, s.mutations)
-            if detail.set_difference != best_set_difference:
-                raise AssertionError(
-                    f"device/host score mismatch for {sample} at "
-                    f"{best_node.identifier}: {best_set_difference} vs "
-                    f"{detail.set_difference}")
+            for s, res in zip(batch, pres):
+                sample = s.name
+                if T.get_node(sample) is not None:
+                    _err(f"WARNING: Sample {sample} already in the tree! "
+                         f"Ignoring.\n")
+                    continue
 
-            if opts.print_parsimony_scores:
-                _err(f"Missing sample: {sample}\t Best parsimony score: "
-                     f"{best_set_difference}\tNumber of parsimony-optimal "
-                     f"placements: {num_best}")
-                bfs_nodes = flat.tree.breadth_first_expansion()
-                for k, node in enumerate(bfs_nodes):
-                    sc = int(res.scores_bfs[k])
-                    reported = sc if res.valid_bfs[k] else sc + 1
-                    is_opt = "y" if reported == best_set_difference else "n"
-                    pars_f.write(f"{sample}\t{node.identifier}\t{reported}\t\t{is_opt}\t")
-                    if reported == best_set_difference:
-                        det_k = score_placement(node, s.mutations)
-                        if reported == 0:
-                            pars_f.write("*")
-                        n_print = min(reported, len(det_k.excess))
-                        pars_f.write(",".join(
-                            det_k.excess[i].get_string() for i in range(n_print)))
-                    else:
-                        pars_f.write("N/A")
-                    pars_f.write("\n")
-                # the reference writes the (empty) per-sample stats terminator
-                # even in -p mode (usher_common.cpp:788)
+                if opts.print_parsimony_scores and pars_f is None:
+                    pars_path = os.path.join(outdir, "parsimony-scores.tsv")
+                    _err(f"\nNow computing branch parsimony scores for adding the "
+                         f"missing samples at each of the nodes in the existing tree "
+                         f"without modifying the tree.\nThe branch parsimony scores "
+                         f"will be written to file {pars_path}\n")
+                    pars_f = open(pars_path, "w")
+                    pars_f.write("#Sample\tTree node\tParsimony score\tOptimal (y/n)\t"
+                                 "Parsimony-increasing mutations (for optimal nodes)\n")
+
+                if check_nodes:
+                    stale = any(t.identifier in check_ids
+                                for t in res.tied_nodes)
+                    if not stale:
+                        for node in check_nodes:
+                            d = score_placement(node, s.mutations,
+                                                compute_vecs=False)
+                            if d.is_valid and d.set_difference <= res.best_score:
+                                stale = True
+                                break
+                    if stale:
+                        res = engine.score_samples(
+                            [s.mutations],
+                            want_matrix=opts.print_parsimony_scores)[0]
+                    elif res.num_best > 1 and tree_dirty:
+                        _refresh_winner(res)
+
+                best_set_difference = res.best_score
+                num_best = res.num_best
+                best_node = res.best_node
+                total_nodes = len(flat.tree.breadth_first_expansion())
+
+                # Cross-check device score against the exact host scorer for the
+                # winner; also produces the excess/imputed vectors for surgery.
+                detail = score_placement(best_node, s.mutations)
+                if detail.set_difference != best_set_difference:
+                    raise AssertionError(
+                        f"device/host score mismatch for {sample} at "
+                        f"{best_node.identifier}: {best_set_difference} vs "
+                        f"{detail.set_difference}")
+
+                if opts.print_parsimony_scores:
+                    _err(f"Missing sample: {sample}\t Best parsimony score: "
+                         f"{best_set_difference}\tNumber of parsimony-optimal "
+                         f"placements: {num_best}")
+                    bfs_nodes = flat.tree.breadth_first_expansion()
+                    for k, node in enumerate(bfs_nodes):
+                        sc = int(res.scores_bfs[k])
+                        reported = sc if res.valid_bfs[k] else sc + 1
+                        is_opt = "y" if reported == best_set_difference else "n"
+                        pars_f.write(f"{sample}\t{node.identifier}\t{reported}\t\t{is_opt}\t")
+                        if reported == best_set_difference:
+                            det_k = score_placement(node, s.mutations)
+                            if reported == 0:
+                                pars_f.write("*")
+                            n_print = min(reported, len(det_k.excess))
+                            pars_f.write(",".join(
+                                det_k.excess[i].get_string() for i in range(n_print)))
+                        else:
+                            pars_f.write("N/A")
+                        pars_f.write("\n")
+                    # the reference writes the (empty) per-sample stats terminator
+                    # even in -p mode (usher_common.cpp:788)
+                    stats_f.write("\n")
+                    continue
+
+                _err(f"Current tree size (#nodes): {total_nodes}\tSample name: "
+                     f"{sample}\tParsimony score: {best_set_difference}\tNumber of "
+                     f"parsimony-optimal placements: {num_best}")
+                stats_f.write(f"{sample}\t{best_set_difference}\t{num_best}\t")
+
+                if num_best > 1:
+                    if opts.max_trees == 1:
+                        low_confidence_samples.append(sample)
+                    if num_best > opts.max_uncertainty:
+                        _err(f"WARNING: Number of parsimony-optimal placements exceeds "
+                             f"maximum allowed value ({opts.max_uncertainty}). Ignoring "
+                             f"sample {sample}.")
+                    elif best_set_difference <= opts.max_parsimony:
+                        _err("WARNING: Multiple parsimony-optimal placements found. "
+                             "Placement done without high confidence.")
+                if best_set_difference > opts.max_parsimony:
+                    _err(f"WARNING: Parsimony score of the most parsimonious placement "
+                         f"exceeds the maximum allowed value ({opts.max_parsimony}). "
+                         f"Ignoring sample {sample}.")
+
+                if (num_best <= opts.max_uncertainty
+                        and best_set_difference <= opts.max_parsimony):
+                    # clade assignment over the tie set (usher_common.cpp:600-619)
+                    num_annotations = T.get_num_annotations()
+                    s.clade_assignments = []
+                    s.best_clade_assignment = [""] * num_annotations
+                    for c in range(num_annotations):
+                        assignments = []
+                        for node, hu in zip(res.tied_nodes, res.tied_has_unique):
+                            include_self = (not node.is_leaf()) and (not hu)
+                            clade = T.get_clade_assignment(node, c, include_self)
+                            assignments.append(clade)
+                            if node is best_node:
+                                s.best_clade_assignment[c] = clade
+                        assignments.sort()
+                        s.clade_assignments.append(assignments)
+
+                    if not opts.no_add and T.get_node(sample) is None:
+                        parent_before = best_node.parent
+                        engine.apply_placement(sample, res, detail.excess)
+                        tree_dirty = True
+                        fresh_order["meta"] = None
+                        added = [T.get_node(sample)]
+                        if best_node.parent is not parent_before:
+                            # sibling split: the new internal node is a fresh
+                            # candidate AND best_node's own score changed
+                            # (its branch mutations were redistributed)
+                            added.append(best_node.parent)
+                            added.append(best_node)
+                        for n in added:
+                            if n is not None and n.identifier not in check_ids:
+                                check_ids.add(n.identifier)
+                                check_nodes.append(n)
+
+                    if detail.imputed:
+                        _err("Imputed mutations:\t" + ";".join(
+                            f"{m.position}:{_nuc_char(m.mut_nuc)}" for m in detail.imputed))
+                        stats_f.write(";".join(
+                            f"{m.position}:{_nuc_char(m.mut_nuc)}" for m in detail.imputed))
                 stats_f.write("\n")
-                continue
-
-            _err(f"Current tree size (#nodes): {total_nodes}\tSample name: "
-                 f"{sample}\tParsimony score: {best_set_difference}\tNumber of "
-                 f"parsimony-optimal placements: {num_best}")
-            stats_f.write(f"{sample}\t{best_set_difference}\t{num_best}\t")
-
-            if num_best > 1:
-                if opts.max_trees == 1:
-                    low_confidence_samples.append(sample)
-                if num_best > opts.max_uncertainty:
-                    _err(f"WARNING: Number of parsimony-optimal placements exceeds "
-                         f"maximum allowed value ({opts.max_uncertainty}). Ignoring "
-                         f"sample {sample}.")
-                elif best_set_difference <= opts.max_parsimony:
-                    _err("WARNING: Multiple parsimony-optimal placements found. "
-                         "Placement done without high confidence.")
-            if best_set_difference > opts.max_parsimony:
-                _err(f"WARNING: Parsimony score of the most parsimonious placement "
-                     f"exceeds the maximum allowed value ({opts.max_parsimony}). "
-                     f"Ignoring sample {sample}.")
-
-            if (num_best <= opts.max_uncertainty
-                    and best_set_difference <= opts.max_parsimony):
-                # clade assignment over the tie set (usher_common.cpp:600-619)
-                num_annotations = T.get_num_annotations()
-                s.clade_assignments = []
-                s.best_clade_assignment = [""] * num_annotations
-                for c in range(num_annotations):
-                    assignments = []
-                    for node, hu in zip(res.tied_nodes, res.tied_has_unique):
-                        include_self = (not node.is_leaf()) and (not hu)
-                        clade = T.get_clade_assignment(node, c, include_self)
-                        assignments.append(clade)
-                        if node is best_node:
-                            s.best_clade_assignment[c] = clade
-                    assignments.sort()
-                    s.clade_assignments.append(assignments)
-
-                if not opts.no_add and T.get_node(sample) is None:
-                    engine.apply_placement(sample, res, detail.excess)
-
-                if detail.imputed:
-                    _err("Imputed mutations:\t" + ";".join(
-                        f"{m.position}:{_nuc_char(m.mut_nuc)}" for m in detail.imputed))
-                    stats_f.write(";".join(
-                        f"{m.position}:{_nuc_char(m.mut_nuc)}" for m in detail.imputed))
-            stats_f.write("\n")
 
         stats_f.close()
         if pars_f is not None:
@@ -446,15 +614,22 @@ def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
 
     if opts.print_subtrees_single > 1 and missing_samples:
         from ..tools.subtrees import write_single_subtree
+        _err(f"Computing the single subtree for added samples with "
+             f"{opts.print_subtrees_single} random leaves.\n")
         T.uncondense_leaves()
-        write_single_subtree(T, [s.name for s in missing_samples], outdir,
-                             opts.print_subtrees_single)
+        write_single_subtree(
+            T, [s.name for s in missing_samples], outdir,
+            opts.print_subtrees_single,
+            retain_original_branch_len=opts.retain_original_branch_len)
 
     if opts.print_subtrees_size > 1 and missing_samples:
         from ..tools.subtrees import write_sample_subtrees
+        _err("Computing subtrees for added samples.\n")
         T.uncondense_leaves()
-        write_sample_subtrees(T, [s.name for s in missing_samples], outdir,
-                              opts.print_subtrees_size)
+        write_sample_subtrees(
+            T, [s.name for s in missing_samples], outdir,
+            opts.print_subtrees_size,
+            retain_original_branch_len=opts.retain_original_branch_len)
 
     if low_confidence_samples:
         _err("WARNING: Following samples had multiple possibilities of "
