@@ -201,3 +201,21 @@ def test_batched_placement_equals_sequential(built, tmp_path):
         a = open(os.path.join(out_seq, fname), "rb").read()
         b = open(os.path.join(out_bat, fname), "rb").read()
         assert a == b, f"{fname} differs between batch sizes"
+
+
+def test_placement_matches_committed_goldens(built, tmp_path):
+    """Byte-level goldens for the canonical smoke workload (SURVEY §4
+    oracles).  The golden files were produced by a verified TPU run and are
+    committed; any engine change that shifts placement output fails here."""
+    outdir, pb = built
+    outdir2 = str(tmp_path / "golden_place")
+    rc = usher_main(["-i", pb, "-v", NEW_VCF, "-o",
+                     os.path.join(outdir2, "o.pb"), "-d", outdir2])
+    assert rc == 0
+    gold = os.path.join(os.path.dirname(__file__), "goldens")
+    for fname, gname in [("placement_stats.tsv", "smoke_placement_stats.tsv"),
+                         ("final-tree.nh", "smoke_final_tree.nh"),
+                         ("mutation-paths.txt", "smoke_mutation_paths.txt")]:
+        got = open(os.path.join(outdir2, fname), "rb").read()
+        want = open(os.path.join(gold, gname), "rb").read()
+        assert got == want, f"{fname} deviates from committed golden"

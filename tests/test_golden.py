@@ -1,0 +1,54 @@
+"""Golden byte-parity tests against the reference's own checked-in golden.
+
+scripts/testBranchLen2.{sh,nwk,vcf} is the one reference test needing no
+binary: build a MAT from an 8-leaf newick whose branch lengths equal the
+per-branch mutation counts implied by the VCF, then write final-tree.nh.
+The reference newick writer always emits branch length = #mutations
+(mutation_annotated_tree.cpp:230 "band-aid fix"), prints internal node
+names, and a trailing root length — so the expected output is the input
+topology re-labelled with node_N internal names, byte-for-byte.
+"""
+
+import os
+
+import pytest
+
+from usher_tpu.cli.usher_cli import main as usher_main
+
+SCRIPTS = "/root/reference/scripts"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SCRIPTS, "testBranchLen2.nwk")),
+    reason="reference scripts unavailable")
+
+# Derived from write_newick_string semantics
+# (mutation_annotated_tree.cpp:215-346) applied to testBranchLen2.nwk's
+# topology: every input branch length equals the mutation count Fitch-
+# Sankoff must assign, so the golden is the input tree with internal labels.
+EXPECTED_FINAL_TREE = ("((a:0,(b:0,(c:0,d:1)node_4:1)node_3:2,"
+                       "((e:0,f:1)node_6:3,g:0)node_5:4)node_2:5,"
+                       "h:0)node_1:0;")
+
+
+def test_branchlen2_golden(tmp_path):
+    outdir = str(tmp_path / "golden")
+    rc = usher_main(["-t", os.path.join(SCRIPTS, "testBranchLen2.nwk"),
+                     "-v", os.path.join(SCRIPTS, "testBranchLen2.vcf"),
+                     "-o", os.path.join(outdir, "o.pb"),
+                     "-l", "-d", outdir])
+    assert rc == 0
+    got = open(os.path.join(outdir, "final-tree.nh")).read()
+    assert got == EXPECTED_FINAL_TREE
+
+
+def test_branchlen2_golden_collapse_roundtrip(tmp_path):
+    """Same run without -l: the band-aid writer makes the output identical
+    (branch length is always the mutation count)."""
+    outdir = str(tmp_path / "golden2")
+    rc = usher_main(["-t", os.path.join(SCRIPTS, "testBranchLen2.nwk"),
+                     "-v", os.path.join(SCRIPTS, "testBranchLen2.vcf"),
+                     "-o", os.path.join(outdir, "o.pb"),
+                     "-d", outdir])
+    assert rc == 0
+    got = open(os.path.join(outdir, "final-tree.nh")).read()
+    assert got == EXPECTED_FINAL_TREE
