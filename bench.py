@@ -168,13 +168,70 @@ def main():
     _progress(f"numpy 1-core: {cpu_dt/Bs*1e3:.1f} ms/sample "
               f"-> x64 = {cpu_rate_64t:.0f} samples/s")
 
+    # headline metric first — the bigmat phase below is supplementary and
+    # must not cost the metric if the run is time-capped
     print(json.dumps({
         "metric": "samples_placed_per_sec",
         "value": round(device_rate, 2),
         "unit": "samples/s (B=%d, %d-node MAT, %d sites, 1 chip)" % (
             BATCH, N_NODES, P_SITES),
         "vs_baseline": round(device_rate / cpu_rate_64t, 3),
-    }))
+    }), flush=True)
+
+    if jax.default_backend() == "tpu":
+        bench_bigmat(rng)
+
+
+def bench_bigmat(rng):
+    """Pandemic-scale proof: a 1M-node CSR MAT over 30k sites -- far beyond
+    what the dense [N, P] form can hold -- placed against a 256-sample batch
+    through core/bigmat.py (pointer-doubling column materialization + the
+    same Pallas kernel).  Reported to stderr; correctness of the BigMAT path
+    is established vs the dense kernel in tests/test_bigmat.py."""
+    from usher_tpu.core.bigmat import BigMAT
+
+    N, P, B, K = 1_000_000, 30_000, 256, 24
+    parent = np.zeros(N, dtype=np.int32)
+    parent[1:] = (rng.random(N - 1) * np.arange(1, N)).astype(np.int32)
+    n_mut = 2
+    M = n_mut * (N - 1)
+    mut_ptr = np.zeros(N + 1, dtype=np.int64)
+    mut_ptr[2:] = n_mut * np.arange(1, N, dtype=np.int64)
+    mut_col = rng.integers(0, P, size=M).astype(np.int32)
+    mut_mut = NIBBLES[rng.integers(0, 4, size=M)]
+    ref = NIBBLES[rng.integers(0, 4, size=P)]
+    # synthetic par = ref (recurrent-position collisions along a path are
+    # ~0.2% and irrelevant for throughput measurement)
+    mut_par = ref[mut_col].copy()
+    same = mut_par == mut_mut
+    mut_mut[same] = NIBBLES[(np.searchsorted(NIBBLES, mut_mut[same]) + 1) % 4]
+    positions = np.arange(P, dtype=np.int64)
+
+    t0 = time.time()
+    big = BigMAT(parent, mut_ptr, mut_col, mut_par, mut_mut, positions, ref)
+    _progress(f"bigmat: built 1M-node CSR MAT in {time.time()-t0:.1f}s "
+              f"(depth {big.max_depth}, {M} mutations, "
+              f"{big.mut_col.nbytes + big.mut_mut.nbytes + big.parent.nbytes:,}"
+              f" bytes core arrays)")
+
+    pos = rng.integers(0, P, size=(B, K)).astype(np.int32)
+    gval = NIBBLES[rng.integers(0, 4, size=(B, K))]
+    kmiss = np.zeros((B, K), dtype=bool)
+    pad = np.full((B, 32 - K), P, dtype=np.int32)
+    pos = np.concatenate([pos, pad], axis=1)
+    gval = np.concatenate([gval, np.zeros((B, 32 - K), np.uint8)], axis=1)
+    kmiss = np.concatenate([kmiss, np.zeros((B, 32 - K), bool)], axis=1)
+
+    t0 = time.time()
+    s, n, _ = big.score_batch_T(pos, gval, kmiss, max_cols=2048)
+    _progress(f"bigmat: first batch (compile incl.) {time.time()-t0:.1f}s")
+    t0 = time.time()
+    iters = 3
+    for _ in range(iters):
+        s, n, _ = big.score_batch_T(pos, gval, kmiss, max_cols=2048)
+    dt = (time.time() - t0) / iters
+    _progress(f"bigmat: {dt*1e3:.0f} ms/batch -> {B/dt:.0f} samples/s at "
+              f"1M nodes x 30k sites (all-node exact scoring)")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# CI for usher_tpu: unit+parity tests on the virtual CPU mesh, the smoke
+# end-to-end workflow, and the multi-chip dryrun.  (The reference's CI only
+# runs --help on each binary, .github/workflows/cmake.yml:19-25; this runs
+# the real test pyramid.)
+set -euo pipefail
+cd "$(dirname "$0")"
+
+echo "== unit + parity tests (8-device virtual CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== smoke end-to-end (reference fixtures) =="
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+USHER_TPU_PLATFORM=${USHER_CI_PLATFORM:-cpu} python -m usher_tpu.cli.usher_cli -t /root/reference/test/global_phylo.nh \
+    -v /root/reference/test/global_samples.vcf -o "$TMP/out.pb" -d "$TMP/b" \
+    --mesh-devices 0 2> "$TMP/build.log"
+USHER_TPU_PLATFORM=${USHER_CI_PLATFORM:-cpu} python -m usher_tpu.cli.usher_cli -i "$TMP/out.pb" \
+    -v /root/reference/test/new_samples.vcf -o "$TMP/out2.pb" -d "$TMP/p" \
+    --mesh-devices 0 2> "$TMP/place.log"
+test -s "$TMP/p/placement_stats.tsv"
+cmp "$TMP/p/placement_stats.tsv" tests/goldens/smoke_placement_stats.tsv
+cmp "$TMP/p/final-tree.nh" tests/goldens/smoke_final_tree.nh
+echo "smoke goldens OK"
+
+echo "== multi-chip dryrun (8 virtual devices) =="
+XLA_FLAGS="--xla_force_host_platform_device_count=8" python -c "
+import os; os.environ['JAX_PLATFORMS']='cpu'
+import jax; jax.config.update('jax_platforms','cpu')
+import sys; sys.path.insert(0, '.')
+from __graft_entry__ import entry, dryrun_multichip
+fn, args = entry(); jax.jit(fn)(*args)
+dryrun_multichip(8)
+print('multichip dryrun OK')"
+
+echo "CI PASSED"

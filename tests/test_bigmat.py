@@ -1,0 +1,66 @@
+"""BigMAT (CSR + on-demand column materialization) vs the dense kernels.
+
+The pandemic-scale representation must reproduce the dense FlatMAT scoring
+bit-for-bit: same score matrix, same num_common, same winner under the
+reference tie-break.  Also exercises the column-chunking path (max_cols
+smaller than the batch's unique positions).
+"""
+
+import numpy as np
+import pytest
+
+from usher_tpu.core.bigmat import BigMAT
+from usher_tpu.core.flat import FlatMAT
+from usher_tpu.ops import placement as dev
+
+from test_placement import random_mat, random_sample
+
+
+def _setup(seed, n_leaves=25, n_positions=18):
+    rng = np.random.default_rng(seed)
+    T, ref = random_mat(rng, n_leaves=n_leaves, n_positions=n_positions)
+    positions = np.array(sorted(ref), dtype=np.int64)
+    refarr = np.array([ref[p] for p in positions.tolist()], dtype=np.uint8)
+    samples = [random_sample(rng, ref) for _ in range(6)]
+    return T, positions, refarr, samples
+
+
+@pytest.mark.parametrize("seed", list(range(4)))
+@pytest.mark.parametrize("max_cols", [2048, 4])
+def test_bigmat_matches_dense(seed, max_cols):
+    T, positions, refarr, samples = _setup(seed)
+    flat = FlatMAT(T, positions, refarr, "c")
+    st_dev, parent_dev = flat.sync()
+    meta = flat.order_arrays()
+    g, E, miss = flat.encode_samples(samples)
+    score_d, nc_d, nnm_d = (np.asarray(x) for x in dev.score_batch(
+        st_dev, parent_dev, flat.root_slot, np.asarray(flat.ref),
+        meta["active"], g, E, miss))
+
+    big = BigMAT.from_tree(T, positions, refarr)
+    pos, gval, kmiss = big.sparsify(samples)
+    score_T, nc_T, nnm_b = big.score_batch_T(pos, gval, kmiss,
+                                             max_cols=max_cols)
+
+    # map flat slots <-> big slots via node identity
+    bfs = T.breadth_first_expansion()
+    flat_slots = np.array([n.slot for n in bfs])
+    np.testing.assert_array_equal(nnm_b, nnm_d[flat_slots])
+    np.testing.assert_array_equal(score_T.T, score_d[:, flat_slots])
+    np.testing.assert_array_equal(nc_T.T, nc_d[:, flat_slots])
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_bigmat_place_batch_matches_engine(seed):
+    from usher_tpu.placement.driver import PlacementEngine
+    T, positions, refarr, samples = _setup(seed, n_leaves=30)
+    big = BigMAT.from_tree(T, positions, refarr)
+    bs, bslot, nb = big.place_batch(samples)
+
+    eng = PlacementEngine(T, backend="dense",
+                          extra_mutations=[m for s in samples for m in s])
+    res = eng.score_samples(samples)
+    for i, r in enumerate(res):
+        assert int(bs[i]) == r.best_score
+        assert int(nb[i]) == r.num_best
+        assert big._nodes[int(bslot[i])].identifier == r.best_node.identifier

@@ -219,3 +219,32 @@ def test_placement_matches_committed_goldens(built, tmp_path):
         got = open(os.path.join(outdir2, fname), "rb").read()
         want = open(os.path.join(gold, gname), "rb").read()
         assert got == want, f"{fname} deviates from committed golden"
+
+
+def test_multiple_placements(built, tmp_path):
+    """-M: forks one tree per co-optimal placement (Sample1 has EPP=2 on the
+    smoke tree), writing final-tree-N.nh / mutation-paths-N.txt per tree
+    (usher_common.cpp:556-780)."""
+    outdir, pb = built
+    outdir2 = str(tmp_path / "multi")
+    rc = usher_main(["-i", pb, "-v", NEW_VCF, "-d", outdir2, "-M", "4"])
+    assert rc == 0
+    t1 = os.path.join(outdir2, "final-tree-1.nh")
+    t2 = os.path.join(outdir2, "final-tree-2.nh")
+    assert os.path.exists(t1) and os.path.exists(t2)
+    T1 = parse_newick_string(open(t1).read())
+    T2 = parse_newick_string(open(t2).read())
+    # both trees contain all five samples; the trees differ in topology
+    for name in [f"Sample{i}" for i in range(1, 6)]:
+        assert name in set(T1.get_leaves_ids())
+        assert name in set(T2.get_leaves_ids())
+    assert open(t1).read() != open(t2).read()
+    # stats: one line per (sample, tree) pair — Sample1 placed first creates
+    # tree 2, later samples get two lines each
+    stats = [l for l in open(os.path.join(outdir2, "placement_stats.tsv"))
+             .read().split("\n") if l]
+    names = [l.split("\t")[0] for l in stats]
+    assert names.count("Sample1") == 1
+    assert names.count("Sample5") == 2
+    assert os.path.exists(os.path.join(outdir2, "mutation-paths-1.txt"))
+    assert os.path.exists(os.path.join(outdir2, "mutation-paths-2.txt"))

@@ -161,3 +161,77 @@ def test_matoptimize_cli(tmp_path):
     assert rc == 0
     T2 = load_mat_pb(pb_out)
     assert T2.get_parsimony_score() == 2
+
+
+def test_matoptimize_diff_input(tmp_path):
+    """-t newick -D diff -R ref.fa: genotypes from MAPLE diff
+    (reference main.cpp:360-374)."""
+    from usher_tpu.cli.matoptimize_cli import main as mato_main
+    from usher_tpu.io.pbio import load_mat_pb
+    ref_fa = str(tmp_path / "ref.fa")
+    with open(ref_fa, "w") as f:
+        f.write(">chr\n" + "A" * 30 + "\n")
+    nh = str(tmp_path / "t.nh")
+    with open(nh, "w") as f:
+        f.write("((L1,L2),(L3,L4));\n")
+    diff = str(tmp_path / "s.diff")
+    with open(diff, "w") as f:
+        # L1/L2 share C at 5; L3 has T at 9 and an N run
+        f.write(">L1\nc\t5\n>L2\nc\t5\n>L3\nt\t9\nn\t12\t3\n>L4\n")
+    out = str(tmp_path / "o.pb")
+    rc = mato_main(["-t", nh, "-D", diff, "-R", ref_fa, "-o", out,
+                    "-r", "4"])
+    assert rc == 0
+    T2 = load_mat_pb(out)
+    # parsimony: one shared C mutation + one T mutation = 2
+    assert T2.get_parsimony_score() == 2
+
+
+def test_matoptimize_transposed_vcf_patch(tmp_path):
+    """-i pb -V transposed.vcf restores ambiguous leaf bases
+    (reference main.cpp:346-358)."""
+    from usher_tpu.cli.matoptimize_cli import main as mato_main
+    from usher_tpu.io import transpose
+    from usher_tpu.io.pbio import save_mat_pb, load_mat_pb
+    T = build_suboptimal_tree()
+    pb_in = str(tmp_path / "in.pb")
+    save_mat_pb(T, pb_in)
+    # one sample gets an ambiguous allele at an existing position
+    T0 = load_mat_pb(pb_in)
+    leaf = T0.get_leaves()[0]
+    pos = T0.breadth_first_expansion()[1].mutations[0].position \
+        if T0.breadth_first_expansion()[1].mutations else None
+    positions, _, _ = collect_positions(T0)
+    pos = int(positions[0])
+    tv = str(tmp_path / "g.tvcf")
+    transpose.encode([(leaf.identifier, [(pos, 0x5)], [])], tv)
+    out = str(tmp_path / "o.pb")
+    rc = mato_main(["-i", pb_in, "-V", tv, "-o", out, "-r", "4"])
+    assert rc == 0
+    assert os.path.exists(out)
+
+
+def test_matoptimize_epp_mode(tmp_path):
+    """-E writes an EPP-annotated newick (reference main.cpp:438-504)."""
+    from usher_tpu.cli.matoptimize_cli import main as mato_main
+    from usher_tpu.io.pbio import save_mat_pb
+    from usher_tpu.io.newick import parse_newick_string
+    import os as _os
+    T = build_suboptimal_tree()
+    pb_in = str(tmp_path / "in.pb")
+    save_mat_pb(T, pb_in)
+    out_nwk = str(tmp_path / "epp.nwk")
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        rc = mato_main(["-i", pb_in, "-o", str(tmp_path / "x.pb"),
+                        "-E", out_nwk, "-r", "4"])
+    finally:
+        _os.chdir(cwd)
+    assert rc == 0
+    s = open(out_nwk).read()
+    T2 = parse_newick_string(s)
+    # every branch length is a positive EPP count
+    for n in T2.depth_first_expansion():
+        if n.parent is not None:
+            assert n.branch_length >= 1

@@ -88,3 +88,62 @@ def test_ripples_no_false_positive_on_clean_tree(tmp_path):
     body = [l for l in open(os.path.join(outdir, "recombination.tsv"))
             .read().splitlines()[1:] if l]
     assert body == []
+
+
+def test_ripples_init_cli(tmp_path):
+    """ripplesInit: long-branch count + Chronumental id map
+    (reference init/main.cpp:13, init_pipeline.cpp:8-80)."""
+    import os
+    from usher_tpu.cli.ripples_init_cli import main as init_main
+    from usher_tpu.io.pbio import save_mat_pb
+    T = build_recombinant_tree()
+    pb = str(tmp_path / "t.pb")
+    save_mat_pb(T, pb)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        import io, contextlib
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = init_main(["-i", pb, "-l", "3", "-n", "2"])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    count = int(buf.getvalue().strip())
+    assert count >= 1
+    lines = open(tmp_path / "ripples_to_chron_ids.txt").read().split("\n")
+    assert lines[0] == "MAT_node_id\tchronumental_node_id"
+    assert len([l for l in lines[1:] if l]) == len(
+        T.depth_first_expansion())
+
+
+def test_ripples_utils_cli(tmp_path):
+    """ripplesUtils: trio parsing + helper files
+    (reference util/ripplesUtils.cpp, parse_data.cpp)."""
+    import os
+    from usher_tpu.cli.ripples_utils_cli import main as utils_main
+    from usher_tpu.io.pbio import save_mat_pb
+    T = build_recombinant_tree()
+    pb = str(tmp_path / "t.pb")
+    save_mat_pb(T, pb)
+    leaves = T.get_leaves_ids()
+    internal = [n.identifier for n in T.depth_first_expansion()
+                if not n.is_leaf() and n.parent is not None]
+    pvals = str(tmp_path / "pvals.txt")
+    with open(pvals, "w") as f:
+        f.write("#recomb\ta\tb\tdonor\tdsib\tc\tacceptor\tasib\n")
+        f.write(f"{leaves[0]}\tx\tx\t{leaves[1]}\ty\tx\t{internal[0]}\tn\n")
+    data_dir = str(tmp_path / "data")
+    rc = utils_main([pb, "--pvals", pvals, "--data-dir", data_dir])
+    assert rc == 0
+    names = set(open(os.path.join(data_dir,
+                                  "allRelevantNodeNames.txt")).read().split())
+    assert leaves[0] in names and leaves[1] in names and internal[0] in names
+    ntp = open(os.path.join(data_dir, "nodeToParent.txt")).read().split("\n")
+    assert ntp[0] == "node\tparent"
+    assert any(l.startswith(leaves[1] + "\t") for l in ntp[1:])
+    sp = open(os.path.join(data_dir, "sample_paths.txt")).read().split("\n")
+    assert sp[0] == "sample_id\tpath_from_root"
+    lv = [l for l in open(os.path.join(data_dir,
+                                       "leaves.txt")).read().split("\n") if l]
+    assert len(lv) == len(T.depth_first_expansion())

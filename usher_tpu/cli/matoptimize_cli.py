@@ -39,6 +39,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-profitable-src-log", "-S", default="", dest="src_log")
     p.add_argument("--node_proportion", "-z", type=float, default=1.0)
     p.add_argument("--node_seed", "-y", type=int, default=0)
+    p.add_argument("--transposed-vcf-path", "-V", default="",
+                   help="Auxiliary transposed VCF for ambiguous bases, used "
+                        "in combination with usher protobuf (-i)")
+    p.add_argument("--diff_file_path", "-D", default="",
+                   help="Diff file from MAPLE, used with newick tree (-t)")
+    p.add_argument("--reference", "-R", default="",
+                   help="Reference fasta, use with diff file (-D)")
+    p.add_argument("--epps_on_branch_len", "-E", default="",
+                   help="Output a newick with the number of equally "
+                        "parsimonious placements on the branch length field")
+    p.add_argument("--drift_nwk_file", "-b", default="",
+                   help="Newick filename stem for intermediate trees while "
+                        "drifting")
+    p.add_argument("--black_list_node_file", default="",
+                   help="Nodes that won't be moved")
     p.add_argument("--do-not-write-intermediate-files", "-n",
                    action="store_true")
     p.add_argument("--no-reduce-back-mutations", action="store_true",
@@ -52,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils.instrument import (apply_platform_env,
+                                    maybe_begin_session_from_env)
+    apply_platform_env()
+    maybe_begin_session_from_env()
     args = build_parser().parse_args(argv)
 
     try:
@@ -59,6 +78,25 @@ def main(argv=None) -> int:
             print(f"Loading intermediate checkpoint {args.resume}",
                   file=sys.stderr)
             T = load_mat_pb(args.resume)
+        elif args.din and args.transposed_vcf_path:
+            # -i + -V: restore ambiguous bases from the transposed VCF
+            # (reference main.cpp:346-358)
+            from ..io.patch import patch_mat_from_transposed_vcf
+            T = load_mat_pb(args.din)
+            T.uncondense_leaves()
+            patch_mat_from_transposed_vcf(T, args.transposed_vcf_path)
+        elif args.diff_file_path:
+            # -t + -D + -R: newick topology + MAPLE diff genotypes
+            # (reference main.cpp:360-374)
+            if not args.tree:
+                print("expect newick file", file=sys.stderr)
+                return 1
+            if not args.reference:
+                print("expect reference fasta file", file=sys.stderr)
+                return 1
+            from ..io.patch import assign_states_from_diff
+            T = parse_newick(args.tree)
+            assign_states_from_diff(T, args.diff_file_path, args.reference)
         elif args.din:
             T = load_mat_pb(args.din)
         elif args.tree and args.vcf:
@@ -68,8 +106,9 @@ def main(argv=None) -> int:
             vcf = read_vcf_sites(args.vcf)
             assign_states_from_vcf(T, vcf)
         else:
-            print("ERROR: provide -i MAT.pb, -a checkpoint.pb, or "
-                  "-t newick -v vcf", file=sys.stderr)
+            print("ERROR: provide -i MAT.pb, -a checkpoint.pb, "
+                  "-t newick -v vcf, -i MAT.pb -V transposed.vcf, or "
+                  "-t newick -D diff -R ref.fa", file=sys.stderr)
             return 1
     except OSError as e:
         print(f"ERROR: cannot read input: {e}", file=sys.stderr)
@@ -77,6 +116,19 @@ def main(argv=None) -> int:
     if T.root is None:
         print("ERROR: empty tree", file=sys.stderr)
         return 1
+
+    if args.epps_on_branch_len:
+        # -E: EPP-annotated newick instead of optimization
+        # (reference main.cpp:438-504)
+        from ..io.newick import write_newick
+        from ..optimize.epp import count_epps
+        count_epps(T, args.radius)
+        with open(args.epps_on_branch_len, "w") as f:
+            f.write(write_newick(T, print_internal=True,
+                                 print_branch_len=True,
+                                 uncondense_leaves=True,
+                                 use_stored_branch_len=True))
+        return 0
 
     # the reference checks output writability up front (main.cpp:256-262)
     try:
@@ -89,6 +141,22 @@ def main(argv=None) -> int:
 
     checkpoint = "" if args.do_not_write_intermediate_files else (
         args.dout + ".intermediate" if args.minutes_between_save > 0 else "")
+    from ..optimize.driver import install_signal_handlers
+    try:
+        install_signal_handlers()
+        pid = __import__("os").getpid()
+        print(f"Run kill -s SIGUSR1 {pid} to flush the source node log",
+              file=sys.stderr)
+        print(f"Run kill -s SIGUSR2 {pid} to apply all the move found "
+              f"immediately, then output and exit.", file=sys.stderr)
+    except (ValueError, OSError):
+        pass  # non-main thread / unsupported platform
+
+    blacklist = set()
+    if args.black_list_node_file:
+        with open(args.black_list_node_file) as f:
+            blacklist = {l.strip() for l in f if l.strip()}
+
     opts = OptimizeOptions(
         radius=args.radius,
         min_improvement=args.min_improvement,
@@ -101,6 +169,8 @@ def main(argv=None) -> int:
         node_proportion=args.node_proportion,
         seed=args.node_seed,
         reduce_back_mutations=not args.no_reduce_back_mutations,
+        blacklist=blacklist,
+        drift_nwk_stem=args.drift_nwk_file,
     )
     optimize_tree(T, opts)
     save_mat_pb(T, args.dout)

@@ -299,6 +299,43 @@ def cmd_fix(argv) -> int:
     return 0
 
 
+def cmd_introduce(argv) -> int:
+    from ..matutils.introduce import introduce_main
+    p = argparse.ArgumentParser(prog="matUtils introduce")
+    p.add_argument("--input-mat", "-i", required=True)
+    p.add_argument("--population-samples", "-s", required=True,
+                   help="sample names (optionally sample\\tregion) of the "
+                        "population of interest")
+    p.add_argument("--additional-info", "-a", action="store_true")
+    p.add_argument("--clade-regions", "-c", default="")
+    p.add_argument("--date-metadata", "-M", default="")
+    p.add_argument("--full-output", "-o", default="")
+    p.add_argument("--origin-confidence", "-C", type=float, default=0.5)
+    p.add_argument("--evaluate-metadata", "-E", action="store_true")
+    p.add_argument("--dump-assignments", "-D", default="")
+    p.add_argument("--latest-date", "-l", default="1500/1/1")
+    p.add_argument("--cluster-output", "-u", default="")
+    p.add_argument("--earliest-date", "-L", default="1500/1/1")
+    p.add_argument("--num-to-report", "-r", type=int, default=1)
+    p.add_argument("--minimum-to-report", "-R", type=float, default=0.05)
+    p.add_argument("--num-to-look", "-X", type=int, default=0)
+    p.add_argument("--minimum-gap", "-G", type=int, default=0)
+    p.add_argument("--threads", "-T", type=int, default=0)
+    a = p.parse_args(argv)
+    introduce_main(
+        a.input_mat, a.population_samples,
+        additional_info=a.additional_info, clade_regions=a.clade_regions,
+        date_metadata=a.date_metadata, full_output=a.full_output,
+        origin_confidence=a.origin_confidence,
+        evaluate_metadata=a.evaluate_metadata,
+        dump_assignments=a.dump_assignments, latest_date=a.latest_date,
+        cluster_output=a.cluster_output, earliest_date=a.earliest_date,
+        num_to_report=a.num_to_report,
+        minimum_to_report=a.minimum_to_report, num_to_look=a.num_to_look,
+        minimum_gap=a.minimum_gap)
+    return 0
+
+
 COMMANDS = {
     "extract": cmd_extract,
     "summary": cmd_summary,
@@ -307,6 +344,7 @@ COMMANDS = {
     "merge": cmd_merge,
     "mask": cmd_mask,
     "fix": cmd_fix,
+    "introduce": cmd_introduce,
 }
 
 

@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils.instrument import (apply_platform_env,
+                                    maybe_begin_session_from_env)
+    apply_platform_env()
+    maybe_begin_session_from_env()
     args = build_parser().parse_args(argv)
 
     t0 = time.time()

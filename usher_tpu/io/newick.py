@@ -107,17 +107,26 @@ def _fmt_len(n_muts: int) -> str:
 def write_newick(T: Tree, node=None, print_internal: bool = True,
                  print_branch_len: bool = True,
                  retain_original_branch_len: bool = False,
-                 uncondense_leaves: bool = False) -> str:
+                 uncondense_leaves: bool = False,
+                 use_stored_branch_len: bool = False) -> str:
     """Serialize the subtree rooted at `node` (default: tree root).
 
     retain_original_branch_len is accepted for CLI parity but has no effect:
-    the reference's writer always emits mutation counts
-    (mutation_annotated_tree.cpp:229-230).
+    the reference's classic writer always emits mutation counts
+    (mutation_annotated_tree.cpp:229-230).  use_stored_branch_len selects
+    the compact-MAT writer semantics instead (branch_length field verbatim,
+    e.g. EPP counts; mutation_annotated_tree_load_store.cpp:71-129).
     """
     if node is None:
         node = T.root
     if node is None:
         return ";"
+
+    def _blen(cur):
+        if use_stored_branch_len:
+            bl = float(cur.branch_length)
+            return str(int(bl)) if bl.is_integer() else f"{bl:.6g}"
+        return _fmt_len(len(cur.mutations))
     parts: list[str] = []
     OPEN, CLOSE, COMMA = 0, 1, 2
     stack: list[tuple[object, int]] = [(node, OPEN)]
@@ -132,7 +141,7 @@ def write_newick(T: Tree, node=None, print_internal: bool = True,
                 else:
                     parts.append(cur.identifier)
                 if print_branch_len:
-                    parts.append(":" + _fmt_len(len(cur.mutations)))
+                    parts.append(":" + _blen(cur))
             else:
                 parts.append("(")
                 stack.append((cur, CLOSE))
@@ -146,6 +155,6 @@ def write_newick(T: Tree, node=None, print_internal: bool = True,
             if print_internal:
                 parts.append(cur.identifier)
             if print_branch_len:
-                parts.append(":" + _fmt_len(len(cur.mutations)))
+                parts.append(":" + _blen(cur))
     parts.append(";")
     return "".join(parts)

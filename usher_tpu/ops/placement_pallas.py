@@ -47,8 +47,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tile sizes. TBK = TB * K is the lane width of the gathered tile; K (entry
 # slots per sample) is a power of two <= TBK so TB = TBK // K samples share
-# one grid step.
-TN = 512        # node rows per step
+# one grid step.  TN is bounded by VMEM: the correction phase holds several
+# [TN, TBK] int32 temporaries (TN=512 overflows the 16 MB scoped budget when
+# the position axis is multi-slab).
+TN = 256        # node rows per step
 TP = 512        # position slab per step (contraction accumulated over slabs)
 TBK = 1024      # gathered lane width
 
@@ -130,21 +132,15 @@ def _pad_to(x, n, axis, value=0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("k_slots",))
-def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
-    """Node-major sparse scoring.
+def _score_entries_T(st, stp, ref, base, nc_base, pos, gval, kmiss,
+                     k_slots: int):
+    """Kernel core over an arbitrary position axis (full genome columns or a
+    batch-specific column subset): packs st|stp<<4, pads, and runs the grid.
 
-    st     [N, P] uint8   path-state nibbles
-    parent [N]    int32
-    ref    [P]    uint8
-    pos    [B, K] int32   entry positions (>= P means padding slot)
-    gval   [B, K] uint8   sample allele mask per entry (0xF at missing)
-    kmiss  [B, K] bool    entry is missing (N)
-    k_slots = K, a power of two dividing TBK.
-
-    Returns (score_T [N, B] int32, num_common_T [N, B] int32,
-             node_num_mut [N] int32) — exactly score_batch's outputs,
-    transposed, without the inactive-slot masking (callers mask).
+    st/stp [N, Pc] uint8, ref [Pc] uint8, base/nc_base [N] int32 (the
+    no-entry aggregate over the FULL position set), pos [B, K] int32 in the
+    SAME coordinate space as the Pc axis (>= Pc marks padding slots).
+    Returns (score_T [N, B], num_common_T [N, B]) int32.
     """
     K = k_slots
     assert TBK % K == 0
@@ -152,21 +148,9 @@ def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
     N, P = st.shape
     B = pos.shape[0]
 
-    stp = st[parent]
-    stp = stp.at[root_slot].set(st[root_slot])
-
     sti = st.astype(jnp.int32)
     stpi = stp.astype(jnp.int32)
     refi = ref.astype(jnp.int32)[None, :]
-    matched0 = (refi & sti) != 0
-    bm0 = sti != stpi
-    # no-entry term with g == ref: A = (bm & ~matched) ? stp : st, term = A != ref.
-    # (At lane-padding positions ref == st == 0 this is exactly 0, unlike the
-    # shortcut "(ref & st) == 0 implies st != ref" which assumes ref != 0.)
-    base = jnp.where(bm0 & ~matched0, stpi != refi,
-                     sti != refi).sum(1, dtype=jnp.int32)
-    nc_base = ((sti != stpi) & ((refi & sti) != 0)).sum(1, dtype=jnp.int32)
-    node_num_mut = (sti != stpi).sum(1, dtype=jnp.int32)
 
     n_pad = -(-N // TN) * TN
     p_pad = -(-P // TP) * TP
@@ -222,7 +206,69 @@ def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
     )(meta, base2, packed, onehot)
     score_t = score_t.transpose(1, 0, 2).reshape(n_pad, b_pad)
     nc_t = nc_t.transpose(1, 0, 2).reshape(n_pad, b_pad)
-    return score_t[:N, :B], nc_t[:N, :B], node_num_mut
+    return score_t[:N, :B], nc_t[:N, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("k_slots",))
+def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
+    """Node-major sparse scoring.
+
+    st     [N, P] uint8   path-state nibbles
+    parent [N]    int32
+    ref    [P]    uint8
+    pos    [B, K] int32   entry positions (>= P means padding slot)
+    gval   [B, K] uint8   sample allele mask per entry (0xF at missing)
+    kmiss  [B, K] bool    entry is missing (N)
+    k_slots = K, a power of two dividing TBK.
+
+    Returns (score_T [N, B] int32, num_common_T [N, B] int32,
+             node_num_mut [N] int32) — exactly score_batch's outputs,
+    transposed, without the inactive-slot masking (callers mask).
+    """
+    stp = st[parent]
+    stp = stp.at[root_slot].set(st[root_slot])
+
+    sti = st.astype(jnp.int32)
+    stpi = stp.astype(jnp.int32)
+    refi = ref.astype(jnp.int32)[None, :]
+    matched0 = (refi & sti) != 0
+    bm0 = sti != stpi
+    # no-entry term with g == ref: A = (bm & ~matched) ? stp : st, term = A != ref.
+    # (At lane-padding positions ref == st == 0 this is exactly 0, unlike the
+    # shortcut "(ref & st) == 0 implies st != ref" which assumes ref != 0.)
+    base = jnp.where(bm0 & ~matched0, stpi != refi,
+                     sti != refi).sum(1, dtype=jnp.int32)
+    nc_base = ((sti != stpi) & ((refi & sti) != 0)).sum(1, dtype=jnp.int32)
+    node_num_mut = (sti != stpi).sum(1, dtype=jnp.int32)
+
+    score_t, nc_t = _score_entries_T(st, stp, ref, base, nc_base,
+                                     pos, gval, kmiss, k_slots)
+    return score_t, nc_t, node_num_mut
+
+
+@functools.partial(jax.jit, static_argnames=("k_slots", "n_anc"))
+def score_cols_T(m0, anc, parent, root_slot, ref_cols, base, nc_base,
+                 pos, gval, kmiss, k_slots: int, n_anc: int):
+    """Column-subset scoring for CSR-backed MATs (core/bigmat.py): path
+    states at the batch's C entry columns are materialized on device by
+    pointer-doubling over ancestor tables, then scored by the same kernel.
+
+    m0       [N, C] uint8  node's OWN branch-mutation allele at column c
+                           (0 = none; alleles are nonzero nibbles)
+    anc      [n_anc, N] i32  anc[k] = 2^k-th ancestor (root points to itself)
+    ref_cols [C] uint8     reference allele per column
+    base, nc_base [N] i32  full-genome no-entry aggregates (host precomputed)
+    pos      [B, K] i32    entry COLUMN indices (>= C marks padding)
+    Returns (score_T [N, B], num_common_T [N, B]) int32.
+    """
+    val = m0
+    for k in range(n_anc):
+        val = jnp.where(val > 0, val, val[anc[k]])
+    st_cols = jnp.where(val > 0, val, ref_cols[None, :])
+    stp_cols = st_cols[parent]
+    stp_cols = stp_cols.at[root_slot].set(st_cols[root_slot])
+    return _score_entries_T(st_cols, stp_cols, ref_cols, base, nc_base,
+                            pos, gval, kmiss, k_slots)
 
 
 def valid_mask_T(score_t, nc_t, node_num_mut, is_root_mask, is_leaf, active):

@@ -38,6 +38,35 @@ def _err(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# --- graceful interruption (reference matOptimize/main.cpp:59-66) -----------
+# SIGUSR2 requests a graceful stop: finish applying the current batch, save,
+# exit.  SIGUSR1 requests a log flush.
+_interrupted = False
+_flush_requested = False
+
+
+def _on_sigusr2(signum, frame):
+    global _interrupted
+    _interrupted = True
+
+
+def _on_sigusr1(signum, frame):
+    global _flush_requested
+    _flush_requested = True
+
+
+def install_signal_handlers() -> None:
+    """Install SIGUSR1 (flush log) / SIGUSR2 (graceful stop) handlers; call
+    from the CLI main thread."""
+    import signal
+    signal.signal(signal.SIGUSR1, _on_sigusr1)
+    signal.signal(signal.SIGUSR2, _on_sigusr2)
+
+
+def _interrupt_requested() -> bool:
+    return _interrupted
+
+
 @dataclass
 class OptimizeOptions:
     radius: int = -1                 # <0: start at 2, double up to tree span
@@ -54,6 +83,64 @@ class OptimizeOptions:
     exhaustive_first: bool = False
     reduce_back_mutations: bool = True  # final min-back FS pass (reference
                                         # matOptimize main.cpp:570-581 default)
+    blacklist: frozenset = frozenset()  # node ids never moved (reference
+                                        # --black_list_node_file)
+    drift_nwk_stem: str = ""            # -b intermediate newicks while
+                                        # drifting (reference main.cpp:181)
+
+
+def _collect_affected(mv, affected: set, changed: set) -> None:
+    """Positions whose FS states a move can perturb (mutations in the moved
+    subtree + on both old and new root paths + merge partners) and the
+    identifiers of the topology-change points (for change-flag selection,
+    reference main_helper.cpp:79-141)."""
+    s, d = mv.src, mv.dst
+    stack = [s]
+    while stack:
+        nd = stack.pop()
+        for m in nd.mutations:
+            affected.add(m.position)
+        stack.extend(nd.children)
+    p = s.parent
+    changed.add(s.identifier)
+    changed.add(d.identifier)
+    if p is not None:
+        changed.add(p.identifier)
+        for sib in p.children:
+            if sib is not s:
+                changed.add(sib.identifier)
+                for m in sib.mutations:
+                    affected.add(m.position)
+    cur = p
+    while cur is not None:
+        for m in cur.mutations:
+            affected.add(m.position)
+        cur = cur.parent
+    cur = d
+    while cur is not None:
+        for m in cur.mutations:
+            affected.add(m.position)
+        cur = cur.parent
+
+
+def _ball_sources(finder, changed_ids: set, radius: int) -> list:
+    """BFS-index sources within `radius` hops of any changed node —
+    O(ball size), replacing full-tree rescans between iterations."""
+    from collections import deque
+    seeds = [i for i, nd in enumerate(finder.bfs)
+             if nd.identifier in changed_ids]
+    dist = {i: 0 for i in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        du = dist[u]
+        if du >= radius:
+            continue
+        for v in finder.adj[u]:
+            if v not in dist:
+                dist[v] = du + 1
+                q.append(v)
+    return sorted(i for i in dist if i != 0)
 
 
 def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
@@ -63,6 +150,7 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
     positions, ref, chrom = collect_positions(T)
     if len(positions) == 0:
         return 0
+    pos_index = {int(p): i for i, p in enumerate(positions)}
     rng = np.random.default_rng(opts.seed)
 
     log_f = open(opts.profitable_src_log, "w") if opts.profitable_src_log else None
@@ -76,29 +164,61 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
 
     engine = FitchEngine(T, positions)
     leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
+    # persistent leaf genotypes (the reference's Original_State_t,
+    # check_samples.cpp:35-41): the invariant of the whole optimization
+    leaf_rows = {engine.bfs[i].identifier: leaf_masks[i].copy()
+                 for i in range(engine.n) if engine.is_leaf[i]}
+
+    def full_refresh():
+        eng = FitchEngine(T, positions)
+        lm = np.zeros((eng.n, len(positions)), dtype=np.uint8)
+        for i in range(eng.n):
+            if eng.is_leaf[i]:
+                lm[i] = leaf_rows[eng.bfs[i].identifier]
+        st, mk = eng.run(lm, ref_row)
+        sc = eng.rewrite_mutations(st, lm, ref_row, chrom)
+        return eng, st, mk, sc
+
     states, masks = engine.run(leaf_masks, ref_row)
     score = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
     _err(f"Initial parsimony score {score}")
 
     drift_remaining = opts.drift_iterations
     iteration = 0
+    changed_ids: set | None = None   # None = scan every source
     while iteration < opts.max_iterations:
         iteration += 1
         if opts.max_hours and (time.time() - t_start) > opts.max_hours * 3600:
             _err("Exceeded max runtime, saving current tree")
             break
+        if _interrupt_requested():
+            _err("Interrupt requested (SIGUSR2), saving current tree")
+            break
 
         finder = MoveFinder(T, states, masks, ref_row, engine.bfs,
                             engine.parent, chunk=opts.source_chunk)
-        sources = list(range(1, finder.n))
-        if opts.node_proportion < 1.0:
+        if changed_ids is not None:
+            sources = _ball_sources(finder, changed_ids, radius)
+        else:
+            sources = list(range(1, finder.n))
+        if opts.blacklist:
+            sources = [i for i in sources
+                       if finder.bfs[i].identifier not in opts.blacklist]
+        if opts.node_proportion < 1.0 and sources:
             k = max(1, int(len(sources) * opts.node_proportion))
-            sources = sorted(rng.choice(len(sources), size=k, replace=False) + 1)
-            sources = [int(x) for x in sources]
-        moves = finder.find_moves(radius, sources=sources)
+            pick = rng.choice(len(sources), size=k, replace=False)
+            sources = sorted(sources[int(x)] for x in pick)
+        from ..utils.instrument import timeit
+        with timeit("optimize:find_moves"):
+            moves = finder.find_moves(radius, sources=sources)
         accepted = resolve_conflicts(moves)
 
         if not accepted:
+            if changed_ids is not None:
+                # the changed-region scan is exhausted; fall back to one
+                # full rescan before concluding convergence at this radius
+                changed_ids = None
+                continue
             if doubling and radius < 2 * max_level:
                 radius *= 2
                 _err(f"No profitable moves at radius {radius // 2}, "
@@ -107,22 +227,62 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             break
 
         snapshot = T.copy()
+        affected: set = set()
+        changed_new: set = set()
+        for mv in accepted:
+            _collect_affected(mv, affected, changed_new)
         for mv in accepted:
             apply_move(T, mv)
+            if mv.src.parent is not None:
+                changed_new.add(mv.src.parent.identifier)
             if log_f:
                 log_f.write(f"{mv.src.identifier}\t{mv.dst.identifier}\t"
                             f"{iteration}\t{-mv.improvement}\t0\t"
                             f"{mv.src_interval[1]-mv.src_interval[0]}\n")
 
-        engine = FitchEngine(T, positions)
-        leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
-        states, masks = engine.run(leaf_masks, ref_row)
-        new_score = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
+        # local FS patch-up (reference apply_move/backward_pass.cpp): only
+        # the affected positions are re-solved; everything else keeps its
+        # provably-still-optimal assignment
+        cols = sorted(pos_index[p] for p in affected if p in pos_index)
+        new_engine = FitchEngine(T, positions)
+        old_index = {id(nd): i for i, nd in enumerate(engine.bfs)}
+        src_rows = np.empty(new_engine.n, dtype=np.int64)
+        ok_remap = True
+        for i, nd in enumerate(new_engine.bfs):
+            j = old_index.get(id(nd))
+            if j is None:
+                # freshly created internal node (sibling split): identical to
+                # its surviving child's path state outside the patched columns
+                ch = next((c for c in nd.children if id(c) in old_index),
+                          None)
+                if ch is None:
+                    ok_remap = False
+                    break
+                j = old_index[id(ch)]
+            src_rows[i] = j
+
+        if not ok_remap or len(cols) > len(positions) // 2:
+            engine, states, masks, new_score = full_refresh()
+        else:
+            engine = new_engine
+            states = states[src_rows]
+            masks = masks[src_rows]
+            cols_arr = np.asarray(cols, dtype=np.int64)
+            lm_sub = np.zeros((engine.n, len(cols)), dtype=np.uint8)
+            for i in range(engine.n):
+                if engine.is_leaf[i]:
+                    lm_sub[i] = leaf_rows[engine.bfs[i].identifier][cols_arr]
+            with timeit("optimize:fs_patch"):
+                st_sub, mk_sub = engine.run(lm_sub, ref_row[cols_arr])
+            engine.patch_mutations(st_sub, lm_sub, ref_row[cols_arr], chrom,
+                                   positions[cols_arr])
+            states[:, cols_arr] = st_sub
+            masks[:, cols_arr] = mk_sub
+            new_score = T.get_parsimony_score()
 
         if new_score > score:
             # guard: the batch interacted badly; revert and apply only the
-            # single best move (looked up by identifier in the restored tree
-            # -- the Move's node objects were mutated by the failed batch)
+            # single best move
             _err(f"Iteration {iteration}: batch regressed "
                  f"({score} -> {new_score}), reverting to single best move")
             T.__dict__.update(snapshot.__dict__)
@@ -136,25 +296,24 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                           src_interval=mv0.src_interval,
                           dst_dfs=mv0.dst_dfs)
             apply_move(T, replay)
-            engine = FitchEngine(T, positions)
-            leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
-            states, masks = engine.run(leaf_masks, ref_row)
-            new_score = engine.rewrite_mutations(states, leaf_masks, ref_row,
-                                                 chrom)
+            engine, states, masks, new_score = full_refresh()
             if new_score > score:
                 T.__dict__.update(snapshot2.__dict__)
-                engine = FitchEngine(T, positions)
-                leaf_masks, ref_row = leaf_masks_from_tree(T, positions,
-                                                           engine.bfs)
-                states, masks = engine.run(leaf_masks, ref_row)
-                new_score = engine.rewrite_mutations(states, leaf_masks,
-                                                     ref_row, chrom)
+                engine, states, masks, new_score = full_refresh()
                 break
 
         improvement = score - new_score
         _err(f"Iteration {iteration}: parsimony {score} -> {new_score} "
-             f"({len(accepted)} moves applied, radius {radius})")
+             f"({len(accepted)} moves applied, radius {radius}, "
+             f"{len(sources)} sources scanned, {len(cols)} positions "
+             f"patched)")
         score = new_score
+        changed_ids = changed_new
+
+        global _flush_requested
+        if _flush_requested and log_f:
+            log_f.flush()
+            _flush_requested = False
 
         if opts.checkpoint_path and opts.checkpoint_minutes > 0 and (
                 time.time() - t_checkpoint) > opts.checkpoint_minutes * 60:
@@ -168,15 +327,25 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
         if improvement < opts.min_improvement * max(score, 1):
             if drift_remaining > 0:
                 drift_remaining -= 1
+                if opts.drift_nwk_stem:
+                    from ..io.newick import write_newick
+                    with open(f"{opts.drift_nwk_stem}{iteration}.nwk",
+                              "w") as f:
+                        f.write(write_newick(T, print_internal=True,
+                                             print_branch_len=True))
             elif doubling and radius < 2 * max_level:
                 radius *= 2
+                changed_ids = None   # a wider radius needs a full rescan
             else:
                 break
 
     if opts.reduce_back_mutations:
         # final pass: re-pick states minimizing (parsimony, back-mutations)
         engine = FitchEngine(T, positions)
-        leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
+        leaf_masks = np.zeros((engine.n, len(positions)), dtype=np.uint8)
+        for i in range(engine.n):
+            if engine.is_leaf[i]:
+                leaf_masks[i] = leaf_rows[engine.bfs[i].identifier]
         states, masks = engine.run(leaf_masks, ref_row, min_back=True)
         mb_score = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
         if mb_score > score:

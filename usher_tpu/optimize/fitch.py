@@ -234,13 +234,19 @@ class FitchEngine:
         self.chunk = int(chunk)
 
         maxlen = max(len(a) for a in self.levels)
-        L = len(self.levels)
-        self.level_pad = np.zeros((L, maxlen), dtype=np.int32)
-        self.level_len = np.zeros(L, dtype=np.int32)
+        # bucket the jit-static dims (level count, unique-parent width) so
+        # tree surgery between iterations doesn't retrigger compilation:
+        # extra levels have level_len == 0 and are exact no-ops in the DP
+        L_real = len(self.levels)
+        L = -(-L_real // 8) * 8
         uparents = []
         for a in self.levels:
             uparents.append(np.unique(self.parent[a]))
-        self.max_u = max((len(u) for u in uparents[1:]), default=1) or 1
+        max_u_real = max((len(u) for u in uparents[1:]), default=1) or 1
+        self.max_u = 1 << (max_u_real - 1).bit_length() if max_u_real > 1 else 1
+        self.n_levels = L
+        self.level_pad = np.zeros((L, maxlen), dtype=np.int32)
+        self.level_len = np.zeros(L, dtype=np.int32)
         self.uparent_pad = np.zeros((L, self.max_u), dtype=np.int32)
         self.uparent_len = np.zeros(L, dtype=np.int32)
         self.parent_slot_pad = np.zeros((L, maxlen), dtype=np.int32)
@@ -284,27 +290,21 @@ class FitchEngine:
             fn = _min_back_chunk if min_back else _fs_chunk
             st, mk = fn(jnp.asarray(lm), is_leaf_dev, psl,
                         lp, ll, up, ul, parent_dev, jnp.asarray(rn),
-                        n_levels=len(self.levels), max_u=self.max_u)
+                        n_levels=self.n_levels, max_u=self.max_u)
             states[:, c0:c1] = np.asarray(st, dtype=np.int8)[:, :c1 - c0]
             masks[:, c0:c1] = np.asarray(mk)[:, :c1 - c0]
         return states, masks
 
-    def rewrite_mutations(self, states: np.ndarray, leaf_masks: np.ndarray,
-                          ref_row: np.ndarray, chrom: str) -> int:
-        """Replace every node's branch mutations from the FS states.
-
-        Internal nodes take single FS states; leaves keep their full original
-        genotype mask as mut_nuc when the parent state is outside it
-        (ambiguity-preserving, so genotype reconstruction stays exact).
-        Returns the new total parsimony score."""
-        positions = self.positions
+    def _mutation_lists(self, states, leaf_masks, ref_row, positions, chrom):
+        """Per-node mutation lists implied by FS states over the given
+        position axis (width of states/leaf_masks/ref_row).  Returns
+        (per_node lists, total count)."""
         n = self.n
         par_states = states[self.parent]
         par_states[0] = np.where(
             ref_row > 0, np.log2(np.maximum(ref_row, 1)).astype(np.int8), 0)
         total = 0
         leaf_arr = self.is_leaf
-        # vectorized mutation site detection
         par_nib = (1 << par_states.astype(np.int32)).astype(np.uint8)
         self_nib = (1 << states.astype(np.int32)).astype(np.uint8)
         internal_mut = (~leaf_arr[:, None]) & (self_nib != par_nib)
@@ -325,6 +325,46 @@ class FitchEngine:
                 chrom=chrom, position=pos, ref_nuc=r,
                 par_nuc=int(par_nib[ni, si]), mut_nuc=mut_nuc))
             total += 1
+        return per_node, total
+
+    def patch_mutations(self, states: np.ndarray, leaf_masks: np.ndarray,
+                        ref_row: np.ndarray, chrom: str,
+                        col_positions) -> int:
+        """Restricted rewrite: replace branch mutations ONLY at the given
+        genome positions (the local FS patch-up of reference apply_move/
+        backward_pass.cpp — topology changes only perturb states at
+        positions mutated on the touched subtrees/paths).  The arrays here
+        are restricted to those columns.  Returns the parsimony DELTA
+        (#added - #removed) over the patched positions."""
+        positions = np.asarray(col_positions)
+        per_node, added = self._mutation_lists(states, leaf_masks, ref_row,
+                                               positions, chrom)
+        pos_set = {int(p) for p in positions}
+        removed = 0
+        for i, node in enumerate(self.bfs):
+            old = node.mutations
+            if not old and not per_node[i]:
+                continue
+            kept = [m for m in old if m.position not in pos_set]
+            removed += len(old) - len(kept)
+            if per_node[i]:
+                merged = kept + per_node[i]
+                merged.sort(key=lambda m: m.position)
+                node.mutations = merged
+            else:
+                node.mutations = kept
+        return added - removed
+
+    def rewrite_mutations(self, states: np.ndarray, leaf_masks: np.ndarray,
+                          ref_row: np.ndarray, chrom: str) -> int:
+        """Replace every node's branch mutations from the FS states.
+
+        Internal nodes take single FS states; leaves keep their full original
+        genotype mask as mut_nuc when the parent state is outside it
+        (ambiguity-preserving, so genotype reconstruction stays exact).
+        Returns the new total parsimony score."""
+        per_node, total = self._mutation_lists(states, leaf_masks, ref_row,
+                                               self.positions, chrom)
         for i, node in enumerate(self.bfs):
             node.mutations = per_node[i]
         return total

@@ -29,8 +29,8 @@ reference's `find_moves_bounded` radius (Profitable_Moves_Enumerators.hpp:166).
 
 from __future__ import annotations
 
+import functools
 import sys
-from collections import deque
 from dataclasses import dataclass
 
 import numpy as np
@@ -51,10 +51,19 @@ class Move:
     dst_dfs: int
 
 
-@jax.jit
-def _score_moves(st, stp, ref, active, g, dest_ok, num_leaves, bfs_rank):
-    """Score subtree masks g [B,P] against all dests; returns per-source
-    (best_cost [B], best_slot [B], best_has_unique [B])."""
+@functools.partial(jax.jit, static_argnames=("L",))
+def _score_moves(st, stp, ref, active, g, num_leaves, bfs_rank,
+                 dfs_idx, level, anc_lo, anc_hi, anc_lvl,
+                 src_level, src_lo, src_hi, src_parent, radius, L: int):
+    """Score subtree masks g [B,P] against all radius-bounded dests in one
+    fused call; returns per-source (best_cost [B], best_slot [B],
+    best_has_unique [B]).
+
+    Radius bounding is computed ON DEVICE (replacing the reference's per-node
+    pointer walks and round 1's per-source host BFS): hop distance in a tree
+    is level[src] + level[dst] - 2*level[lca], and lca level for all dsts at
+    once is the deepest src-ancestor whose DFS interval contains dst — a max
+    over the L padded ancestor slots (anc_lo/anc_hi/anc_lvl [B, L])."""
     E = jnp.ones(g.shape, dtype=jnp.bool_)
     miss = jnp.zeros(g.shape, dtype=jnp.bool_)
     score, num_common, node_num_mut = score_with_stp(
@@ -64,7 +73,22 @@ def _score_moves(st, stp, ref, active, g, dest_ok, num_leaves, bfs_rank):
         jnp.zeros(st.shape[0], jnp.bool_).at[0].set(True),
         jnp.zeros(st.shape[0], jnp.bool_),  # dest leaves get sibling-split via has_unique anyway
         active)
-    valid = valid & dest_ok
+
+    # device radius mask
+    d = dfs_idx[None, :]
+    lca_lvl = jnp.full((g.shape[0], st.shape[0]), -1, dtype=jnp.int32)
+    for l in range(L):
+        contains = (anc_lo[:, l:l + 1] <= d) & (d < anc_hi[:, l:l + 1])
+        lca_lvl = jnp.maximum(lca_lvl,
+                              jnp.where(contains, anc_lvl[:, l:l + 1], -1))
+    dist = level[None, :] + src_level[:, None] - 2 * lca_lvl
+    ok = dist <= radius
+    in_sub = (d >= src_lo[:, None]) & (d < src_hi[:, None])
+    ok = ok & ~in_sub
+    idx = jnp.arange(st.shape[0], dtype=jnp.int32)[None, :]
+    ok = ok & (idx != src_parent[:, None])
+    valid = valid & ok
+
     big = jnp.int32(1 << 30)
     s = jnp.where(valid, score, big)
     best = jnp.min(s, axis=1)
@@ -79,25 +103,6 @@ def _score_moves(st, stp, ref, active, g, dest_ok, num_leaves, bfs_rank):
         (bfs_rank[None, :] == best_rank[:, None]) & is_best2, axis=1)
     hu_best = jnp.take_along_axis(has_unique, best_slot[:, None], axis=1)[:, 0]
     return best, best_slot.astype(jnp.int32), hu_best
-
-
-def hop_distance_mask(adj: list[list[int]], src: int, radius: int,
-                      n: int) -> np.ndarray:
-    """Nodes within `radius` undirected hops of src (excluding src)."""
-    out = np.zeros(n, dtype=bool)
-    dist = {src: 0}
-    q = deque([src])
-    while q:
-        u = q.popleft()
-        du = dist[u]
-        if du >= radius:
-            continue
-        for v in adj[u]:
-            if v not in dist:
-                dist[v] = du + 1
-                out[v] = True
-                q.append(v)
-    return out
 
 
 def merge_count(a, b) -> int:
@@ -165,6 +170,9 @@ class MoveFinder:
         self.bfs_index = {id(node): i for i, node in enumerate(bfs)}
         self.dfs_idx = np.array([node.dfs_idx for node in bfs], dtype=np.int64)
         self.dfs_end = np.array([node.dfs_end_idx for node in bfs], dtype=np.int64)
+        self.level = np.array([node.level for node in bfs], dtype=np.int32)
+        self.dfs_idx_dev = jnp.asarray(self.dfs_idx.astype(np.int32))
+        self.level_dev = jnp.asarray(self.level)
 
         num_leaves = np.zeros(n, dtype=np.int32)
         for i in range(n - 1, 0, -1):
@@ -189,33 +197,58 @@ class MoveFinder:
         if sources is None:
             sources = [i for i in range(1, n)]
         moves: list[Move] = []
-        wide = radius <= 0 or radius >= 2 * max(node.level for node in bfs)
+        max_level = int(self.level.max()) if n else 0
+        eff_radius = radius if radius > 0 else 2 * max_level + 2
 
         for c0 in range(0, len(sources), self.chunk):
             idxs = sources[c0:c0 + self.chunk]
             B = len(idxs)
             Bp = self.chunk
             g = np.zeros((Bp, self.masks.shape[1]), dtype=np.uint8)
-            dest_ok = np.zeros((Bp, n), dtype=bool)
             oldcost = np.zeros(Bp, dtype=np.int64)
+            paths = []
             for b, si in enumerate(idxs):
                 node = bfs[si]
                 g[b] = self.masks[si]
-                if wide:
-                    ok = np.ones(n, dtype=bool)
-                else:
-                    ok = hop_distance_mask(self.adj, si, radius, n)
-                # exclude subtree(s), s itself, parent(s)
-                lo, hi = self.dfs_idx[si], self.dfs_end[si]
-                ok &= ~((self.dfs_idx >= lo) & (self.dfs_idx < hi))
-                ok[self.parent[si]] = False
-                dest_ok[b] = ok
                 oldcost[b] = len(node.mutations) + collapse_bonus(node)
+                # proper ancestors, nearest first (the lca of src and any
+                # dst outside src's subtree is one of these)
+                path = []
+                p = int(self.parent[si])
+                while True:
+                    path.append(p)
+                    if p == 0:
+                        break
+                    p = int(self.parent[p])
+                paths.append(path)
             g[B:] = 0xF
+            maxL = max((len(p) for p in paths), default=1)
+            L = -(-maxL // 8) * 8  # bucket the static dim
+            anc_lo = np.zeros((Bp, L), dtype=np.int32)
+            anc_hi = np.zeros((Bp, L), dtype=np.int32)
+            anc_lvl = np.full((Bp, L), -1, dtype=np.int32)
+            src_level = np.zeros(Bp, dtype=np.int32)
+            src_lo = np.zeros(Bp, dtype=np.int32)
+            src_hi = np.full(Bp, n, dtype=np.int32)
+            src_parent = np.zeros(Bp, dtype=np.int32)
+            for b, si in enumerate(idxs):
+                for l, a in enumerate(paths[b]):
+                    anc_lo[b, l] = self.dfs_idx[a]
+                    anc_hi[b, l] = self.dfs_end[a]
+                    anc_lvl[b, l] = self.level[a]
+                src_level[b] = self.level[si]
+                src_lo[b] = self.dfs_idx[si]
+                src_hi[b] = self.dfs_end[si]
+                src_parent[b] = self.parent[si]
 
-            cost, slot, hu = ( np.asarray(x) for x in _score_moves(
+            cost, slot, hu = (np.asarray(x) for x in _score_moves(
                 self.st, self.stp, self.ref, self.active, jnp.asarray(g),
-                jnp.asarray(dest_ok), self.num_leaves, self.bfs_rank))
+                self.num_leaves, self.bfs_rank,
+                self.dfs_idx_dev, self.level_dev,
+                jnp.asarray(anc_lo), jnp.asarray(anc_hi),
+                jnp.asarray(anc_lvl), jnp.asarray(src_level),
+                jnp.asarray(src_lo), jnp.asarray(src_hi),
+                jnp.asarray(src_parent), jnp.int32(eff_radius), L))
             for b, si in enumerate(idxs):
                 imp = int(oldcost[b]) - int(cost[b])
                 if imp > 0 and cost[b] < (1 << 29):

@@ -298,8 +298,7 @@ def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
              "should be >= 1")
         return 1
     if opts.max_trees > 1:
-        raise NotImplementedError(
-            "--multiple-placements > 1 is not implemented yet in usher-tpu")
+        return run_usher_multi(T, missing_samples, opts, vcf)
     if opts.no_add and (opts.print_subtrees_size > 0 or opts.print_subtrees_single):
         _err("ERROR: Sorry, cannot output subtrees when -n/--no-add is specified.")
         return 1
@@ -405,12 +404,14 @@ def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
             res.best_node = pairs[best_i][0]
             res.best_has_unique = pairs[best_i][1]
 
+        from ..utils.instrument import timeit
         flat_batches = [indexes[i:i + bsz] for i in range(0, len(indexes), bsz)]
         for batch_idx in flat_batches:
             batch = [missing_samples[i] for i in batch_idx]
-            pres = engine.score_samples(
-                [s.mutations for s in batch],
-                want_matrix=opts.print_parsimony_scores)
+            with timeit("placement:score_batch"):
+                pres = engine.score_samples(
+                    [s.mutations for s in batch],
+                    want_matrix=opts.print_parsimony_scores)
             # nodes whose score could differ from the snapshot due to earlier
             # applies in this batch (split node + the nodes it created)
             check_nodes: list = []
@@ -645,6 +646,204 @@ def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
         T.condense_leaves()
         save_mat_pb(T, opts.dout_filename)
 
+    return 0
+
+
+def run_usher_multi(T: Tree, missing_samples: list[MissingSample],
+                    opts: UsherOptions, vcf=None) -> int:
+    """--multiple-placements (-M > 1): each sample is placed into EVERY tree
+    accumulated so far; when a tree offers multiple parsimony-optimal
+    placements and capacity remains, the tree is forked — one copy per
+    co-optimal node in BFS order (usher_common.cpp:310-780; fork accounting
+    :556-585; per-tree outputs :830-1011).
+
+    Deviation from the reference: the fork's sibling-vs-child choice uses
+    the tied node's own has_unique value (the reference indexes
+    node_has_unique[k] with the fork counter, usher_common.cpp:653 — an
+    out-of-range-looking index we do not reproduce)."""
+    os.makedirs(opts.outdir, exist_ok=True)
+    outdir = os.path.realpath(opts.outdir)
+
+    if opts.collapse_tree:
+        _err("Collapsing input tree.")
+        T.collapse_tree()
+        _err("Condensing identical sequences.")
+        T.condense_leaves()
+        path = os.path.join(outdir, "condensed-tree.nh")
+        with open(path, "w") as f:
+            f.write(write_newick(T, print_internal=True, print_branch_len=True,
+                                 retain_original_branch_len=opts.retain_original_branch_len)
+                    + "\n")
+
+    _err(f"Found {len(missing_samples)} missing samples.\n")
+    if opts.sort_before_placement_3:
+        missing_samples.sort(key=lambda s: s.num_ambiguous)
+        if opts.reverse_sort:
+            missing_samples.reverse()
+
+    optimal_trees: list[Tree] = [T]
+    engines: dict[int, PlacementEngine] = {0: PlacementEngine(T, vcf)}
+    indexes = list(range(len(missing_samples)))
+
+    if ((opts.sort_before_placement_1 or opts.sort_before_placement_2)
+            and len(missing_samples) > 1):
+        _err("Computing parsimony scores and number of parsimony-optimal "
+             "placements for new samples and using them to sort the samples.")
+        for s in missing_samples:
+            s.mutations.sort(key=lambda m: m.position)
+        pres = engines[0].score_samples(
+            [s.mutations for s in missing_samples])
+        best_scores = [r.best_score for r in pres]
+        num_placements = [r.num_best for r in pres]
+        if opts.sort_before_placement_1:
+            indexes.sort(key=lambda i: (best_scores[i], num_placements[i]))
+        else:
+            indexes.sort(key=lambda i: (num_placements[i], best_scores[i]))
+        if opts.reverse_sort:
+            indexes.reverse()
+
+    _err("Adding missing samples to the tree.")
+    stats_path = os.path.join(outdir, "placement_stats.tsv")
+    with open(stats_path, "w") as stats_f:
+        for idx in indexes:
+            s = missing_samples[idx]
+            sample = s.name
+            num_trees = len(optimal_trees)
+            for t_idx in range(num_trees):
+                Tt = optimal_trees[t_idx]
+                if t_idx not in engines:
+                    engines[t_idx] = PlacementEngine(Tt, vcf)
+                eng = engines[t_idx]
+                if num_trees > 1:
+                    _err(f"==Tree {t_idx + 1}=== ")
+                if Tt.get_node(sample) is not None:
+                    _err(f"WARNING: Sample {sample} already in the tree! "
+                         f"Ignoring.\n")
+                    continue
+                res = eng.score_samples([s.mutations])[0]
+                total_nodes = Tt.num_nodes()
+                _err(f"Current tree size (#nodes): {total_nodes}\tSample "
+                     f"name: {sample}\tParsimony score: {res.best_score}\t"
+                     f"Number of parsimony-optimal placements: "
+                     f"{res.num_best}")
+                stats_f.write(f"{sample}\t{res.best_score}\t{res.num_best}\t")
+                if res.num_best > 1:
+                    if res.num_best > opts.max_uncertainty:
+                        _err(f"WARNING: Number of parsimony-optimal "
+                             f"placements exceeds maximum allowed value "
+                             f"({opts.max_uncertainty}). Ignoring sample "
+                             f"{sample}.")
+                    elif res.best_score <= opts.max_parsimony:
+                        _err("WARNING: Multiple parsimony-optimal placements "
+                             "found. Placement done without high confidence.")
+                if res.best_score > opts.max_parsimony:
+                    _err(f"WARNING: Parsimony score of the most parsimonious "
+                         f"placement exceeds the maximum allowed value "
+                         f"({opts.max_parsimony}). Ignoring sample {sample}.")
+
+                if (res.num_best <= opts.max_uncertainty
+                        and res.best_score <= opts.max_parsimony):
+                    nb = res.num_best
+                    if nb + len(optimal_trees) > opts.max_trees:
+                        if (nb + len(optimal_trees) > opts.max_trees + 1
+                                and opts.max_trees > 1):
+                            _err(f"{nb} parsimony-optimal placements found "
+                                 f"but total trees has already exceed the "
+                                 f"max possible value ({opts.max_trees})!")
+                        nb = max(1, 1 + opts.max_trees - len(optimal_trees))
+                    curr_copy = Tt.copy() if nb > 1 else None
+                    for k in range(nb):
+                        if nb > 1 and k == 0:
+                            _err(f"Creating {nb - 1} additional tree(s) for "
+                                 f"{nb} parsimony-optimal placements.")
+                        if k == 0:
+                            target_T, target_eng = Tt, eng
+                            node = res.tied_nodes[0]
+                            hu = res.tied_has_unique[0]
+                        else:
+                            newT = curr_copy.copy()
+                            optimal_trees.append(newT)
+                            target_eng = PlacementEngine(newT, vcf)
+                            engines[len(optimal_trees) - 1] = target_eng
+                            target_T = newT
+                            node = target_T.get_node(
+                                res.tied_nodes[k].identifier)
+                            hu = res.tied_has_unique[k]
+                        if not opts.no_add and target_T.get_node(sample) is None:
+                            detail = score_placement(node, s.mutations)
+                            res_k = SampleResult(
+                                best_score=res.best_score,
+                                num_best=res.num_best, best_node=node,
+                                best_has_unique=hu)
+                            target_eng.apply_placement(sample, res_k,
+                                                       detail.excess)
+                            if detail.imputed:
+                                imp = ";".join(
+                                    f"{m.position}:{_nuc_char(m.mut_nuc)}"
+                                    for m in detail.imputed)
+                                _err("Imputed mutations:\t" + imp)
+                                stats_f.write(imp)
+                stats_f.write("\n")
+
+    # --- per-tree outputs (usher_common.cpp:830-1011) -----------------------
+    num_trees = len(optimal_trees)
+    for t_idx, Tt in enumerate(optimal_trees):
+        if opts.collapse_output_tree:
+            _err("Collapsing output tree.")
+            Tt.collapse_tree()
+        suffix = f"-{t_idx + 1}" if num_trees > 1 else ""
+        if opts.print_uncondensed_tree:
+            path = os.path.join(outdir,
+                                f"uncondensed-final-tree{suffix}.nh")
+            _err(f"Writing uncondensed final tree to file {path}")
+            with open(path, "w") as f:
+                f.write(write_newick(Tt, print_internal=True,
+                                     print_branch_len=True,
+                                     uncondense_leaves=True))
+        else:
+            path = os.path.join(outdir, f"final-tree{suffix}.nh")
+            _err(f"Writing final tree to file {path}")
+            _err(f"The parsimony score for this tree is: "
+                 f"{Tt.get_parsimony_score()}")
+            with open(path, "w") as f:
+                f.write(write_newick(Tt, print_internal=True,
+                                     print_branch_len=True))
+        if missing_samples:
+            path = os.path.join(outdir, f"mutation-paths{suffix}.txt")
+            _err(f"Writing mutation paths to file {path}")
+            write_mutation_paths(Tt, [s.name for s in missing_samples], path)
+
+    if opts.print_subtrees_single > 1 and missing_samples:
+        from ..tools.subtrees import write_single_subtree
+        for t_idx, Tt in enumerate(optimal_trees):
+            Tt.uncondense_leaves()
+            write_single_subtree(
+                Tt, [s.name for s in missing_samples], outdir,
+                opts.print_subtrees_single, tree_idx=t_idx,
+                use_tree_idx=(num_trees > 1),
+                retain_original_branch_len=opts.retain_original_branch_len)
+    if opts.print_subtrees_size > 1 and missing_samples:
+        from ..tools.subtrees import write_sample_subtrees
+        for t_idx, Tt in enumerate(optimal_trees):
+            Tt.uncondense_leaves()
+            write_sample_subtrees(
+                Tt, [s.name for s in missing_samples], outdir,
+                opts.print_subtrees_size, tree_idx=t_idx,
+                use_tree_idx=(num_trees > 1),
+                retain_original_branch_len=opts.retain_original_branch_len)
+
+    if opts.dout_filename:
+        _err(f"Saving mutation-annotated tree object to file (after "
+             f"condensing identical sequences) {opts.dout_filename}")
+        if num_trees > 1:
+            _err("WARNING: --multiple-placements option was used but only "
+                 "the first mutation-annotated tree object will be saved to "
+                 "file.")
+        T0 = optimal_trees[0]
+        if T0.condensed_nodes:
+            T0.uncondense_leaves()
+        T0.condense_leaves()
+        save_mat_pb(T0, opts.dout_filename)
     return 0
 
 
