@@ -141,12 +141,17 @@ def collect_missing_samples_build(vcf: VcfData, tree_leaf_ids: set[str]) -> list
     return missing
 
 
-def read_vcf(T: Tree, vcf_filename: str, create_new_mat: bool):
+def read_vcf(T: Tree, vcf_filename: str, create_new_mat: bool,
+             duplicate_prefix: str = ""):
     """Placement-mode entry point matching reference read_vcf semantics.
 
     Returns (missing_samples, vcf_data). In placement mode (create_new_mat
     False) vcf_data still carries all sites so callers can extend the
     position set of the flattened MAT.
+
+    duplicate_prefix: when non-empty, samples already in the tree are placed
+    anyway under the name ``prefix + name`` instead of being ignored
+    (reference --no-ignore-prefix, src/usher-sampled/import_vcf.cpp).
     """
     vcf = read_vcf_sites(vcf_filename)
     if create_new_mat:
@@ -156,8 +161,11 @@ def read_vcf(T: Tree, vcf_filename: str, create_new_mat: bool):
         missing = []
         col_to_ms: dict[int, MissingSample] = {}
         for j, name in enumerate(vcf.sample_ids):
-            if T.get_node(name) is None and name not in T.condensed_leaves:
-                ms = MissingSample(name)
+            in_tree = (T.get_node(name) is not None
+                       or name in T.condensed_leaves)
+            if not in_tree or duplicate_prefix:
+                ms = MissingSample(duplicate_prefix + name if in_tree
+                                   else name)
                 missing.append(ms)
                 col_to_ms[j] = ms
             else:
