@@ -77,7 +77,13 @@ def main(argv=None) -> int:
         if args.resume:
             print(f"Loading intermediate checkpoint {args.resume}",
                   file=sys.stderr)
-            T = load_mat_pb(args.resume)
+            from ..io.detailed import (is_detailed_checkpoint,
+                                       load_detailed_mutations)
+            resume_changed: set = set()
+            if is_detailed_checkpoint(args.resume):
+                T, resume_changed = load_detailed_mutations(args.resume)
+            else:
+                T = load_mat_pb(args.resume)  # legacy plain-pb checkpoint
         elif args.din and args.transposed_vcf_path:
             # -i + -V: restore ambiguous bases from the transposed VCF
             # (reference main.cpp:346-358)
@@ -171,6 +177,8 @@ def main(argv=None) -> int:
         reduce_back_mutations=not args.no_reduce_back_mutations,
         blacklist=blacklist,
         drift_nwk_stem=args.drift_nwk_file,
+        initial_changed_ids=frozenset(
+            resume_changed if args.resume else ()),
     )
     optimize_tree(T, opts)
     save_mat_pb(T, args.dout)

@@ -87,6 +87,8 @@ class OptimizeOptions:
                                         # --black_list_node_file)
     drift_nwk_stem: str = ""            # -b intermediate newicks while
                                         # drifting (reference main.cpp:181)
+    initial_changed_ids: frozenset = frozenset()  # change flags restored
+                                        # from a detailed checkpoint (-a)
 
 
 def _collect_affected(mv, affected: set, changed: set) -> None:
@@ -185,7 +187,9 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
 
     drift_remaining = opts.drift_iterations
     iteration = 0
-    changed_ids: set | None = None   # None = scan every source
+    changed_ids: set | None = (set(opts.initial_changed_ids)
+                               if opts.initial_changed_ids else None)
+    # None = scan every source
     while iteration < opts.max_iterations:
         iteration += 1
         if opts.max_hours and (time.time() - t_start) > opts.max_hours * 3600:
@@ -317,10 +321,12 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
 
         if opts.checkpoint_path and opts.checkpoint_minutes > 0 and (
                 time.time() - t_checkpoint) > opts.checkpoint_minutes * 60:
-            from ..io.pbio import save_mat_pb
-            tmp = opts.checkpoint_path + ".tmp"
-            save_mat_pb(T, tmp)
-            os.replace(tmp, opts.checkpoint_path)
+            # detailed-mutations format: chunked+compressed with per-node
+            # offsets and change flags, so a resume restarts from the same
+            # node-selection state (detailed_mutations_store.cpp:279-296)
+            from ..io.detailed import save_detailed_mutations
+            save_detailed_mutations(T, opts.checkpoint_path,
+                                    changed_ids=changed_ids)
             t_checkpoint = time.time()
             _err(f"Checkpoint saved to {opts.checkpoint_path}")
 
