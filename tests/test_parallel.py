@@ -87,3 +87,69 @@ def test_mesh_engine_end_to_end_byte_identical(tmp_path):
         a = open(os.path.join(out_single, fname), "rb").read()
         b = open(os.path.join(out_mesh, fname), "rb").read()
         assert a == b, f"{fname} differs between mesh and single-device"
+
+
+def test_fitch_engine_mesh_identical(tmp_path):
+    """Position-sharded Fitch-Sankoff (8-device CPU mesh) must produce
+    bit-identical states/masks to single-device (the TPU-native analog of
+    MPI position sharding, utils.cpp:113-481)."""
+    import os
+    import pytest
+    scripts = "/root/reference/scripts"
+    if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.core.flat import collect_positions
+    from usher_tpu.io.pbio import load_mat_pb
+    from usher_tpu.optimize.fitch import FitchEngine, leaf_masks_from_tree
+    from usher_tpu.parallel.shard import batch_mesh
+
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(scripts, "testBranchLen2.nwk"),
+                       "-v", os.path.join(scripts, "testBranchLen2.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    T = load_mat_pb(pb)
+    positions, ref, chrom = collect_positions(T)
+
+    e1 = FitchEngine(T, positions, chunk=4)
+    lm, rr = leaf_masks_from_tree(T, positions, e1.bfs)
+    s1, m1 = e1.run(lm, rr)
+
+    e2 = FitchEngine(T, positions, chunk=4, mesh=batch_mesh(8))
+    s2, m2 = e2.run(lm, rr)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(m1, m2)
+
+
+def test_optimize_mesh_identical(tmp_path):
+    """matOptimize with FS/SPR sharded over the 8-device CPU mesh must give
+    the same final tree as single-device (analog of the MPI SPR search,
+    optimize_tree.cpp:165-252)."""
+    import os
+    import pytest
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.matoptimize_cli import main as opt_main
+    from usher_tpu.io.newick import write_newick
+    from usher_tpu.io.pbio import load_mat_pb
+
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", build]) == 0
+
+    o1 = str(tmp_path / "opt1.pb")
+    o8 = str(tmp_path / "opt8.pb")
+    assert opt_main(["-i", pb, "-o", o1, "-N", "2", "-r", "4",
+                     "--mesh-devices", "0"]) == 0
+    assert opt_main(["-i", pb, "-o", o8, "-N", "2", "-r", "4",
+                     "--mesh-devices", "8"]) == 0
+    T1 = load_mat_pb(o1)
+    T8 = load_mat_pb(o8)
+    assert T1.get_parsimony_score() == T8.get_parsimony_score()
+    assert write_newick(T1, print_internal=True, print_branch_len=True) == \
+        write_newick(T8, print_internal=True, print_branch_len=True)

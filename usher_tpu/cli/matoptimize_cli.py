@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "lexicographic state reassignment")
     p.add_argument("--threads", "-T", type=int, default=0,
                    help="Accepted for CLI parity; XLA manages parallelism")
+    p.add_argument("--mesh-devices", type=int, default=-1,
+                   help="Shard Fitch-Sankoff positions and SPR source "
+                        "batches over N devices (-1 auto, 0/1 off)")
     p.add_argument("--version", action="version",
                    version="matOptimize-tpu (v0.1.0)")
     return p
@@ -179,6 +182,8 @@ def main(argv=None) -> int:
         drift_nwk_stem=args.drift_nwk_file,
         initial_changed_ids=frozenset(
             resume_changed if args.resume else ()),
+        mesh_devices=(len(__import__("jax").devices())
+                      if args.mesh_devices < 0 else args.mesh_devices),
     )
     optimize_tree(T, opts)
     save_mat_pb(T, args.dout)

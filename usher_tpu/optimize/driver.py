@@ -89,6 +89,8 @@ class OptimizeOptions:
                                         # drifting (reference main.cpp:181)
     initial_changed_ids: frozenset = frozenset()  # change flags restored
                                         # from a detailed checkpoint (-a)
+    mesh_devices: int = 0    # >1: shard FS positions + SPR source batches
+                             # over a 1-D device mesh (0/1 = single device)
 
 
 def _collect_affected(mv, affected: set, changed: set) -> None:
@@ -155,6 +157,16 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
     pos_index = {int(p): i for i, p in enumerate(positions)}
     rng = np.random.default_rng(opts.seed)
 
+    mesh = None
+    if opts.mesh_devices > 1:
+        import jax
+        from ..parallel.shard import batch_mesh
+        nd = min(opts.mesh_devices, len(jax.devices()))
+        if nd > 1:
+            mesh = batch_mesh(nd)
+            _err(f"Sharding FS positions and SPR source batches over "
+                 f"{nd} devices")
+
     log_f = open(opts.profitable_src_log, "w") if opts.profitable_src_log else None
     if log_f:
         log_f.write("source\tdestination\titeration\tscore.change\t"
@@ -164,7 +176,7 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
     max_level = max(n.level for n in T.breadth_first_expansion())
     radius = 2 if doubling else opts.radius
 
-    engine = FitchEngine(T, positions)
+    engine = FitchEngine(T, positions, mesh=mesh)
     leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
     # persistent leaf genotypes (the reference's Original_State_t,
     # check_samples.cpp:35-41): the invariant of the whole optimization
@@ -172,7 +184,7 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                  for i in range(engine.n) if engine.is_leaf[i]}
 
     def full_refresh():
-        eng = FitchEngine(T, positions)
+        eng = FitchEngine(T, positions, mesh=mesh)
         lm = np.zeros((eng.n, len(positions)), dtype=np.uint8)
         for i in range(eng.n):
             if eng.is_leaf[i]:
@@ -200,7 +212,8 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             break
 
         finder = MoveFinder(T, states, masks, ref_row, engine.bfs,
-                            engine.parent, chunk=opts.source_chunk)
+                            engine.parent, chunk=opts.source_chunk,
+                            mesh=mesh)
         if changed_ids is not None:
             sources = _ball_sources(finder, changed_ids, radius)
         else:
@@ -248,7 +261,7 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
         # the affected positions are re-solved; everything else keeps its
         # provably-still-optimal assignment
         cols = sorted(pos_index[p] for p in affected if p in pos_index)
-        new_engine = FitchEngine(T, positions)
+        new_engine = FitchEngine(T, positions, mesh=mesh)
         old_index = {id(nd): i for i, nd in enumerate(engine.bfs)}
         src_rows = np.empty(new_engine.n, dtype=np.int64)
         ok_remap = True
@@ -347,7 +360,7 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
 
     if opts.reduce_back_mutations:
         # final pass: re-pick states minimizing (parsimony, back-mutations)
-        engine = FitchEngine(T, positions)
+        engine = FitchEngine(T, positions, mesh=mesh)
         leaf_masks = np.zeros((engine.n, len(positions)), dtype=np.uint8)
         for i in range(engine.n):
             if engine.is_leaf[i]:

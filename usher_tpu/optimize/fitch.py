@@ -226,12 +226,18 @@ class FitchEngine:
     """Caches the flattened topology + padded level arrays for repeated FS
     passes over the same tree snapshot."""
 
-    def __init__(self, T: Tree, positions: np.ndarray, chunk: int = 512):
+    def __init__(self, T: Tree, positions: np.ndarray, chunk: int = 512,
+                 mesh=None):
+        """mesh: optional 1-D jax Mesh -- shards the position axis of each
+        DP chunk across devices (the TPU-native analog of the reference's
+        MPI position sharding, src/usher-sampled/utils.cpp:113-481)."""
         self.T = T
         self.positions = positions
         self.bfs, self.parent, self.is_leaf, self.levels = flatten_bfs(T)
         self.n = len(self.bfs)
-        self.chunk = int(chunk)
+        self.mesh = mesh
+        # with a mesh, each device works a `chunk`-wide position slice
+        self.chunk = int(chunk) * (mesh.size if mesh is not None else 1)
 
         maxlen = max(len(a) for a in self.levels)
         # bucket the jit-static dims (level count, unique-parent width) so
@@ -272,13 +278,18 @@ class FitchEngine:
         ref_nt[nz] = np.log2(ref_row[nz]).astype(np.int32)
         states = np.empty((self.n, P), dtype=np.int8)
         masks = np.empty((self.n, P), dtype=np.uint8)
-        parent_dev = jnp.asarray(self.parent)
-        is_leaf_dev = jnp.asarray(self.is_leaf)
-        lp = jnp.asarray(self.level_pad)
-        ll = jnp.asarray(self.level_len)
-        up = jnp.asarray(self.uparent_pad)
-        ul = jnp.asarray(self.uparent_len)
-        psl = jnp.asarray(self.parent_slot_pad)
+        if self.mesh is not None:
+            from ..parallel.shard import put_batch, put_replicated
+            rep = lambda a: put_replicated(self.mesh, jnp.asarray(a))  # noqa: E731
+        else:
+            rep = jnp.asarray
+        parent_dev = rep(self.parent)
+        is_leaf_dev = rep(self.is_leaf)
+        lp = rep(self.level_pad)
+        ll = rep(self.level_len)
+        up = rep(self.uparent_pad)
+        ul = rep(self.uparent_len)
+        psl = rep(self.parent_slot_pad)
         for c0 in range(0, P, self.chunk):
             c1 = min(c0 + self.chunk, P)
             lm = leaf_masks[:, c0:c1]
@@ -287,9 +298,16 @@ class FitchEngine:
             if pad:
                 lm = np.pad(lm, ((0, 0), (0, pad)), constant_values=0xF)
                 rn = np.pad(rn, (0, pad))
+            if self.mesh is not None:
+                # positions shard over the mesh: each device solves its
+                # own position slice of the DP, no collectives
+                lm_dev = put_batch(self.mesh, lm, 1)
+                rn_dev = put_batch(self.mesh, rn, 0)
+            else:
+                lm_dev, rn_dev = jnp.asarray(lm), jnp.asarray(rn)
             fn = _min_back_chunk if min_back else _fs_chunk
-            st, mk = fn(jnp.asarray(lm), is_leaf_dev, psl,
-                        lp, ll, up, ul, parent_dev, jnp.asarray(rn),
+            st, mk = fn(lm_dev, is_leaf_dev, psl,
+                        lp, ll, up, ul, parent_dev, rn_dev,
                         n_levels=self.n_levels, max_u=self.max_u)
             states[:, c0:c1] = np.asarray(st, dtype=np.int8)[:, :c1 - c0]
             masks[:, c0:c1] = np.asarray(mk)[:, :c1 - c0]

@@ -146,11 +146,17 @@ class MoveFinder:
 
     def __init__(self, T: Tree, states: np.ndarray, masks: np.ndarray,
                  ref_row: np.ndarray, bfs: list[Node], parent: np.ndarray,
-                 chunk: int = 128):
+                 chunk: int = 128, mesh=None):
+        """mesh: optional 1-D jax Mesh -- shards the source-node batch axis
+        of the move scorer across devices (the TPU-native analog of the
+        reference's MPI SPR work distributor,
+        src/matOptimize/optimize_tree.cpp:165-252)."""
         self.T = T
         self.bfs = bfs
         self.parent = parent
-        self.chunk = chunk
+        self.mesh = mesh
+        # with a mesh, each device scores a `chunk`-wide source slice
+        self.chunk = chunk * (mesh.size if mesh is not None else 1)
         n = len(bfs)
         self.n = n
         # flat arrays (BFS-indexed)
@@ -160,10 +166,16 @@ class MoveFinder:
         self.st_host = st
         self.masks = masks
         self.ref_row = ref_row
-        self.st = jnp.asarray(st)
-        self.stp = jnp.asarray(stp)
-        self.ref = jnp.asarray(ref_row)
-        self.active = jnp.ones(n, dtype=jnp.bool_)
+        if mesh is not None:
+            from ..parallel.shard import put_replicated
+            dev = lambda a: put_replicated(mesh, jnp.asarray(a))  # noqa: E731
+        else:
+            dev = jnp.asarray
+        self._dev = dev
+        self.st = dev(st)
+        self.stp = dev(stp)
+        self.ref = dev(ref_row)
+        self.active = dev(np.ones(n, dtype=np.bool_))
 
         # DFS intervals on BFS indices
         T.depth_first_expansion()
@@ -171,8 +183,8 @@ class MoveFinder:
         self.dfs_idx = np.array([node.dfs_idx for node in bfs], dtype=np.int64)
         self.dfs_end = np.array([node.dfs_end_idx for node in bfs], dtype=np.int64)
         self.level = np.array([node.level for node in bfs], dtype=np.int32)
-        self.dfs_idx_dev = jnp.asarray(self.dfs_idx.astype(np.int32))
-        self.level_dev = jnp.asarray(self.level)
+        self.dfs_idx_dev = dev(self.dfs_idx.astype(np.int32))
+        self.level_dev = dev(self.level)
 
         num_leaves = np.zeros(n, dtype=np.int32)
         for i in range(n - 1, 0, -1):
@@ -181,8 +193,8 @@ class MoveFinder:
             num_leaves[parent[i]] += num_leaves[i]
         if bfs and bfs[0].is_leaf():
             num_leaves[0] += 1
-        self.num_leaves = jnp.asarray(num_leaves)
-        self.bfs_rank = jnp.asarray(np.arange(n, dtype=np.int32))
+        self.num_leaves = dev(num_leaves)
+        self.bfs_rank = dev(np.arange(n, dtype=np.int32))
 
         # undirected adjacency for radius bounding
         self.adj: list[list[int]] = [[] for _ in range(n)]
@@ -241,14 +253,21 @@ class MoveFinder:
                 src_hi[b] = self.dfs_end[si]
                 src_parent[b] = self.parent[si]
 
+            if self.mesh is not None:
+                # source-batch axis sharded: each device scores its own
+                # slice of sources against the replicated tree
+                from ..parallel.shard import put_batch
+                bat = lambda a: put_batch(self.mesh, a, 0)  # noqa: E731
+            else:
+                bat = jnp.asarray
             cost, slot, hu = (np.asarray(x) for x in _score_moves(
-                self.st, self.stp, self.ref, self.active, jnp.asarray(g),
+                self.st, self.stp, self.ref, self.active, bat(g),
                 self.num_leaves, self.bfs_rank,
                 self.dfs_idx_dev, self.level_dev,
-                jnp.asarray(anc_lo), jnp.asarray(anc_hi),
-                jnp.asarray(anc_lvl), jnp.asarray(src_level),
-                jnp.asarray(src_lo), jnp.asarray(src_hi),
-                jnp.asarray(src_parent), jnp.int32(eff_radius), L))
+                bat(anc_lo), bat(anc_hi),
+                bat(anc_lvl), bat(src_level),
+                bat(src_lo), bat(src_hi),
+                bat(src_parent), jnp.int32(eff_radius), L))
             for b, si in enumerate(idxs):
                 imp = int(oldcost[b]) - int(cost[b])
                 if imp > 0 and cost[b] < (1 << 29):
