@@ -63,6 +63,9 @@ def cmd_extract(argv) -> int:
     p.add_argument("--title", "-B", default="mutation_annotated_tree")
     p.add_argument("--usher-single-subtree-size", "-X", type=int, default=0)
     p.add_argument("--usher-minimum-subtrees-size", "-x", type=int, default=0)
+    p.add_argument("--minimum-subtrees-size", "-N", type=int, default=0,
+                   help="Generate JSON/newick subtrees of this size covering "
+                        "all queried samples; uses and overrides -j/-t")
     p.add_argument("--write-taxodium", "-l", default="")
     p.add_argument("--input-gtf", "-g", default="")
     p.add_argument("--input-fasta", "-f", default="")
@@ -92,6 +95,7 @@ def cmd_extract(argv) -> int:
         metadata=a.metadata, title=a.title,
         usher_single_subtree_size=a.usher_single_subtree_size,
         usher_minimum_subtrees_size=a.usher_minimum_subtrees_size,
+        minimum_subtrees_size=a.minimum_subtrees_size,
         write_taxodium=a.write_taxodium, input_gtf=a.input_gtf,
         input_fasta=a.input_fasta, description=a.description,
         extra_fields=a.extra_fields, x_scale=a.x_scale,

@@ -251,3 +251,83 @@ def read_metafile(path: str) -> dict[str, dict[str, str]]:
                 continue
             out[fields[0]] = dict(zip(header[1:], fields[1:]))
     return out
+
+
+def get_minimum_subtrees(T: Tree, samples: list[str], size: int,
+                         outdir: str, metadata=None, json_prefix: str = "",
+                         newick_prefix: str = "",
+                         retain_original_branch_len: bool = False) -> None:
+    """-N: minimum set of ~`size`-leaf subtrees covering all queried samples,
+    written as JSON and/or newick plus subtree-assignments.tsv
+    (reference get_minimum_subtrees, convert.cpp:665-798).
+
+    metadata: {sample: {field: value}}.  When JSON output is requested every
+    queried sample additionally gets query_sample=query (convert.cpp:673-680).
+    """
+    import os as _os
+    import sys as _sys
+    from .select import get_nearby
+    from .tree_filter import get_subtree
+
+    if not json_prefix and not newick_prefix:
+        print("ERROR: Either JSON (-j) or Newick (-t) output must be "
+              "requested alongside -N.", file=_sys.stderr)
+        raise SystemExit(1)
+    metadata = dict(metadata or {})
+    if json_prefix:
+        for s in samples:
+            metadata.setdefault(s, {})
+            metadata[s] = {**metadata[s], "query_sample": "query"}
+
+    assignment: dict[str, int] = {}   # sample/leaf -> subtree idx (-1 = none)
+    subtree_sets: list[list[str]] = []
+    for s in samples:
+        if s in assignment:
+            continue
+        leaves = get_nearby(T, s, size)
+        if not leaves:
+            assignment[s] = -1
+            continue
+        for l in leaves:
+            assignment.setdefault(l, len(subtree_sets))
+        subtree_sets.append(leaves)
+
+    for i, leaf_set in enumerate(subtree_sets):
+        new_T = get_subtree(T, leaf_set, keep_clade_annotations=True)
+        if json_prefix:
+            outf = _os.path.join(outdir, f"{json_prefix}-subtree-{i}.json")
+            write_json_from_mat(new_T, outf,
+                                title=f"{json_prefix}-subtree-{i}",
+                                metadata=metadata)
+        if newick_prefix:
+            outf = _os.path.join(outdir, f"{newick_prefix}-subtree-{i}.nw")
+            from ..io.newick import write_newick
+            with open(outf, "w") as f:
+                f.write(write_newick(
+                    new_T, print_internal=True, print_branch_len=True,
+                    retain_original_branch_len=retain_original_branch_len))
+
+    metafields = sorted({f for s in samples for f in metadata.get(s, ())})
+    with open(_os.path.join(outdir, "subtree-assignments.tsv"), "w") as tr:
+        tr.write("samples")
+        if json_prefix:
+            tr.write("\tjson_file")
+        if newick_prefix:
+            tr.write("\tnewick_file")
+        for m in metafields:
+            tr.write("\t" + m)
+        tr.write("\n")
+        for s in samples:
+            idx = assignment.get(s, -1)
+            if idx == -1:
+                continue
+            tr.write(s)
+            if json_prefix:
+                tr.write("\t" + _os.path.join(
+                    outdir, f"{json_prefix}-subtree-{idx}.json"))
+            if newick_prefix:
+                tr.write("\t" + _os.path.join(
+                    outdir, f"{newick_prefix}-subtree-{idx}.nw"))
+            for m in metafields:
+                tr.write("\t" + metadata.get(s, {}).get(m, "NA"))
+            tr.write("\n")

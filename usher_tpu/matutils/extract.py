@@ -62,6 +62,8 @@ class ExtractOptions:
     title: str = "mutation_annotated_tree"
     usher_single_subtree_size: int = 0
     usher_minimum_subtrees_size: int = 0
+    minimum_subtrees_size: int = 0   # -N: JSON/newick covering subtrees
+                                     # (reference extract.cpp:93-94)
     seed: int = 0
     # Taxodium export (reference extract.cpp --write-taxodium and friends)
     write_taxodium: str = ""
@@ -199,14 +201,30 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
     if opts.write_diff:
         _err(f"Generating MAPLE diff of final tree at {out(opts.write_diff)}")
         conv.make_diff(subtree, out(opts.write_diff))
-    if opts.write_json:
+    if opts.minimum_subtrees_size > 0:
+        # -N uses and overrides -j/-t as output prefixes
+        # (reference extract.cpp:93-94, convert.cpp:665-798)
+        metadata = {}
+        if opts.metadata:
+            for mpath in opts.metadata.split(","):
+                for s, kv in conv.read_metafile(mpath).items():
+                    metadata.setdefault(s, {}).update(kv)
+        conv.get_minimum_subtrees(
+            subtree, samples, opts.minimum_subtrees_size, opts.outdir,
+            metadata=metadata,
+            json_prefix=os.path.splitext(opts.write_json)[0]
+            if opts.write_json else "",
+            newick_prefix=os.path.splitext(opts.write_tree)[0]
+            if opts.write_tree else "",
+            retain_original_branch_len=opts.retain_branch_length)
+    elif opts.write_json:
         metadata = {}
         if opts.metadata:
             for mpath in opts.metadata.split(","):
                 metadata.update(conv.read_metafile(mpath))
         conv.write_json_from_mat(subtree, out(opts.write_json),
                                  title=opts.title, metadata=metadata)
-    if opts.write_tree:
+    if opts.write_tree and not opts.minimum_subtrees_size:
         _err(f"Writing final tree to {out(opts.write_tree)}")
         with open(out(opts.write_tree), "w") as f:
             f.write(write_newick(
