@@ -89,3 +89,20 @@ def test_check_samples_place(tmp_path):
     # negative control: original MAT does NOT contain the new samples
     rc = check_main(["-v", NEW_VCF, "-o", pb])
     assert rc == 1
+
+
+def test_parse_vcf_mt_matches_serial():
+    """Parallel VCF pipeline (import_vcf_fast.cpp analog) must produce
+    identical output to the serial parser."""
+    import pytest
+    from usher_tpu.native import ext, HAVE_NATIVE
+    if not HAVE_NATIVE or not hasattr(ext, "parse_vcf_mt"):
+        pytest.skip("native extension not built")
+    path = "/root/reference/test/global_samples.vcf"
+    import os
+    if not os.path.exists(path):
+        pytest.skip("reference fixtures unavailable")
+    a = ext.parse_vcf(path)
+    b = ext.parse_vcf_mt(path, 3)
+    assert a[0] == b[0]
+    assert a[1] == b[1]

@@ -133,3 +133,31 @@ def test_extract_minimum_subtrees_flag(small_mat, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(outdir, "subtree-assignments.tsv"))
     assert os.path.exists(os.path.join(outdir, "q-subtree-0.json"))
+
+
+def test_ripples_fleet_partitions():
+    from workflows.ripples_fleet import get_partitions
+    # reference stride semantics (run.py:29-40)
+    assert get_partitions(10, 2) == [(0, 5), (6, 10)]
+    assert get_partitions(7, 1) == [(0, 7)]
+
+
+def test_ripples_fleet_dry_run(small_mat, capsys):
+    from workflows.ripples_fleet import main as fleet_main
+    rc = fleet_main(["-i", small_mat, "-n", "2", "-l", "3", "-N", "2",
+                     "--dry-run", "-d", "/tmp/nonexistent_fleet"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert "-S 0" in lines[0] and "ripples_cli" in lines[0]
+
+
+def test_ripples_fleet_runs_and_merges(small_mat, tmp_path):
+    from workflows.ripples_fleet import main as fleet_main
+    outdir = str(tmp_path / "fleet")
+    rc = fleet_main(["-i", small_mat, "-n", "2", "-l", "3", "-N", "2",
+                     "-d", outdir])
+    assert rc == 0
+    assert os.path.exists(os.path.join(outdir, "recombination.tsv"))
+    assert os.path.exists(os.path.join(outdir, "descendants.tsv"))

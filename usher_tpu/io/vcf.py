@@ -21,6 +21,7 @@ Two modes:
 from __future__ import annotations
 
 import gzip
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -71,7 +72,18 @@ def read_vcf_sites(vcf_filename: str) -> VcfData:
     except ImportError:
         HAVE_NATIVE = False
     if HAVE_NATIVE:
-        sample_ids, raw_sites = ext.parse_vcf(vcf_filename)
+        # Large files on many-core hosts go through the parallel pipeline
+        # (parse_vcf_mt, the import_vcf_fast.cpp:32-456 analog); per-row
+        # Python materialization bounds its win, so small inputs stay on
+        # the serial parser (measured: MT loses below ~32 MB / 8 cores).
+        try:
+            big = os.path.getsize(vcf_filename) > (32 << 20)
+        except OSError:
+            big = False
+        if big and (os.cpu_count() or 1) >= 8 and hasattr(ext, "parse_vcf_mt"):
+            sample_ids, raw_sites = ext.parse_vcf_mt(vcf_filename)
+        else:
+            sample_ids, raw_sites = ext.parse_vcf(vcf_filename)
         sites = [VcfSite(chrom=c, position=p, ref_nuc=r,
                          variants=[(int(a), int(b)) for a, b in v])
                  for c, p, r, v in raw_sites]

@@ -20,9 +20,13 @@
 
 #include <zlib.h>
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -419,6 +423,261 @@ PyObject* parse_vcf(PyObject*, PyObject* args) {
     return Py_BuildValue("(NN)", sample_ids, sites);
 }
 
+// ---------------------------------------------------------------------------
+// Parallel VCF ingest: the reference's TBB flow-graph pipeline
+// (src/matOptimize/import_vcf_fast.cpp:32-456: decompressor -> line aligner
+// -> parallel line parser) re-built on std::thread.  The gzip inflate is
+// inherently serial; chunks aligned to line boundaries fan out to a worker
+// pool that tokenizes rows into plain C++ records with the GIL released;
+// Python objects are materialized once, in order, at the end.
+// ---------------------------------------------------------------------------
+
+struct SiteRec {
+    std::string chrom;
+    long pos;
+    uint8_t ref_nuc;
+    std::vector<std::pair<long, uint8_t>> variants;
+};
+
+// parse one data row into `out`; returns false for non-data rows
+static bool parse_data_line(const char* s, size_t n, SiteRec& out) {
+    if (n == 0 || s[0] == '#') return false;
+    auto is_sep = [](char c) { return c == '\t' || c == ' '; };
+    const char* end = s + n;
+    const char* field_start[9];
+    size_t field_len[9];
+    size_t col = 0, start = 0, i = 0;
+    for (; i <= n && col < 9; i++) {
+        if (i == n || is_sep(s[i])) {
+            field_start[col] = s + start;
+            field_len[col] = i - start;
+            col++;
+            start = i + 1;
+        }
+    }
+    if (col < 9) return false;
+    out.chrom.assign(field_start[0], field_len[0]);
+    out.pos = strtol(std::string(field_start[1], field_len[1]).c_str(),
+                     nullptr, 10);
+    std::vector<uint8_t> alleles;
+    alleles.push_back(field_len[3] ? nuc_table[(uint8_t)field_start[3][0]]
+                                   : 0xf);
+    {
+        const char* a = field_start[4];
+        const char* ae = a + field_len[4];
+        while (a < ae) {
+            const char* c = a;
+            while (c < ae && *c != ',') c++;
+            alleles.push_back(a < c ? nuc_table[(uint8_t)*a] : 0xf);
+            a = c + 1;
+        }
+    }
+    out.ref_nuc = alleles[0];
+    out.variants.clear();
+    long sample_col = 0;
+    const char* gt = s + start;
+    while (gt <= end) {
+        const char* t = gt;
+        while (t < end && *t != '\t' && *t != ' ') t++;
+        long idx = -1;
+        if (t > gt) {
+            if (*gt == '.') {
+                idx = -1;
+            } else {
+                idx = 0;
+                const char* d = gt;
+                while (d < t && *d >= '0' && *d <= '9') {
+                    idx = idx * 10 + (*d - '0');
+                    d++;
+                }
+                if (d == gt) idx = -1;
+            }
+        }
+        if (idx < 0) {
+            out.variants.emplace_back(sample_col, 0xf);
+        } else if (idx == 0) {
+            // ref call: not recorded
+        } else if ((size_t)idx < alleles.size()) {
+            out.variants.emplace_back(sample_col, alleles[idx]);
+        } else {
+            out.variants.emplace_back(sample_col, 0xf);
+        }
+        sample_col++;
+        if (t >= end) break;
+        gt = t + 1;
+    }
+    return true;
+}
+
+struct VcfChunk {
+    size_t index;
+    std::string data;   // whole lines only
+};
+
+PyObject* parse_vcf_mt(PyObject*, PyObject* args) {
+    const char* path;
+    int n_threads = 0;
+    if (!PyArg_ParseTuple(args, "s|i", &path, &n_threads)) return nullptr;
+    if (n_threads <= 0) {
+        n_threads = (int)std::thread::hardware_concurrency();
+        if (n_threads <= 0) n_threads = 4;
+    }
+    gzFile f = gzopen(path, "rb");
+    if (!f) {
+        PyErr_SetFromErrnoWithFilename(PyExc_OSError, path);
+        return nullptr;
+    }
+    gzbuffer(f, 1 << 20);
+
+    std::vector<std::vector<SiteRec>> results;  // per chunk, in order
+    std::string header_line;
+    bool read_error = false;
+
+    Py_BEGIN_ALLOW_THREADS
+    std::deque<VcfChunk> queue;
+    std::mutex mu;
+    std::condition_variable cv_work, cv_space;
+    bool done = false;
+    const size_t MAX_QUEUE = 64;
+
+    auto worker = [&]() {
+        for (;;) {
+            VcfChunk chunk;
+            {
+                std::unique_lock<std::mutex> lk(mu);
+                cv_work.wait(lk, [&] { return done || !queue.empty(); });
+                if (queue.empty()) return;
+                chunk = std::move(queue.front());
+                queue.pop_front();
+                cv_space.notify_one();
+            }
+            std::vector<SiteRec> local;
+            const char* s = chunk.data.data();
+            size_t n = chunk.data.size();
+            size_t begin = 0;
+            for (size_t i = 0; i <= n; i++) {
+                if (i == n || s[i] == '\n') {
+                    SiteRec rec;
+                    if (parse_data_line(s + begin, i - begin, rec)) {
+                        local.push_back(std::move(rec));
+                    } else if (i > begin && s[begin] == '#') {
+                        // stash the #CHROM header row for the main thread
+                        std::string h(s + begin, i - begin);
+                        if (h.rfind("##", 0) != 0) {
+                            std::lock_guard<std::mutex> lk(mu);
+                            if (header_line.empty()) header_line = h;
+                        }
+                    }
+                    begin = i + 1;
+                }
+            }
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                if (results.size() <= chunk.index)
+                    results.resize(chunk.index + 1);
+                results[chunk.index] = std::move(local);
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; t++) pool.emplace_back(worker);
+
+    // producer: serial inflate, align chunks to line boundaries
+    std::vector<char> buf(8 << 20);
+    std::string carry;
+    size_t next_index = 0;
+    int nread;
+    while ((nread = gzread(f, buf.data(), (unsigned)buf.size())) > 0) {
+        int last_nl = -1;
+        for (int i = nread - 1; i >= 0; i--) {
+            if (buf[i] == '\n') { last_nl = i; break; }
+        }
+        VcfChunk chunk;
+        chunk.index = next_index++;
+        chunk.data = std::move(carry);
+        carry.clear();
+        if (last_nl >= 0) {
+            chunk.data.append(buf.data(), last_nl + 1);
+            carry.assign(buf.data() + last_nl + 1, nread - last_nl - 1);
+        } else {
+            // no newline in this read: accumulate and continue
+            carry = std::move(chunk.data);
+            carry.append(buf.data(), nread);
+            next_index--;
+            continue;
+        }
+        {
+            std::unique_lock<std::mutex> lk(mu);
+            cv_space.wait(lk, [&] { return queue.size() < MAX_QUEUE; });
+            queue.push_back(std::move(chunk));
+        }
+        cv_work.notify_one();
+    }
+    if (nread < 0) read_error = true;
+    if (!carry.empty()) {
+        VcfChunk chunk;
+        chunk.index = next_index++;
+        chunk.data = std::move(carry);
+        {
+            std::lock_guard<std::mutex> lk(mu);
+            queue.push_back(std::move(chunk));
+        }
+        cv_work.notify_one();
+    }
+    {
+        std::lock_guard<std::mutex> lk(mu);
+        done = true;
+    }
+    cv_work.notify_all();
+    for (auto& t : pool) t.join();
+    gzclose(f);
+    Py_END_ALLOW_THREADS
+
+    if (read_error) {
+        PyErr_Format(PyExc_OSError, "error reading %s", path);
+        return nullptr;
+    }
+
+    // sample ids from the header row
+    PyObject* sample_ids = PyList_New(0);
+    {
+        std::vector<std::pair<size_t, size_t>> fields;
+        const std::string& h = header_line;
+        size_t start = 0;
+        for (size_t i = 0; i <= h.size(); i++) {
+            if (i == h.size() || h[i] == '\t' || h[i] == ' ') {
+                if (i > start) fields.emplace_back(start, i - start);
+                start = i + 1;
+            }
+        }
+        if (fields.size() > 9) {
+            for (size_t k = 9; k < fields.size(); k++) {
+                PyObject* nm = PyUnicode_FromStringAndSize(
+                    h.data() + fields[k].first, fields[k].second);
+                PyList_Append(sample_ids, nm);
+                Py_DECREF(nm);
+            }
+        }
+    }
+
+    PyObject* sites = PyList_New(0);
+    for (const auto& chunk_sites : results) {
+        for (const auto& rec : chunk_sites) {
+            PyObject* variants = PyList_New((Py_ssize_t)rec.variants.size());
+            for (size_t k = 0; k < rec.variants.size(); k++) {
+                PyList_SET_ITEM(variants, (Py_ssize_t)k,
+                                Py_BuildValue("(lB)", rec.variants[k].first,
+                                              rec.variants[k].second));
+            }
+            PyObject* site = Py_BuildValue("(slBN)", rec.chrom.c_str(),
+                                           rec.pos, rec.ref_nuc, variants);
+            PyList_Append(sites, site);
+            Py_DECREF(site);
+        }
+    }
+    return Py_BuildValue("(NN)", sample_ids, sites);
+}
+
 PyMethodDef methods[] = {
     {"transpose_encode", transpose_encode, METH_VARARGS,
      "transpose_encode(samples, path, append=False): write a transposed-VCF "
@@ -427,6 +686,9 @@ PyMethodDef methods[] = {
      "transpose_decode(path) -> [(name, [(pos, allele)], [(start, end)])]"},
     {"parse_vcf", parse_vcf, METH_VARARGS,
      "parse_vcf(path) -> (sample_ids, sites); gzip-transparent"},
+    {"parse_vcf_mt", parse_vcf_mt, METH_VARARGS,
+     "parse_vcf_mt(path, n_threads=0) -> (sample_ids, sites); parallel "
+     "line parsing (TBB-pipeline analog)"},
     {nullptr, nullptr, 0, nullptr},
 };
 
