@@ -31,6 +31,20 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent compile cache: the tunneled remote-compile service can be slow
+# (observed minutes-per-program on a degraded day vs 5s nominal); caching
+# compiled executables in-repo makes reruns immune.  Must go through
+# jax.config (sitecustomize imports jax before env vars are read).
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+try:
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception as e:  # cache is an optimization, never a requirement
+    print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
+
 N_NODES = 100_000
 P_SITES = 512
 BATCH = 1024

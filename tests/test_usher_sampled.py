@@ -141,3 +141,31 @@ def test_min_back_reduces_back_mutations():
 
     assert mb_score == plain_score  # parsimony is the primary objective
     assert mb_back <= plain_back
+
+
+def test_sampled_subtrees_and_sort3(tmp_path):
+    """-A sort, -K single subtree, clades passthrough on the sampled CLI."""
+    import os
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.usher_sampled_cli import main as sampled_main
+    scripts = "/root/reference/scripts"
+    if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
+        import pytest
+        pytest.skip("reference fixtures unavailable")
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(scripts, "testBranchLen2.nwk"),
+                       "-v", os.path.join(scripts, "testBranchLen2.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    vcf = tmp_path / "new.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tGT\tz1\tz2\n"
+        "x\t1\t.\tA\tT\t.\t.\t.\t.\t1\t0\n"
+        "x\t6\t.\tA\tT\t.\t.\t.\t.\t1\t1\n")
+    outdir = str(tmp_path / "o")
+    rc = sampled_main(["-i", pb, "-v", str(vcf), "-d", outdir,
+                       "-A", "-K", "4"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(outdir, "single-subtree.nh"))
+    assert os.path.exists(os.path.join(outdir, "placement_stats.tsv"))

@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref", default="", help="Reference fasta for --diff")
     p.add_argument("--sort-before-placement-1", "-s", action="store_true")
     p.add_argument("--sort-before-placement-2", "-S", action="store_true")
+    p.add_argument("--sort-before-placement-3", "-A", action="store_true",
+                   help="Sort new samples by number of ambiguous bases")
     p.add_argument("--reverse-sort", "-r", action="store_true")
     p.add_argument("--collapse-tree", "-c", action="store_true")
     p.add_argument("--max-uncertainty-per-sample", "-e", type=int,
@@ -50,6 +52,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-parsimony-per-sample", "-E", type=int,
                    default=1_000_000)
     p.add_argument("--write-uncondensed-final-tree", "-u", action="store_true")
+    p.add_argument("--write-subtrees-size", "-k", type=int, default=0)
+    p.add_argument("--write-single-subtree", "-K", type=int, default=0)
+    p.add_argument("--detailed-clades", "-D", action="store_true")
+    p.add_argument("--no-ignore-prefix", default="", dest="duplicate_prefix",
+                   help="prefix samples already in the tree to force "
+                        "placement")
     p.add_argument("--batch_size_per_process", type=int, default=5)
     p.add_argument("--parsimony_threshold", type=int, default=100_000)
     p.add_argument("--optimization_radius", type=int, default=4)
@@ -104,7 +112,8 @@ def main(argv=None) -> int:
                                         n for n in T._all_nodes))
     elif args.vcf:
         missing_samples, vcf = read_vcf(T, args.vcf,
-                                        create_new_mat=from_newick)
+                                        create_new_mat=from_newick,
+                                        duplicate_prefix=args.duplicate_prefix)
         if from_newick:
             _err("Computing parsimonious assignments for input variants.")
             from ..ops.sankoff import assign_states_from_vcf
@@ -148,9 +157,16 @@ def main(argv=None) -> int:
         if args.reverse_sort:
             order.reverse()
         missing_samples = [missing_samples[i] for i in order]
+    elif args.sort_before_placement_3 and len(missing_samples) > 1:
+        # sort by #ambiguous bases (driver/main.cpp sort_by_ambiguous_bases)
+        order = sorted(range(len(missing_samples)),
+                       key=lambda i: missing_samples[i].num_ambiguous)
+        missing_samples = [missing_samples[i] for i in order]
 
     stats_path = os.path.join(outdir, "placement_stats.tsv")
     stats_f = open(stats_path, "w")
+
+    num_annotations = T.get_num_annotations()
 
     def on_placed(s, res, detail):
         if detail is None:
@@ -160,6 +176,20 @@ def main(argv=None) -> int:
              f"{detail.set_difference}\tNumber of parsimony-optimal "
              f"placements: {res.num_best}")
         stats_f.write(f"{s.name}\t{detail.set_difference}\t{res.num_best}\t\n")
+        if num_annotations > 0 and res.tied_nodes:
+            # clade assignment over the tie set (usher_common.cpp:600-619)
+            s.clade_assignments = []
+            s.best_clade_assignment = [""] * num_annotations
+            for c in range(num_annotations):
+                assignments = []
+                for node, hu in zip(res.tied_nodes, res.tied_has_unique):
+                    include_self = (not node.is_leaf()) and (not hu)
+                    clade = T.get_clade_assignment(node, c, include_self)
+                    assignments.append(clade)
+                    if node is res.best_node:
+                        s.best_clade_assignment[c] = clade
+                assignments.sort()
+                s.clade_assignments.append(assignments)
 
     if not args.no_add:
         pending = list(missing_samples)
@@ -215,6 +245,54 @@ def main(argv=None) -> int:
     if missing_samples:
         path = os.path.join(outdir, "mutation-paths.txt")
         write_mutation_paths(T, [s.name for s in missing_samples], path)
+
+    if num_annotations > 0 and not args.no_add:
+        # clades.txt incl. -D histogram (usher_common.cpp:583-619 format)
+        path = os.path.join(outdir, "clades.txt")
+        _err(f"Writing clade annotations to file {path}")
+        with open(path, "w") as f:
+            for s in missing_samples:
+                if not s.best_clade_assignment:
+                    continue
+                f.write(f"{s.name}\t")
+                cols = []
+                for k in range(num_annotations):
+                    col = s.best_clade_assignment[k]
+                    if args.detailed_clades:
+                        col += "*|"
+                        hist = []
+                        curr_clade, curr_count = "", 0
+                        total = len(s.clade_assignments[k])
+                        for clade in s.clade_assignments[k]:
+                            if clade == curr_clade:
+                                curr_count += 1
+                            else:
+                                if curr_count > 0:
+                                    hist.append(
+                                        f"{curr_clade}({curr_count}/{total})")
+                                curr_clade, curr_count = clade, 1
+                        if curr_count > 0:
+                            hist.append(f"{curr_clade}({curr_count}/{total})")
+                        col += ",".join(hist)
+                    cols.append(col)
+                f.write("\t".join(cols) + "\n")
+
+    if args.write_single_subtree > 1 and missing_samples and not args.no_add:
+        from ..tools.subtrees import write_single_subtree
+        if T.condensed_nodes:
+            T.uncondense_leaves()
+        write_single_subtree(
+            T, [s.name for s in missing_samples], outdir,
+            args.write_single_subtree,
+            retain_original_branch_len=args.retain_input_branch_lengths)
+    if args.write_subtrees_size > 1 and missing_samples and not args.no_add:
+        from ..tools.subtrees import write_sample_subtrees
+        if T.condensed_nodes:
+            T.uncondense_leaves()
+        write_sample_subtrees(
+            T, [s.name for s in missing_samples], outdir,
+            args.write_subtrees_size,
+            retain_original_branch_len=args.retain_input_branch_lengths)
 
     if args.dout:
         _err(f"Saving mutation-annotated tree object to file {args.dout}")
