@@ -235,3 +235,24 @@ def test_matoptimize_epp_mode(tmp_path):
     for n in T2.depth_first_expansion():
         if n.parent is not None:
             assert n.branch_length >= 1
+
+
+def test_check_state_reassign_toggle(tmp_path, monkeypatch):
+    """USHER_TPU_CHECK_STATE_REASSIGN=1 (the -DCHECK_STATE_REASSIGN analog)
+    verifies the local FS patch against a full recompute each iteration."""
+    import os
+    import pytest
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.matoptimize_cli import main as opt_main
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    monkeypatch.setenv("USHER_TPU_CHECK_STATE_REASSIGN", "1")
+    out = str(tmp_path / "opt.pb")
+    assert opt_main(["-i", pb, "-o", out, "-N", "2", "-r", "4",
+                     "--mesh-devices", "0"]) == 0

@@ -297,6 +297,16 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             masks[:, cols_arr] = mk_sub
             new_score = T.get_parsimony_score()
 
+            if os.environ.get("USHER_TPU_CHECK_STATE_REASSIGN"):
+                # invariant checker (reference -DCHECK_STATE_REASSIGN,
+                # Fitch_Sankoff.cpp:286-313): the incremental patch must be
+                # parsimony-equivalent to a full-tree recomputation
+                chk_engine, chk_states, chk_masks, chk_score = full_refresh()
+                assert chk_score == new_score, (
+                    f"CHECK_STATE_REASSIGN: local FS patch score "
+                    f"{new_score} != full recompute {chk_score}")
+                engine, states, masks = chk_engine, chk_states, chk_masks
+
         if new_score > score:
             # guard: the batch interacted badly; revert and apply only the
             # single best move
