@@ -135,9 +135,8 @@ def make_diff(T: Tree, diff_filename: str,
 # --- Auspice JSON v2 ---------------------------------------------------------
 
 def _json_node(node: Tree, metadata: dict[str, dict[str, str]],
-               div: int) -> dict:
+               div: int, use_clades: list[bool] | None = None) -> dict:
     obj: dict = {"name": node.identifier}
-    muts = ",".join(m.get_string() for m in node.mutations)
     attrs = {"div": div + len(node.mutations)}
     body = {"branch_attrs": {"labels": {}, "mutations":
                              {"nuc": [m.get_string() for m in node.mutations]}},
@@ -146,11 +145,18 @@ def _json_node(node: Tree, metadata: dict[str, dict[str, str]],
     clades = [c for c in node.clade_annotations if c]
     if clades:
         obj["branch_attrs"]["labels"]["clade"] = clades[0]
+    if use_clades:
+        # MAT_Clade_i node attrs for annotated clade columns
+        # (reference get_json_entry)
+        for i, used in enumerate(use_clades):
+            if used and i < len(node.clade_annotations) \
+                    and node.clade_annotations[i]:
+                attrs[f"MAT_Clade_{i}"] = {"value": node.clade_annotations[i]}
     meta = metadata.get(node.identifier)
     if meta:
         for k, v in meta.items():
             attrs[k] = {"value": v}
-    kids = [_json_node(c, metadata, div + len(node.mutations))
+    kids = [_json_node(c, metadata, div + len(node.mutations), use_clades)
             for c in node.children]
     if kids:
         obj["children"] = kids
@@ -164,17 +170,64 @@ def write_json_from_mat(T: Tree, path: str, title: str = "mutation_annotated_tre
     old_limit = _sys.getrecursionlimit()
     _sys.setrecursionlimit(max(old_limit, 4 * T.get_max_level() + 1000))
     try:
+        metadata = metadata or {}
+        # clade-annotation columns that carry any value (convert.cpp:593-607)
+        n_ann = len(T.root.clade_annotations) if T.root is not None else 0
+        use_clades = [False] * n_ann
+        for n in T.depth_first_expansion():
+            for i, c in enumerate(n.clade_annotations[:n_ann]):
+                if c:
+                    use_clades[i] = True
+            if all(use_clades):
+                break
+        # header colorings: country default + one per metadata field, with
+        # "continuous" in the field name selecting the continuous type
+        # (convert.cpp:609-644)
+        colorings = [{"key": "country", "title": "Country",
+                      "type": "categorical"}]
+        metafields: list[str] = []
+        for kv in metadata.values():
+            for k in kv:
+                if k not in metafields:
+                    metafields.append(k)
+        for k in metafields:
+            colorings.append({"key": k, "title": k,
+                              "type": "continuous" if "continuous" in k
+                              else "categorical"})
+        meta_obj = {
+            "title": title,
+            "filters": ["country", "userOrOld"],
+            "panels": ["tree"],
+            "colorings": colorings,
+            "display_defaults": {"branch_label": "none"},
+            "description":
+                "JSON generated by matUtils. If you have metadata you wish "
+                "to display, you can now drag on a CSV/TSV file and it will "
+                "be added into this view, [see here](https://docs.nextstrain."
+                "org/projects/auspice/en/latest/advanced-functionality/"
+                "drag-drop-csv-tsv.html) for more info.",
+        }
+        for i, used in enumerate(use_clades):
+            if used:
+                meta_obj.setdefault("extensions", {}).setdefault(
+                    "nextclade", {}).setdefault(
+                    "clade_node_attrs", []).append({
+                        "name": f"MAT_Clade_{i}",
+                        "displayName": f"MAT_Clade_{i + 1}",
+                        "description": f"MAT_Clade_{i + 1}as inferred or "
+                                       "proposed by UShER, matUtils, or "
+                                       "Autolin.",
+                        "hideInWeb": False,
+                        "skipAsReference": True})
+                colorings.append({"key": f"MAT_Clade_{i}",
+                                  "title": f"MAT_Clade_{i + 1}",
+                                  "type": "categorical"})
         doc = {
             "version": "v2",
-            "meta": {
-                "title": title,
-                "filters": [],
-                "panels": ["tree"],
-                "colorings": [],
-                "display_defaults": {"branch_label": "clade"},
-                "description": "JSON generated by matUtils extract (usher-tpu).",
-            },
-            "tree": _json_node(T.root, metadata or {}, 0),
+            "meta": meta_obj,
+            "tree": {"name": "wrapper", "node_attrs": {"div": 0},
+                     "children": [_json_node(T.root, metadata, 0,
+                                             use_clades)]},
         }
         with _open_out(path) as f:
             json.dump(doc, f)
@@ -192,6 +245,10 @@ def load_mat_from_json(path: str) -> Tree:
         with open(path) as f:
             doc = json.load(f)
     tree_obj = doc["tree"] if "tree" in doc else doc
+    # unwrap the reference's "wrapper" root (convert.cpp:622-628)
+    if (tree_obj.get("name") == "wrapper"
+            and len(tree_obj.get("children", [])) == 1):
+        tree_obj = tree_obj["children"][0]
     T = Tree()
 
     def parse_muts(obj) -> list[Mutation]:
