@@ -256,3 +256,66 @@ def test_check_state_reassign_toggle(tmp_path, monkeypatch):
     out = str(tmp_path / "opt.pb")
     assert opt_main(["-i", pb, "-o", out, "-N", "2", "-r", "4",
                      "--mesh-devices", "0"]) == 0
+
+
+def test_apply_move_undo_roundtrip():
+    """apply_move's undo log must restore the exact pre-move tree
+    (topology, mutations, levels, node table) without an O(tree) snapshot."""
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.io.newick import write_newick
+    from usher_tpu.optimize.spr import Move, apply_move, revert_moves
+
+    def build():
+        T = Tree()
+        T.create_node("root")
+        import numpy as np
+        rng = np.random.default_rng(3)
+        bases = [1, 2, 4, 8]
+        nodes = ["root"]
+        for i in range(40):
+            parent = nodes[int(rng.integers(len(nodes)))]
+            n = T.create_node(f"n{i}", parent)
+            p = int(rng.integers(100, 160))
+            n.add_mutation(Mutation("c", p, 1, 1, bases[int(rng.integers(1, 4))]))
+            nodes.append(f"n{i}")
+        return T
+
+    def signature(T):
+        return (write_newick(T, print_internal=True, print_branch_len=True),
+                {k: (tuple((m.position, m.par_nuc, m.mut_nuc)
+                           for m in v.mutations), v.level,
+                     v.parent.identifier if v.parent else None)
+                 for k, v in T._all_nodes.items()})
+
+    import numpy as np
+    rng = np.random.default_rng(11)
+    for trial in range(30):
+        T = build()
+        before = signature(T)
+        ids = [k for k in T._all_nodes if k != "root"]
+        logs = []
+        applied = 0
+        for _ in range(3):
+            sid = ids[int(rng.integers(len(ids)))]
+            did = ids[int(rng.integers(len(ids)))]
+            s, d = T.get_node(sid), T.get_node(did)
+            if s is None or d is None or s is d:
+                continue
+            # d must not be inside s's subtree, and not s's parent
+            anc = d
+            ok = True
+            while anc is not None:
+                if anc is s:
+                    ok = False
+                    break
+                anc = anc.parent
+            if not ok or d is s.parent or d.parent is None:
+                continue
+            mv = Move(src=s, dst=d, improvement=1,
+                      sibling_split=bool(rng.integers(2)),
+                      src_interval=(0, 0), dst_dfs=0)
+            logs.append(apply_move(T, mv))
+            applied += 1
+        if applied:
+            revert_moves(T, logs)
+            assert signature(T) == before, f"trial {trial} mismatch"

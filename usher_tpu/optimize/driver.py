@@ -243,13 +243,13 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                 continue
             break
 
-        snapshot = T.copy()
         affected: set = set()
         changed_new: set = set()
         for mv in accepted:
             _collect_affected(mv, affected, changed_new)
+        undo_logs = []
         for mv in accepted:
-            apply_move(T, mv)
+            undo_logs.append(apply_move(T, mv))
             if mv.src.parent is not None:
                 changed_new.add(mv.src.parent.identifier)
             if log_f:
@@ -308,24 +308,18 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                 engine, states, masks = chk_engine, chk_states, chk_masks
 
         if new_score > score:
-            # guard: the batch interacted badly; revert and apply only the
-            # single best move
+            # guard: the batch interacted badly; revert (O(moves) undo log,
+            # not an O(tree) snapshot) and apply only the single best move.
+            # full_refresh rewrites all mutation lists from the persistent
+            # leaf genotypes, erasing any partial FS-patch output.
             _err(f"Iteration {iteration}: batch regressed "
                  f"({score} -> {new_score}), reverting to single best move")
-            T.__dict__.update(snapshot.__dict__)
-            snapshot2 = T.copy()
-            from .spr import Move
-            mv0 = accepted[0]
-            replay = Move(src=T.get_node(mv0.src.identifier),
-                          dst=T.get_node(mv0.dst.identifier),
-                          improvement=mv0.improvement,
-                          sibling_split=mv0.sibling_split,
-                          src_interval=mv0.src_interval,
-                          dst_dfs=mv0.dst_dfs)
-            apply_move(T, replay)
+            from .spr import revert_moves
+            revert_moves(T, undo_logs)
+            undo0 = apply_move(T, accepted[0])
             engine, states, masks, new_score = full_refresh()
             if new_score > score:
-                T.__dict__.update(snapshot2.__dict__)
+                revert_moves(T, [undo0])
                 engine, states, masks, new_score = full_refresh()
                 break
 

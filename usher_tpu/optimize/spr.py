@@ -312,23 +312,35 @@ def resolve_conflicts(moves: list[Move]) -> list[Move]:
     return accepted
 
 
-def apply_move(T: Tree, mv: Move) -> None:
+def apply_move(T: Tree, mv: Move) -> list:
     """Topological SPR: prune src (merging a single-child parent away), then
     graft at dst (sibling split or child).  Branch mutations are left stale;
-    the caller re-runs whole-tree FS to rewrite them."""
+    the caller re-runs whole-tree FS to rewrite them.
+
+    Returns an undo log for revert_moves() — O(move) records instead of the
+    O(tree) snapshot a full copy would cost (the reference patches locally
+    for the same reason, apply_move/)."""
+    undo: list = []
     s, d = mv.src, mv.dst
     p = s.parent
+    src_idx = p.children.index(s)
     p.children.remove(s)
+    undo.append(("reattach_src", s, p, src_idx))
     if len(p.children) == 1 and p.parent is not None:
         c = p.children[0]
         # merge p away: c absorbs p's branch (mutations rewritten later)
         gp = p.parent
         i = gp.children.index(p)
+        # snapshot BOTH lists: add_mutation's same-position merge rule
+        # mutates Mutation objects in place, so shared references would
+        # corrupt the undo state
+        undo.append(("unmerge", p, gp, i, c, list(c.mutations),
+                     list(p.mutations)))
         gp.children[i] = c
         c.parent = gp
         # keep merged mutation list roughly consistent for oldcost accounting
-        merged = list(p.mutations)
-        tmp = c.mutations
+        merged = [m.copy() for m in p.mutations]
+        tmp = [m.copy() for m in c.mutations]
         c.mutations = []
         for m in merged:
             c.add_mutation(m)
@@ -337,14 +349,46 @@ def apply_move(T: Tree, mv: Move) -> None:
         del T._all_nodes[p.identifier]
         T._update_levels(c)
     elif len(p.children) == 0:
-        # pruning the last child: p becomes an empty leaf; remove it upward
-        T.remove_node(p.identifier, True)
+        # pruning the last child: p becomes empty; remove upward, merging
+        # single-child survivors like Tree.remove_node(move_level=True)
+        node = p
+        while node.parent is not None and not node.children:
+            par = node.parent
+            idx = par.children.index(node)
+            par.children.remove(node)
+            del T._all_nodes[node.identifier]
+            undo.append(("undelete", node, par, idx))
+            node = par
+        if node.parent is not None and len(node.children) == 1:
+            child = node.children[0]
+            gp = node.parent
+            i = gp.children.index(node)
+            undo.append(("unmerge_full", node, gp, i, child,
+                         list(child.mutations), child.branch_length,
+                         list(child.clade_annotations),
+                         list(node.mutations)))
+            for k in range(len(node.clade_annotations)):
+                if k < len(child.clade_annotations) \
+                        and child.clade_annotations[k] == "":
+                    child.clade_annotations[k] = node.clade_annotations[k]
+            child.parent = gp
+            child.branch_length += node.branch_length
+            tmp = [m.copy() for m in child.mutations]
+            child.mutations = []
+            for m in node.mutations:
+                child.add_mutation(m.copy())
+            for m in tmp:
+                child.add_mutation(m)
+            gp.children[i] = child
+            del T._all_nodes[node.identifier]
+            T._update_levels(child)
 
     if mv.sibling_split and d.parent is not None:
         ni = Node(T.new_internal_node_id(), d.parent, -1.0)
         ni.clade_annotations = [""] * T.get_num_annotations()
         gp = d.parent
         i = gp.children.index(d)
+        undo.append(("ungraft_split", ni, gp, i, d, s))
         gp.children[i] = ni
         T._all_nodes[ni.identifier] = ni
         d.parent = ni
@@ -352,6 +396,57 @@ def apply_move(T: Tree, mv: Move) -> None:
         s.parent = ni
         T._update_levels(ni)
     else:
+        undo.append(("ungraft_child", d, s))
         d.children.append(s)
         s.parent = d
         T._update_levels(s)
+    return undo
+
+
+def revert_moves(T: Tree, undo_logs: list) -> None:
+    """Revert a sequence of apply_move undo logs (most recent first is
+    handled internally: pass logs in application order)."""
+    for undo in reversed(undo_logs):
+        for op in reversed(undo):
+            kind = op[0]
+            if kind == "ungraft_child":
+                _, d, s = op
+                d.children.remove(s)
+                s.parent = None
+            elif kind == "ungraft_split":
+                _, ni, gp, i, d, s = op
+                gp.children[i] = d
+                d.parent = gp
+                s.parent = None
+                del T._all_nodes[ni.identifier]
+                T._update_levels(d)
+            elif kind == "unmerge":
+                _, p, gp, i, c, c_old_mut, p_old_mut = op
+                gp.children[i] = p
+                c.parent = p
+                c.mutations = c_old_mut
+                p.mutations = p_old_mut
+                T._all_nodes[p.identifier] = p
+                T._update_levels(p)
+            elif kind == "unmerge_full":
+                (_, node, gp, i, child, old_mut, old_bl, old_ann,
+                 node_old_mut) = op
+                gp.children[i] = node
+                child.parent = node
+                child.mutations = old_mut
+                child.branch_length = old_bl
+                child.clade_annotations = old_ann
+                node.mutations = node_old_mut
+                T._all_nodes[node.identifier] = node
+                T._update_levels(node)
+            elif kind == "undelete":
+                _, node, par, idx = op
+                par.children.insert(idx, node)
+                T._all_nodes[node.identifier] = node
+            elif kind == "reattach_src":
+                _, s, p, idx = op
+                p.children.insert(idx, s)
+                s.parent = p
+                T._update_levels(s)
+            else:  # pragma: no cover
+                raise AssertionError(f"unknown undo op {kind}")
