@@ -279,3 +279,35 @@ def test_extract_error_on_empty_selection(mat_pb, tmp_path):
     rc = matutils_main(["extract", "-i", mat_pb, "-s", str(sf),
                         "-d", str(tmp_path), "-t", "x.nh"])
     assert rc == 1
+
+
+def test_extract_select_nearest_add_random_clades(tmp_path):
+    """-Y nearest expansion, -W random padding, --usher-clades-txt,
+    --usher-anchor-samples (extract.cpp:103-110, 429-450, 558-583)."""
+    import os
+    import pytest
+    scripts = "/root/reference/scripts"
+    if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.matutils_cli import main as mu
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(scripts, "testBranchLen2.nwk"),
+                       "-v", os.path.join(scripts, "testBranchLen2.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    samples = tmp_path / "s.txt"
+    samples.write_text("a\n")
+    anchors = tmp_path / "anchor.txt"
+    anchors.write_text("h\n")
+    outdir = str(tmp_path / "ex")
+    rc = mu(["extract", "-i", pb, "-s", str(samples), "-Y", "2", "-W", "1",
+             "-X", "4", "--usher-anchor-samples", str(anchors),
+             "-u", "used.txt", "-d", outdir])
+    assert rc == 0
+    used = open(os.path.join(outdir, "used.txt")).read().split()
+    # a + 2 nearest + 1 random = 4 selected samples
+    assert "a" in used and len(used) == 4
+    # anchor 'h' appears in the single subtree even if not selected
+    nh = open(os.path.join(outdir, "single-subtree.nh")).read()
+    assert "h" in nh

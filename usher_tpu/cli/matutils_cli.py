@@ -66,6 +66,14 @@ def cmd_extract(argv) -> int:
     p.add_argument("--minimum-subtrees-size", "-N", type=int, default=0,
                    help="Generate JSON/newick subtrees of this size covering "
                         "all queried samples; uses and overrides -j/-t")
+    p.add_argument("--usher-clades-txt", action="store_true",
+                   help="With usher-style subtrees, also write clades.txt")
+    p.add_argument("--usher-anchor-samples", default="",
+                   help="Add samples from file to usher-style subtree(s)")
+    p.add_argument("--add-random", "-W", type=int, default=0,
+                   help="Add exactly W random samples to the selection")
+    p.add_argument("--select-nearest", "-Y", type=int, default=0,
+                   help="Also select the Y nearest samples to each sample")
     p.add_argument("--write-taxodium", "-l", default="")
     p.add_argument("--input-gtf", "-g", default="")
     p.add_argument("--input-fasta", "-f", default="")
@@ -96,6 +104,10 @@ def cmd_extract(argv) -> int:
         usher_single_subtree_size=a.usher_single_subtree_size,
         usher_minimum_subtrees_size=a.usher_minimum_subtrees_size,
         minimum_subtrees_size=a.minimum_subtrees_size,
+        usher_clades_txt=a.usher_clades_txt,
+        usher_anchor_samples=a.usher_anchor_samples,
+        add_random=a.add_random,
+        select_nearest=a.select_nearest,
         write_taxodium=a.write_taxodium, input_gtf=a.input_gtf,
         input_fasta=a.input_fasta, description=a.description,
         extra_fields=a.extra_fields, x_scale=a.x_scale,

@@ -64,6 +64,12 @@ class ExtractOptions:
     usher_minimum_subtrees_size: int = 0
     minimum_subtrees_size: int = 0   # -N: JSON/newick covering subtrees
                                      # (reference extract.cpp:93-94)
+    usher_clades_txt: bool = False   # usher-style clades.txt for selected
+                                     # samples (extract.cpp:103-104)
+    usher_anchor_samples: str = ""   # context samples for usher subtrees
+                                     # (extract.cpp:105-106)
+    add_random: int = 0              # -W (extract.cpp:107-108)
+    select_nearest: int = 0          # -Y (extract.cpp:109-110)
     seed: int = 0
     # Taxodium export (reference extract.cpp --write-taxodium and friends)
     write_taxodium: str = ""
@@ -134,8 +140,23 @@ def select_samples(T: Tree, opts: ExtractOptions) -> list[str]:
         samples = sel.filter_mut_density(T, samples, opts.max_mutation_density)
     if opts.from_mrca and samples:
         samples = sel.get_mrca_samples(T, samples)
-    if opts.set_size > 0:
-        samples = sel.fill_random_samples(T, samples, opts.set_size,
+    if opts.select_nearest > 0:
+        # -Y: add the y nearest samples to each selected sample
+        # (extract.cpp:429-441)
+        extra: list[str] = []
+        have = set(samples)
+        for s in samples:
+            for n in sel.get_nearby(T, s, opts.select_nearest):
+                if n not in have:
+                    have.add(n)
+                    extra.append(n)
+        samples = samples + extra
+    if opts.set_size > 0 or opts.add_random > 0:
+        # -z sets the total; otherwise -W adds exactly W randoms
+        # (extract.cpp:442-450)
+        target = opts.set_size if opts.set_size > 0 \
+            else opts.add_random + len(samples)
+        samples = sel.fill_random_samples(T, samples, target,
                                           opts.limit_to_lca, opts.seed)
     return samples
 
@@ -157,6 +178,41 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
              "and try again")
         return 1
     _err(f"{len(samples)} samples selected.")
+
+    # usher-style subtrees are produced against the FULL input tree, before
+    # sample-selection filtering (reference extract.cpp:518-583)
+    if opts.usher_single_subtree_size or opts.usher_minimum_subtrees_size:
+        from ..tools.subtrees import write_single_subtree, write_sample_subtrees
+        anchors: list[str] = []
+        if opts.usher_anchor_samples:
+            anchors = sel.read_sample_names(opts.usher_anchor_samples)
+            if not anchors:
+                _err("ERROR: --usher-anchor-samples file is empty or "
+                     "unparseable!")
+                return 1
+        if opts.usher_minimum_subtrees_size:
+            write_sample_subtrees(T, samples, opts.outdir,
+                                  opts.usher_minimum_subtrees_size,
+                                  anchor_samples=anchors)
+        if opts.usher_single_subtree_size:
+            write_single_subtree(T, samples, opts.outdir,
+                                 opts.usher_single_subtree_size,
+                                 anchor_samples=anchors)
+        if opts.usher_clades_txt and T.get_num_annotations() > 0:
+            # usher-style clades.txt for the selected samples
+            # (extract.cpp:558-583)
+            path = out("clades.txt")
+            _err(f"Writing clade annotations to file {path}")
+            with open(path, "w") as f:
+                for s in samples:
+                    node = T.get_node(s)
+                    if node is None:
+                        continue
+                    f.write(s)
+                    for k in range(T.get_num_annotations()):
+                        f.write("\t" + T.get_clade_assignment(
+                            node, k, False))
+                    f.write("\n")
 
     all_leaves = T.get_leaves_ids()
     if len(samples) < len(all_leaves) or opts.prune:
@@ -230,14 +286,6 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
             f.write(write_newick(
                 subtree, print_internal=True, print_branch_len=True,
                 retain_original_branch_len=opts.retain_branch_length) + "\n")
-    if opts.usher_single_subtree_size or opts.usher_minimum_subtrees_size:
-        from ..tools.subtrees import write_single_subtree, write_sample_subtrees
-        if opts.usher_single_subtree_size:
-            write_single_subtree(subtree, final_samples, opts.outdir,
-                                 opts.usher_single_subtree_size)
-        if opts.usher_minimum_subtrees_size:
-            write_sample_subtrees(subtree, final_samples, opts.outdir,
-                                  opts.usher_minimum_subtrees_size)
     if opts.write_taxodium:
         from .translate import save_taxodium_tree
         _err(f"Writing taxodium protobuf to {out(opts.write_taxodium)}")

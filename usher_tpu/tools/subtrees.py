@@ -55,12 +55,17 @@ def _write_subtree_files(T: Tree, new_T: Tree, path_base: str,
 
 def write_single_subtree(T: Tree, samples, outdir, subtree_size, tree_idx=0,
                          use_tree_idx=False,
-                         retain_original_branch_len=False) -> None:
+                         retain_original_branch_len=False,
+                         anchor_samples=()) -> None:
     """-K: one subtree containing every placed sample plus `subtree_size`
-    random context leaves (mutation_annotated_tree.cpp:1693-1783)."""
+    random context leaves (mutation_annotated_tree.cpp:1693-1783).
+    anchor_samples: always included for larger-scale context
+    (reference --usher-anchor-samples, extract.cpp:105-106)."""
     preid = f"tree-{tree_idx}-" if use_tree_idx else ""
     keep = {n.identifier for s in samples
             for n in (T.get_node(s),) if n is not None}
+    keep |= {n.identifier for s in anchor_samples
+             for n in (T.get_node(s),) if n is not None}
     n_samples = len(keep)
     all_leaves = T.get_leaves()
     rng = random.Random(0)
@@ -78,7 +83,8 @@ def write_single_subtree(T: Tree, samples, outdir, subtree_size, tree_idx=0,
 
 def write_sample_subtrees(T: Tree, samples, outdir, subtree_size, tree_idx=0,
                           use_tree_idx=False,
-                          retain_original_branch_len=False) -> None:
+                          retain_original_branch_len=False,
+                          anchor_samples=()) -> None:
     """-k: per not-yet-displayed sample, a subtree of ~subtree_size leaves —
     4/5 nearest by mutation distance below the smallest ancestor with enough
     leaves, 1/5 random (mutation_annotated_tree.cpp:1785-1990)."""
@@ -132,6 +138,9 @@ def write_sample_subtrees(T: Tree, samples, outdir, subtree_size, tree_idx=0,
                                   for l in T.get_leaves(anc.identifier)
                                   ][:subtree_size]
 
+            for aid in anchor_samples:
+                if T.get_node(aid) is not None and aid not in leaves_to_keep:
+                    leaves_to_keep.append(aid)
             new_T = get_subtree(T, leaves_to_keep,
                                 keep_clade_annotations=False)
             rotate_for_display(new_T)
