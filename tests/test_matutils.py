@@ -311,3 +311,52 @@ def test_extract_select_nearest_add_random_clades(tmp_path):
     # anchor 'h' appears in the single subtree even if not selected
     nh = open(os.path.join(outdir, "single-subtree.nh")).read()
     assert "h" in nh
+
+
+def test_mask_local_snp_distance(tmp_path):
+    """-D local masking: mutations on short paths overlapping nearby
+    samples' missing intervals are deleted (mask.cpp:549-632)."""
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.io.pbio import load_mat_pb, save_mat_pb
+    from usher_tpu.cli.matutils_cli import main as mu
+    T = Tree()
+    T.create_node("root")
+    anc = T.create_node("anc", "root")
+    s1 = T.create_node("s1", "anc")
+    s2 = T.create_node("s2", "anc")
+    far = T.create_node("far", "root")
+    # s1 has one mutation at pos 150 (inside s2's missing region)
+    s1.add_mutation(Mutation("c", 150, 1, 1, 8))
+    s2.add_mutation(Mutation("c", 300, 1, 1, 4))
+    for m in range(5):
+        far.add_mutation(Mutation("c", 400 + m, 1, 1, 2))
+    pb = str(tmp_path / "in.pb")
+    save_mat_pb(T, pb)
+    diff = tmp_path / "d.diff"
+    diff.write_text(">s1\n>s2\n-\t100\t100\n")
+    out = str(tmp_path / "out.pb")
+    assert mu(["mask", "-i", pb, "-o", out, "-D", "3",
+               "-f", str(diff)]) == 0
+    T2 = load_mat_pb(out)
+    # s1's mutation at 150 lies in s2's missing [100, 200] -> masked
+    assert len(T2.get_node("s1").mutations) == 0
+    # s2's mutation at 300 is outside -> kept
+    assert len(T2.get_node("s2").mutations) == 1
+    # far's branch is >= D away -> untouched
+    assert len(T2.get_node("far").mutations) == 5
+
+
+def test_mask_get_closest_samples():
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.matutils.mask import get_closest_samples
+    T = Tree()
+    T.create_node("root")
+    a = T.create_node("a", "root")
+    b = T.create_node("b", "root")
+    c = T.create_node("c", "root")
+    b.add_mutation(Mutation("c", 10, 1, 1, 8))
+    for m in range(4):
+        c.add_mutation(Mutation("c", 20 + m, 1, 1, 8))
+    # from a: b at distance 1, c at distance 4
+    assert get_closest_samples(T, "a", 1) == ["b"]
+    assert get_closest_samples(T, "a", 4) == ["b", "c"]

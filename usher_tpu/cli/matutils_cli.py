@@ -282,7 +282,18 @@ def cmd_mask(argv) -> int:
     p.add_argument("--mask-mutations", "-m", default="")
     p.add_argument("--simplify", "-S", action="store_true")
     p.add_argument("--move-nodes", "-M", default="")
+    p.add_argument("--condense-tree", "-c", action="store_true",
+                   help="Condense identical leaves before saving")
+    p.add_argument("--max-snp-distance", "-D", type=int, default=0,
+                   help="Locally mask mutations overlapping nearby samples' "
+                        "missing data (needs -f); reference mask.cpp:35-36")
+    p.add_argument("--maple-file", "-f", default="",
+                   help="MAPLE diff file with per-sample missing intervals "
+                        "for -D")
     a = p.parse_args(argv)
+    if a.max_snp_distance > 0 and not a.maple_file:
+        _err("ERROR: -D/--max-snp-distance requires -f/--maple-file")
+        return 1
     T = _load(a.input_mat)
     if a.simplify:
         T.uncondense_leaves()
@@ -293,10 +304,17 @@ def cmd_mask(argv) -> int:
     if a.mask_mutations:
         n = mk.mask_mutations(T, a.mask_mutations)
         _err(f"Masked {n} mutation instances")
+    if a.max_snp_distance > 0:
+        n = mk.local_mask(T, a.max_snp_distance, a.maple_file)
+        _err(f"Locally masked {n} mutation instances")
     if a.simplify:
         mk.simplify_tree(T)
     if a.move_nodes:
         mk.move_nodes(T, a.move_nodes)
+    if a.condense_tree:
+        if T.condensed_nodes:
+            T.uncondense_leaves()
+        T.condense_leaves()
     save_mat_pb(T, a.output_mat)
     return 0
 

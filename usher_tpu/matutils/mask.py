@@ -156,3 +156,141 @@ def move_nodes(T: Tree, node_filename: str) -> None:
                 _err(f"WARNING: node {nid} or {pid} not found; skipping")
                 continue
             T.move_node(nid, pid)
+
+
+# --- local masking by SNP distance (reference mask.cpp:549-632) -------------
+
+def read_diff_missing(diff_file: str) -> dict[str, list[tuple[int, int]]]:
+    """Per-sample missing-data intervals (position, length) from a MAPLE
+    diff file ('-' lines only; reference readDiff, mask.cpp:161-219)."""
+    data: dict[str, list[tuple[int, int]]] = {}
+    current = ""
+    with open(diff_file) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if line[0] == ">":
+                current = line[1:]
+                if current in data:
+                    raise ValueError(
+                        f"Duplicate samples detected, inspect diff file for "
+                        f"sample: {current}")
+                data[current] = []
+            elif line[0] == "-":
+                fields = line.split("\t")
+                data[current].append((int(fields[1]), int(fields[2])))
+    for v in data.values():
+        v.sort()
+    return data
+
+
+def get_closest_samples(T: Tree, nid: str, max_dist: int) -> list[str]:
+    """Leaves within `max_dist` SNP (path mutation-count) distance of the
+    target leaf, excluding the target's own branch (reference
+    get_closest_samples, select.cpp:577-660)."""
+    import heapq
+    target = T.get_node(nid)
+    if target is None or target.parent is None:
+        return []
+    # Dijkstra over the undirected tree; edge (X, X.parent) costs
+    # len(X.mutations)
+    dist = {id(target.parent): 0}
+    heap = [(0, 0, target.parent)]
+    counter = 1
+    out = []
+    while heap:
+        d, _, node = heapq.heappop(heap)
+        if d > dist.get(id(node), 1 << 60):
+            continue
+        for ch in node.children:
+            if ch is target:
+                continue
+            nd = d + len(ch.mutations)
+            if nd <= max_dist and nd < dist.get(id(ch), 1 << 60):
+                dist[id(ch)] = nd
+                if ch.is_leaf():
+                    out.append((nd, ch.identifier))
+                else:
+                    counter += 1
+                    heapq.heappush(heap, (nd, counter, ch))
+        p = node.parent
+        if p is not None:
+            nd = d + len(node.mutations)
+            if nd <= max_dist and nd < dist.get(id(p), 1 << 60):
+                dist[id(p)] = nd
+                counter += 1
+                heapq.heappush(heap, (nd, counter, p))
+    out.sort()
+    return [name for _, name in out]
+
+
+def _merge_intervals(a: list[tuple[int, int]],
+                     b: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union of missing intervals (combine_missing, mask.cpp:329-450)."""
+    merged = []
+    for start, length in sorted(a + b):
+        end = start + length
+        if merged and start <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], end)
+        else:
+            merged.append([start, end])
+    return [(s, e) for s, e in merged]
+
+
+def _mask_node_mutations(node, intervals: list[tuple[int, int]]) -> int:
+    """Delete mutations inside any [start, end] interval (nodeComp,
+    mask.cpp:220-328; bounds inclusive)."""
+    if not node.mutations or not intervals:
+        return 0
+    import bisect
+    starts = [s for s, _ in intervals]
+    kept = []
+    removed = 0
+    for m in node.mutations:
+        i = bisect.bisect_right(starts, m.position) - 1
+        if i >= 0 and intervals[i][0] <= m.position <= intervals[i][1]:
+            removed += 1
+        else:
+            kept.append(m)
+    node.mutations = kept
+    return removed
+
+
+def local_mask(T: Tree, max_snp_distance: int, diff_file: str) -> int:
+    """Post-placement local masking: for each leaf with missing data and a
+    short terminal branch, delete mutations on paths to nearby samples that
+    fall inside either sample's missing regions (localMask,
+    mask.cpp:593-632).  Returns the number of masked mutations."""
+    diff_data = read_diff_missing(diff_file)
+    compared: dict[str, set[str]] = {}
+    removed = 0
+    for leaf in T.get_leaves():
+        samp = leaf.identifier
+        if len(leaf.mutations) >= max_snp_distance or samp not in diff_data:
+            continue
+        for neigh in get_closest_samples(T, samp, max_snp_distance):
+            if neigh in compared.get(samp, ()):
+                continue
+            compared.setdefault(samp, set()).add(neigh)
+            compared.setdefault(neigh, set()).add(samp)
+            intervals = _merge_intervals(diff_data.get(samp, []),
+                                         diff_data.get(neigh, []))
+            if not intervals:
+                continue
+            neigh_node = T.get_node(neigh)
+            if neigh_node is None:
+                continue
+            from .tree_filter import _lca
+            mrca = _lca(leaf, neigh_node)
+            cur = neigh_node
+            while cur is not None and cur is not mrca:
+                removed += _mask_node_mutations(cur, intervals)
+                cur = cur.parent
+            cur = leaf
+            while cur is not None and cur is not mrca:
+                removed += _mask_node_mutations(cur, intervals)
+                cur = cur.parent
+            if mrca is not None:
+                removed += _mask_node_mutations(mrca, intervals)
+    return removed
