@@ -360,3 +360,36 @@ def test_mask_get_closest_samples():
     # from a: b at distance 1, c at distance 4
     assert get_closest_samples(T, "a", 1) == ["b"]
     assert get_closest_samples(T, "a", 4) == ["b", "c"]
+
+
+def test_annotate_clade_mutations(tmp_path):
+    """-M direct clade-mutation assignment incl. lineage inheritance and
+    -D details output (annotate.cpp:207-302)."""
+    import os
+    import pytest
+    scripts = "/root/reference/scripts"
+    if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.matutils_cli import main as mu
+    from usher_tpu.io.pbio import load_mat_pb
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(scripts, "testBranchLen2.nwk"),
+                       "-v", os.path.join(scripts, "testBranchLen2.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    # clade X = mutations of the a/b/c/d subtree (positions 1-5 shared);
+    # clade Y inherits X plus position 6
+    cm = tmp_path / "cm.tsv"
+    cm.write_text("X\tA1T,A2T A3T,A4T,A5T\nY\tX A6T\n")
+    out = str(tmp_path / "ann.pb")
+    details = str(tmp_path / "details.tsv")
+    rc = mu(["annotate", "-i", pb, "-o", out, "-M", str(cm),
+             "-D", details, "-d", str(tmp_path)])
+    assert rc == 0
+    T = load_mat_pb(out)
+    annotated = {c for n in T.depth_first_expansion()
+                 for c in n.clade_annotations if c}
+    assert "X" in annotated and "Y" in annotated
+    dl = open(os.path.join(str(tmp_path), details)).read()
+    assert dl.startswith("clade\t")

@@ -213,12 +213,23 @@ def cmd_annotate(argv) -> int:
     p.add_argument("--clade-names", "-c", default="")
     p.add_argument("--clade-to-nid", "-C", default="")
     p.add_argument("--clade-paths", "-P", default="")
+    p.add_argument("--clade-mutations", "-M", default="",
+                   help="clade\\tmutation-path per line: assign clades "
+                        "placed by their given defining mutations")
     p.add_argument("--allele-frequency", "-f", type=float, default=0.8)
+    p.add_argument("--mask-frequency", "-m", type=float, default=0.2)
     p.add_argument("--set-overlap", "-s", type=float, default=0.6)
     p.add_argument("--clip-sample-frequency", "-p", type=float, default=0.1)
     p.add_argument("--clear-current", "-l", action="store_true")
+    p.add_argument("--output-directory", "-d", default="./")
     p.add_argument("--write-mutations", "-u", default="")
+    p.add_argument("--write-details", "-D", default="")
     a = p.parse_args(argv)
+
+    def outp(name):
+        import os as _os
+        return _os.path.join(a.output_directory, name) if name else ""
+
     T = _load(a.input_mat)
     if a.clade_to_nid:
         if a.clade_names or a.clade_paths:
@@ -228,14 +239,18 @@ def cmd_annotate(argv) -> int:
         ann.assign_lineages_by_nid(T, a.clade_to_nid, a.clear_current)
     elif a.clade_paths:
         ann.assign_lineages_from_paths(T, a.clade_paths, a.clear_current)
-    elif a.clade_names:
+    elif a.clade_names or a.clade_mutations:
         ann.assign_lineages_by_samples(
             T, a.clade_names, min_freq=a.allele_frequency,
+            mask_freq=a.mask_frequency,
             set_overlap=a.set_overlap,
             clip_sample_frequency=a.clip_sample_frequency,
-            clear_current=a.clear_current, mutations_out=a.write_mutations)
+            clear_current=a.clear_current,
+            mutations_out=outp(a.write_mutations),
+            clade_mutations_file=a.clade_mutations,
+            details_out=outp(a.write_details))
     else:
-        _err("ERROR: annotate requires one of -c, -C, -P")
+        _err("ERROR: annotate requires one of -c, -C, -P, -M")
         return 1
     save_mat_pb(T, a.output_mat)
     return 0
