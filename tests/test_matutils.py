@@ -393,3 +393,45 @@ def test_annotate_clade_mutations(tmp_path):
     assert "X" in annotated and "Y" in annotated
     dl = open(os.path.join(str(tmp_path), details)).read()
     assert dl.startswith("clade\t")
+
+
+def test_uncertainty_fisher_test():
+    from usher_tpu.matutils.uncertainty import _fisher_test
+    # symmetric 2x2 with no association -> p == 1
+    assert _fisher_test(5, 5, 5, 5) == pytest.approx(1.0, abs=1e-9)
+    # strong association -> small p (canonical example: tea-tasting 2x2)
+    assert _fisher_test(10, 0, 0, 10) < 1e-4
+    # compare against a hand-computed case: a=3,b=1,c=1,d=3
+    # N=8, r=4, n=4; p = P(k in {0,1,3,4} pdf<=pdf(1)) = 2*(1+16)/70
+    assert _fisher_test(3, 1, 1, 3) == pytest.approx(2 * 17 / 70)
+
+
+def test_uncertainty_dropout_cli(tmp_path):
+    """-d dropout scan runs and emits the reference's column header; a
+    synthetic enriched mutation inside a big subtree is detected."""
+    import numpy as np
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.io.pbio import save_mat_pb
+    from usher_tpu.cli.matutils_cli import main as mu
+    rng = np.random.default_rng(0)
+    T = Tree()
+    T.create_node("root")
+    hot = T.create_node("hot", "root")
+    cold = T.create_node("cold", "root")
+    # inside 'hot': 60 leaves, 15 of them carrying A100T plus noise
+    for i in range(60):
+        n = T.create_node(f"h{i}", "hot")
+        if i < 15:
+            n.add_mutation(Mutation("c", 100, 1, 1, 8))
+        n.add_mutation(Mutation("c", int(rng.integers(200, 1000)), 1, 1, 4))
+    # outside: 120 leaves with noise only (A100T absent)
+    for i in range(120):
+        n = T.create_node(f"c{i}", "cold")
+        n.add_mutation(Mutation("c", int(rng.integers(200, 1000)), 1, 1, 4))
+    pb = str(tmp_path / "in.pb")
+    save_mat_pb(T, pb)
+    out = str(tmp_path / "drop.tsv")
+    assert mu(["uncertainty", "-i", pb, "-d", out]) == 0
+    lines = open(out).read().splitlines()
+    assert lines[0].startswith("mutation\tbranch\t")
+    assert any(l.startswith("A100T\t") for l in lines[1:])

@@ -260,13 +260,26 @@ def cmd_uncertainty(argv) -> int:
     from ..matutils.uncertainty import uncertainty_main
     p = argparse.ArgumentParser(prog="matUtils uncertainty")
     p.add_argument("--input-mat", "-i", required=True)
-    p.add_argument("--samples", "-s", required=True)
+    p.add_argument("--samples", "-s", default="")
     p.add_argument("--find-epps", "-e", default="")
     p.add_argument("--record-placements", "-o", default="")
+    p.add_argument("--dropout-mutations", "-d", default="",
+                   help="Calculate mutations possibly associated with "
+                        "primer dropout [EXPERIMENTAL]")
     a = p.parse_args(argv)
+    if not a.samples and not a.dropout_mutations:
+        _err("ERROR: uncertainty requires -s and/or -d")
+        return 1
     T = _load(a.input_mat)
     T.uncondense_leaves()
-    return uncertainty_main(T, a.samples, a.find_epps, a.record_placements)
+    if a.dropout_mutations:
+        from ..matutils.uncertainty import check_for_droppers
+        _err("Identifying primer-dropout associated mutations.")
+        check_for_droppers(T, a.dropout_mutations)
+    if a.samples:
+        return uncertainty_main(T, a.samples, a.find_epps,
+                                a.record_placements)
+    return 0
 
 
 def cmd_merge(argv) -> int:

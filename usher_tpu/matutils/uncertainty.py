@@ -158,3 +158,95 @@ def uncertainty_main(T: Tree, sample_file: str, epps_out: str = "",
                     for pn in placements:
                         f.write(f"{pn.identifier}\t{s}\n")
     return 0
+
+
+# --- primer-dropout detection (reference uncertainty.cpp:412-527) -----------
+
+def _fisher_test(a: int, b: int, c: int, d: int) -> float:
+    """Two-tailed Fisher's exact test by hypergeometric pdf-cutoff summation
+    (reference fisher_test, uncertainty.cpp:412-437)."""
+    from math import exp, lgamma
+
+    N = a + b + c + d
+    r = a + c
+    n = c + d
+
+    def log_comb(nn, kk):
+        if kk < 0 or kk > nn:
+            return float("-inf")
+        return (lgamma(nn + 1) - lgamma(kk + 1) - lgamma(nn - kk + 1))
+
+    def pdf(k):
+        return exp(log_comb(r, k) + log_comb(N - r, n - k) - log_comb(N, n))
+
+    max_k = min(r, n)
+    min_k = max(0, r + n - N)
+    cutoff = pdf(c)
+    total = 0.0
+    for k in range(min_k, max_k + 1):
+        p = pdf(k)
+        if p <= cutoff:
+            total += p
+    return total
+
+
+def _mutation_counts(T: Tree, root=None, by_location=False):
+    counts: dict[str, int] = {}
+    for n in T.depth_first_expansion(root):
+        for m in n.mutations:
+            key = str(m.position) if by_location else m.get_string()
+            counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
+def check_for_droppers(T: Tree, outf: str) -> None:
+    """Find mutations enriched within subtrees (possible primer dropout):
+    per split with subtree parsimony >= 50, Fisher's exact test of each
+    mutation occurring >= 10 times inside vs the rest of the tree; mutations
+    passing p < 0.05 get a secondary location-based test
+    (check_for_droppers, uncertainty.cpp:444-527)."""
+    gmap = _mutation_counts(T)
+    locmap = _mutation_counts(T, by_location=True)
+    global_parsimony = sum(gmap.values())
+
+    pvals: dict[str, float] = {}
+    lpvals: dict[str, float] = {}
+    nodetrack: dict[str, str] = {}
+    ocintrack: dict[str, int] = {}
+    splitstrack: dict[str, int] = {}
+    tests_performed = 0
+    loc_tests_performed = 0
+    for n in T.depth_first_expansion():
+        lmap = _mutation_counts(T, n)
+        local_parsimony = sum(lmap.values())
+        if local_parsimony < 50:
+            continue
+        mloc = _mutation_counts(T, n, by_location=True)
+        for mut, cnt in lmap.items():
+            if cnt < 10:
+                continue
+            pv = _fisher_test(cnt, local_parsimony, gmap[mut] - cnt,
+                              global_parsimony - local_parsimony)
+            tests_performed += 1
+            if pv < 0.05:
+                locstr = mut[1:-1]
+                lpv = _fisher_test(mloc.get(locstr, 0), local_parsimony,
+                                   locmap.get(locstr, 0) - mloc.get(locstr, 0),
+                                   global_parsimony - local_parsimony)
+                loc_tests_performed += 1
+                if mut not in pvals or pv < pvals[mut]:
+                    pvals[mut] = pv
+                    lpvals[mut] = lpv
+                    nodetrack[mut] = n.identifier
+                    ocintrack[mut] = cnt
+                    splitstrack[mut] = local_parsimony
+    with open(outf, "w") as f:
+        f.write("mutation\tbranch\tpvalue\tcorrected_pvalue\toccurrences_in\t"
+                "occurrences_out\tsplit_size\tlocation_pvalue\t"
+                "location_corrected_pvalue\n")
+        for mut in sorted(pvals):
+            f.write(f"{mut}\t{nodetrack[mut]}\t{pvals[mut]}\t"
+                    f"{pvals[mut] * tests_performed}\t{ocintrack[mut]}\t"
+                    f"{gmap[mut] - ocintrack[mut]}\t{splitstrack[mut]}\t"
+                    f"{lpvals[mut]}\t"
+                    f"{lpvals[mut] * loc_tests_performed}\n")
