@@ -435,3 +435,30 @@ def test_uncertainty_dropout_cli(tmp_path):
     lines = open(out).read().splitlines()
     assert lines[0].startswith("mutation\tbranch\t")
     assert any(l.startswith("A100T\t") for l in lines[1:])
+
+
+def test_extract_reroot_reference_rewrite(tmp_path):
+    """--write-reroot-reference applies the new root's allele changes to
+    the input fasta (filter.cpp:176-212)."""
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.io.pbio import save_mat_pb
+    from usher_tpu.cli.matutils_cli import main as mu
+    T = Tree()
+    T.create_node("root")
+    mid = T.create_node("mid", "root")
+    mid.add_mutation(Mutation("c", 2, 1, 1, 8))  # A2T
+    T.create_node("l1", "mid").add_mutation(Mutation("c", 4, 1, 1, 4))
+    T.create_node("l2", "mid")
+    T.create_node("l3", "root")
+    pb = str(tmp_path / "in.pb")
+    save_mat_pb(T, pb)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">ref\nAAAAA\n")
+    outdir = str(tmp_path / "o")
+    # internal names become node_N through the pb roundtrip; mid == node_2
+    rc = mu(["extract", "-i", pb, "-y", "node_2", "-f", str(fa),
+             "--write-reroot-reference", "newref.fa",
+             "-t", "t.nh", "-d", outdir])
+    assert rc == 0
+    content = open(os.path.join(outdir, "newref.fa")).read()
+    assert content.splitlines()[1] == "ATAAA"  # A2T applied

@@ -59,6 +59,9 @@ def cmd_extract(argv) -> int:
     p.add_argument("--write-tree", "-t", default="")
     p.add_argument("--retain-branch-length", "-E", action="store_true")
     p.add_argument("--reroot", "-y", default="")
+    p.add_argument("--write-reroot-reference", default="",
+                   help="After rerooting, write --input-fasta with the new "
+                        "root's allele changes applied")
     p.add_argument("--metadata", "-M", default="")
     p.add_argument("--title", "-B", default="mutation_annotated_tree")
     p.add_argument("--usher-single-subtree-size", "-X", type=int, default=0)
@@ -100,6 +103,7 @@ def cmd_extract(argv) -> int:
         collapse_tree=a.collapse_tree, write_mat=a.write_mat,
         write_json=a.write_json, write_tree=a.write_tree,
         retain_branch_length=a.retain_branch_length, reroot=a.reroot,
+        write_reroot_reference=a.write_reroot_reference,
         metadata=a.metadata, title=a.title,
         usher_single_subtree_size=a.usher_single_subtree_size,
         usher_minimum_subtrees_size=a.usher_minimum_subtrees_size,

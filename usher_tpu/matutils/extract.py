@@ -58,6 +58,8 @@ class ExtractOptions:
     write_tree: str = ""
     retain_branch_length: bool = False
     reroot: str = ""
+    write_reroot_reference: str = ""  # rewrite --input-fasta for the new
+                                      # root (filter.cpp:176-212)
     metadata: str = ""
     title: str = "mutation_annotated_tree"
     usher_single_subtree_size: int = 0
@@ -168,6 +170,14 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
         return os.path.join(opts.outdir, p)
 
     if opts.reroot:
+        if opts.write_reroot_reference:
+            if not opts.input_fasta:
+                _err("ERROR: --write-reroot-reference requires --input-fasta")
+                return 1
+            from .tree_filter import modify_fasta, root_path_changes
+            changes = root_path_changes(T, opts.reroot)
+            modify_fasta(changes, opts.input_fasta,
+                         out(opts.write_reroot_reference), opts.reroot)
         T = reroot_tree(T, opts.reroot)
     if T.condensed_nodes:
         T.uncondense_leaves()

@@ -191,3 +191,61 @@ def reroot_tree(T: Tree, new_root_id: str) -> Tree:
     T.root = new_root
     T._update_levels(new_root)
     return T
+
+
+def modify_fasta(changes, input_reference: str, output_reference: str,
+                 output_name: str) -> None:
+    """Apply allele changes to a reference fasta (reference modify_fasta,
+    filter.cpp:176-212): used with reroot so downstream VCFs stay consistent
+    with the new root's sequence."""
+    from ..core.nuc import char_from_nuc_id
+    from ..io.fatovcf import read_fasta
+    records = read_fasta(input_reference)
+    if not records:
+        raise ValueError(f"ERROR: Could not read fasta {input_reference}")
+    ref = list(records[0][1].upper())
+    for m in changes:
+        if m.position > len(ref):
+            raise ValueError(
+                f"ERROR: Input fasta {input_reference} has sequence length "
+                f"{len(ref)}, can't apply a mutation at position "
+                f"{m.position}")
+        expect = char_from_nuc_id(m.ref_nuc)
+        if ref[m.position - 1] != expect:
+            _err(f"WARNING: expected input base at position {m.position} to "
+                 f"be {expect} but found {ref[m.position - 1]}")
+        ref[m.position - 1] = char_from_nuc_id(m.mut_nuc)
+    seq = "".join(ref)
+    with open(output_reference, "w") as f:
+        f.write(f">{output_name}\n")
+        for i in range(0, len(seq), 120):
+            f.write(seq[i:i + 120] + "\n")
+
+
+def root_path_changes(T: Tree, new_root_id: str):
+    """Latest allele per position on the old-root -> new-root path (the
+    `changes` reroot_tree feeds modify_fasta, filter.cpp:213-313)."""
+    nr = T.get_node(new_root_id)
+    if nr is None:
+        raise KeyError(f"reroot: node {new_root_id} not in tree")
+    chain = []
+    cur = nr
+    while cur is not None:
+        chain.append(cur)
+        cur = cur.parent
+    latest = {}
+    first_ref = {}
+    for node in reversed(chain):
+        for m in node.mutations:
+            if m.position not in first_ref:
+                first_ref[m.position] = m.par_nuc
+            latest[m.position] = m.mut_nuc
+    out = []
+    from ..core.tree import Mutation
+    for pos in sorted(latest):
+        if latest[pos] != first_ref[pos]:
+            out.append(Mutation(chrom="", position=pos,
+                                ref_nuc=first_ref[pos],
+                                par_nuc=first_ref[pos],
+                                mut_nuc=latest[pos]))
+    return out
