@@ -177,24 +177,30 @@ def _score_entries_T(st, stp, ref, base, nc_base, pos, gval, kmiss,
               ).astype(jnp.bfloat16)                   # [Pp, Bp*K]
 
     nt, bt, pt = n_pad // TN, b_pad // tb, p_pad // TP
-    grid = (nt, bt, pt)
+    # Grid order (bt, nt, pt): the sample tile is OUTERMOST so the one-hot
+    # operand block ([TP, TBK] bf16, the largest stream) stays resident in
+    # VMEM across the whole node sweep; only the packed state tile
+    # ([TN, TP], 8x smaller) re-streams per step.  The node-outermost order
+    # re-fetched the one-hot per node tile -- ~4x more HBM traffic at the
+    # bench shape.  pt stays innermost for the contraction accumulator.
+    grid = (bt, nt, pt)
     score_t, nc_t = pl.pallas_call(
         functools.partial(_kernel, K=K),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, TBK), lambda i, j, k: (j, 0, 0),
+            pl.BlockSpec((1, 1, TBK), lambda j, i, k: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, 2), lambda i, j, k: (i, 0),
+            pl.BlockSpec((TN, 2), lambda j, i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, TP), lambda i, j, k: (i, k),
+            pl.BlockSpec((TN, TP), lambda j, i, k: (i, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TP, TBK), lambda i, j, k: (k, j),
+            pl.BlockSpec((TP, TBK), lambda j, i, k: (k, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TN, tb), lambda i, j, k: (j, i, 0),
+            pl.BlockSpec((1, TN, tb), lambda j, i, k: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN, tb), lambda i, j, k: (j, i, 0),
+            pl.BlockSpec((1, TN, tb), lambda j, i, k: (j, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
