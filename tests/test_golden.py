@@ -52,3 +52,26 @@ def test_branchlen2_golden_collapse_roundtrip(tmp_path):
     assert rc == 0
     got = open(os.path.join(outdir, "final-tree.nh")).read()
     assert got == EXPECTED_FINAL_TREE
+
+
+def test_smoke_summary_goldens(tmp_path):
+    """matUtils summary -A on the smoke MAT must be byte-stable (locks the
+    samples/mutations/clades table formats + content)."""
+    import filecmp
+    from usher_tpu.cli.matutils_cli import main as mu
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "smoke.pb")
+    rc = usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                     "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                     "-o", pb, "-d", build])
+    assert rc == 0
+    outdir = str(tmp_path / "sum")
+    assert mu(["summary", "-i", pb, "-A", "-d", outdir]) == 0
+    golden_dir = os.path.join(os.path.dirname(__file__), "goldens", "summary")
+    for name in ("samples.tsv", "mutations.tsv", "clades.tsv"):
+        got = os.path.join(outdir, name)
+        want = os.path.join(golden_dir, name)
+        assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
