@@ -169,3 +169,31 @@ def test_sampled_subtrees_and_sort3(tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(outdir, "single-subtree.nh"))
     assert os.path.exists(os.path.join(outdir, "placement_stats.tsv"))
+
+
+def test_sampled_multiple_placements(tmp_path):
+    """-M > 1 routes through the multi-tree placer (per-tree outputs)."""
+    import os
+    import pytest
+    scripts = "/root/reference/scripts"
+    if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.usher_sampled_cli import main as sampled_main
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(scripts, "testBranchLen2.nwk"),
+                       "-v", os.path.join(scripts, "testBranchLen2.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    vcf = tmp_path / "new.vcf"
+    # z1 ties between several placements (only shared mutations)
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tGT\tz1\n"
+        "x\t1\t.\tA\tT\t.\t.\t.\t.\t1\n"
+        "x\t2\t.\tA\tT\t.\t.\t.\t.\t1\n")
+    outdir = str(tmp_path / "o")
+    rc = sampled_main(["-i", pb, "-v", str(vcf), "-d", outdir, "-M", "4"])
+    assert rc == 0
+    outs = os.listdir(outdir)
+    assert any(f.startswith("final-tree") for f in outs)

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-ignore-prefix", default="", dest="duplicate_prefix",
                    help="prefix samples already in the tree to force "
                         "placement")
+    p.add_argument("--multiple-placements", "-M", type=int, default=1,
+                   help="Fork one tree per co-optimal placement up to this "
+                        "many trees (driver/main.cpp:437; routed through "
+                        "the serial multi-tree placer)")
     p.add_argument("--batch_size_per_process", type=int, default=5)
     p.add_argument("--parsimony_threshold", type=int, default=100_000)
     p.add_argument("--optimization_radius", type=int, default=4)
@@ -132,6 +136,25 @@ def main(argv=None) -> int:
 
     os.makedirs(args.outdir, exist_ok=True)
     outdir = os.path.realpath(args.outdir)
+
+    if args.multiple_placements > 1:
+        # -M: the multi-tree mode is inherently serial (one fork per
+        # co-optimal placement, reference multiple_placement.cpp:8-86);
+        # route through the classic multi-tree placer for identical outputs
+        from ..placement.driver import UsherOptions, run_usher_multi
+        opts = UsherOptions(
+            dout_filename=args.dout, outdir=outdir,
+            max_trees=args.multiple_placements,
+            max_uncertainty=args.max_uncertainty_per_sample,
+            max_parsimony=args.max_parsimony_per_sample,
+            collapse_tree=args.collapse_tree,
+            print_uncondensed_tree=args.write_uncondensed_final_tree,
+            retain_original_branch_len=args.retain_input_branch_lengths,
+            no_add=args.no_add,
+            print_subtrees_size=args.write_subtrees_size,
+            print_subtrees_single=args.write_single_subtree,
+        )
+        return run_usher_multi(T, missing_samples, opts, vcf)
 
     extra = None
     if args.diff:
