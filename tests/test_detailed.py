@@ -101,3 +101,14 @@ def test_multiblock_stream(tmp_path, monkeypatch):
     det.save_detailed_mutations(T, ckpt)
     T2, _ = det.load_detailed_mutations(ckpt)
     assert _tree_signature(T) == _tree_signature(T2)
+
+
+def test_roundtrip_with_annotations_and_condensed(small_mat, tmp_path):
+    from usher_tpu.io.pbio import load_mat_pb
+    T = load_mat_pb(small_mat)
+    for i, n in enumerate(T.depth_first_expansion()):
+        n.clade_annotations = [f"clade{i % 3}", ""] if i % 2 else []
+    ckpt = str(tmp_path / "ann.detailed")
+    save_detailed_mutations(T, ckpt)
+    T2, _ = load_detailed_mutations(ckpt)
+    assert _tree_signature(T) == _tree_signature(T2)
