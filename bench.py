@@ -130,26 +130,25 @@ def main():
     _progress(f"synthetic MAT built ({N_NODES} nodes, {P_SITES} sites, "
               f"B={BATCH})")
 
-    args = (jnp.asarray(st), jnp.asarray(parent), jnp.int32(0),
-            jnp.asarray(ref), jnp.asarray(active), jnp.asarray(is_leaf),
-            jnp.asarray(is_root), jnp.asarray(num_leaves),
-            jnp.asarray(bfs_rank), jnp.asarray(g), jnp.asarray(E),
-            jnp.asarray(miss))
+    # baseline FIRST (pure CPU): single-core numpy on a subsample,
+    # extrapolated to 64 threads -- so the headline can print the moment the
+    # production kernel is timed, before any other TPU compile
+    Bs = 4
+    stp_host = st[parent]
+    stp_host[0] = st[0]
+    t0 = time.time()
+    numpy_score_batch(st, stp_host, ref, g[:Bs], E[:Bs], miss[:Bs])
+    cpu_dt = time.time() - t0
+    cpu_rate_64t = (Bs / cpu_dt) * 64
+    _progress(f"numpy 1-core: {cpu_dt/Bs*1e3:.1f} ms/sample "
+              f"-> x64 = {cpu_rate_64t:.0f} samples/s")
+
+    # production kernel first: sparse Pallas path (MXU one-hot gather over
+    # the samples' entry positions; ops/placement_pallas.py).  The remote
+    # compile service is bimodal (5s..20min per program), so the headline
+    # must depend on exactly ONE device compile.
     # NOTE: force a host transfer to fence each step -- on the axon platform
     # block_until_ready returns before execution completes.
-    best = [np.asarray(x) for x in dev.placement_step(*args)]
-    _progress("placement_step (dense) compiled")
-
-    iters = 5
-    t0 = time.time()
-    for _ in range(iters):
-        best = [np.asarray(x) for x in dev.placement_step(*args)]
-    dt = (time.time() - t0) / iters
-    dense_rate = BATCH / dt
-    _progress(f"dense: {dt*1e3:.1f} ms/batch -> {dense_rate:.0f} samples/s")
-
-    # sparse Pallas path (the production kernel: MXU one-hot gather over the
-    # samples' entry positions; ops/placement_pallas.py)
     from usher_tpu.ops import placement_pallas as pp
     pos, gval, kmiss = pp.sparsify_dense(g, E, miss)
     sargs = (jnp.asarray(st), jnp.asarray(parent), jnp.int32(0),
@@ -160,40 +159,44 @@ def main():
     sbest = [np.asarray(x)
              for x in pp.placement_step_sparse(*sargs, pos.shape[1])]
     _progress("placement_step_sparse compiled")
-    for a, b in zip(best, sbest):
-        np.testing.assert_array_equal(a, b)
-    _progress("sparse == dense on the bench workload")
 
+    iters = 5
     t0 = time.time()
     for _ in range(iters):
         sbest = [np.asarray(x)
                  for x in pp.placement_step_sparse(*sargs, pos.shape[1])]
     sdt = (time.time() - t0) / iters
     sparse_rate = BATCH / sdt
-    _progress(f"sparse: {sdt*1e3:.1f} ms/batch -> {sparse_rate:.0f} samples/s "
-              f"({dt/sdt:.2f}x over dense)")
-    device_rate = max(dense_rate, sparse_rate)
+    _progress(f"sparse: {sdt*1e3:.1f} ms/batch -> {sparse_rate:.0f} samples/s")
 
-    # baseline: single-core numpy on a subsample, extrapolated to 64 threads
-    Bs = 4
-    stp = st[parent]
-    stp[0] = st[0]
-    t0 = time.time()
-    numpy_score_batch(st, stp, ref, g[:Bs], E[:Bs], miss[:Bs])
-    cpu_dt = time.time() - t0
-    cpu_rate_64t = (Bs / cpu_dt) * 64
-    _progress(f"numpy 1-core: {cpu_dt/Bs*1e3:.1f} ms/sample "
-              f"-> x64 = {cpu_rate_64t:.0f} samples/s")
-
-    # headline metric first — the bigmat phase below is supplementary and
+    # headline metric immediately — everything below is supplementary and
     # must not cost the metric if the run is time-capped
     print(json.dumps({
         "metric": "samples_placed_per_sec",
-        "value": round(device_rate, 2),
+        "value": round(sparse_rate, 2),
         "unit": "samples/s (B=%d, %d-node MAT, %d sites, 1 chip)" % (
             BATCH, N_NODES, P_SITES),
-        "vs_baseline": round(device_rate / cpu_rate_64t, 3),
+        "vs_baseline": round(sparse_rate / cpu_rate_64t, 3),
     }), flush=True)
+
+    # supplementary: dense XLA path for the cross-check + speed ratio
+    args = (jnp.asarray(st), jnp.asarray(parent), jnp.int32(0),
+            jnp.asarray(ref), jnp.asarray(active), jnp.asarray(is_leaf),
+            jnp.asarray(is_root), jnp.asarray(num_leaves),
+            jnp.asarray(bfs_rank), jnp.asarray(g), jnp.asarray(E),
+            jnp.asarray(miss))
+    best = [np.asarray(x) for x in dev.placement_step(*args)]
+    _progress("placement_step (dense) compiled")
+    for a, b in zip(best, sbest):
+        np.testing.assert_array_equal(a, b)
+    _progress("sparse == dense on the bench workload")
+    t0 = time.time()
+    for _ in range(iters):
+        best = [np.asarray(x) for x in dev.placement_step(*args)]
+    dt = (time.time() - t0) / iters
+    dense_rate = BATCH / dt
+    _progress(f"dense: {dt*1e3:.1f} ms/batch -> {dense_rate:.0f} samples/s "
+              f"(sparse is {dt/sdt:.2f}x)")
 
     if jax.default_backend() == "tpu":
         # supplementary phase; on a degraded tunnel (compiles observed at
