@@ -188,6 +188,12 @@ def main(argv=None) -> int:
     optimize_tree(T, opts)
     save_mat_pb(T, args.dout)
     print(f"Saved optimized tree to {args.dout}", file=sys.stderr)
+    try:
+        import resource
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        print(f"Maximum memory usage: {rss} kb", file=sys.stderr)
+    except Exception:
+        pass
     return 0
 
 
