@@ -64,3 +64,32 @@ def test_bigmat_place_batch_matches_engine(seed):
         assert int(bs[i]) == r.best_score
         assert int(nb[i]) == r.num_best
         assert big._nodes[int(bslot[i])].identifier == r.best_node.identifier
+
+
+def test_bigmat_cli_byte_identical(tmp_path):
+    """usher --bigmat must produce byte-identical outputs to the dense
+    engine on the smoke workload (end-to-end: scoring, tie-breaks,
+    surgery, epoch rebuilds across batches)."""
+    import os
+    import pytest
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "out.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    dense = str(tmp_path / "dense")
+    big = str(tmp_path / "big")
+    new_vcf = os.path.join(ref_dir, "new_samples.vcf")
+    assert usher_main(["-i", pb, "-v", new_vcf, "-d", dense,
+                       "--mesh-devices", "0"]) == 0
+    assert usher_main(["-i", pb, "-v", new_vcf, "-d", big,
+                       "--bigmat", "--mesh-devices", "0"]) == 0
+    for name in ("placement_stats.tsv", "final-tree.nh",
+                 "mutation-paths.txt"):
+        a = open(os.path.join(dense, name), "rb").read()
+        b = open(os.path.join(big, name), "rb").read()
+        assert a == b, f"{name} differs between bigmat and dense engines"

@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the sequential reference semantics at any value")
     p.add_argument("--mesh-devices", type=int, default=-1,
                    help="Shard scoring over N devices (-1 auto, 0 off)")
+    p.add_argument("--bigmat", action="store_true",
+                   help="Use the CSR BigMAT engine (O(N+M) memory) for "
+                        "trees too large for the dense path-state matrix")
     p.add_argument("--version", action="version",
                    version="usher-tpu (v0.1.0)")
     return p
@@ -98,6 +101,7 @@ def main(argv=None) -> int:
         outdir=args.outdir,
         batch_size=args.batch_size,
         mesh_devices=args.mesh_devices,
+        use_bigmat=args.bigmat,
         max_trees=args.multiple_placements,
         max_uncertainty=args.max_uncertainty_per_sample,
         max_parsimony=args.max_parsimony_per_sample,

@@ -44,6 +44,8 @@ class UsherOptions:
     max_trees: int = 1
     max_uncertainty: int = 1_000_000
     max_parsimony: int = 1_000_000
+    use_bigmat: bool = False   # CSR BigMAT engine for trees too large for
+                               # the dense [N, P] path-state matrix
     sort_before_placement_1: bool = False
     sort_before_placement_2: bool = False
     sort_before_placement_3: bool = False
@@ -334,7 +336,12 @@ def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
         from ..parallel.mesh import make_mesh
         mesh = make_mesh(want)
         _err(f"Sharding placement over a {dict(mesh.shape)} device mesh.")
-    engine = PlacementEngine(T, vcf, mesh=mesh)
+    if opts.use_bigmat:
+        from .big_engine import BigPlacementEngine
+        _err("Using the CSR BigMAT engine (pandemic-scale path).")
+        engine = BigPlacementEngine(T, vcf)
+    else:
+        engine = PlacementEngine(T, vcf, mesh=mesh)
     flat = engine.flat
 
     if missing_samples:
