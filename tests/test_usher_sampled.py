@@ -197,3 +197,36 @@ def test_sampled_multiple_placements(tmp_path):
     assert rc == 0
     outs = os.listdir(outdir)
     assert any(f.startswith("final-tree") for f in outs)
+
+
+def test_sampled_bigmat_engine(tmp_path):
+    """usher-sampled --bigmat places through the CSR engine."""
+    import os
+    import pytest
+    scripts = "/root/reference/scripts"
+    if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.usher_sampled_cli import main as sampled_main
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(scripts, "testBranchLen2.nwk"),
+                       "-v", os.path.join(scripts, "testBranchLen2.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    vcf = tmp_path / "new.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tGT\tz1\tz2\n"
+        "x\t1\t.\tA\tT\t.\t.\t.\t.\t1\t0\n"
+        "x\t6\t.\tA\tT\t.\t.\t.\t.\t1\t1\n")
+    o1 = str(tmp_path / "dense")
+    o2 = str(tmp_path / "big")
+    assert sampled_main(["-i", pb, "-v", str(vcf), "-d", o1]) == 0
+    assert sampled_main(["-i", pb, "-v", str(vcf), "-d", o2,
+                         "--bigmat"]) == 0
+    a = open(os.path.join(o1, "placement_stats.tsv")).read()
+    b = open(os.path.join(o2, "placement_stats.tsv")).read()
+    assert a == b
+    a = open(os.path.join(o1, "final-tree.nh")).read()
+    b = open(os.path.join(o2, "final-tree.nh")).read()
+    assert a == b

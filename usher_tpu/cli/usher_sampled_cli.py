@@ -62,6 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Fork one tree per co-optimal placement up to this "
                         "many trees (driver/main.cpp:437; routed through "
                         "the serial multi-tree placer)")
+    p.add_argument("--bigmat", action="store_true",
+                   help="Use the CSR BigMAT engine (O(N+M) memory) for "
+                        "trees too large for the dense path-state matrix")
     p.add_argument("--batch_size_per_process", type=int, default=5)
     p.add_argument("--parsimony_threshold", type=int, default=100_000)
     p.add_argument("--optimization_radius", type=int, default=4)
@@ -159,7 +162,11 @@ def main(argv=None) -> int:
     extra = None
     if args.diff:
         extra = [m for s in missing_samples for m in s.mutations]
-    engine = PlacementEngine(T, vcf, extra_mutations=extra)
+    if args.bigmat:
+        from ..placement.big_engine import BigPlacementEngine
+        engine = BigPlacementEngine(T, vcf, extra_mutations=extra)
+    else:
+        engine = PlacementEngine(T, vcf, extra_mutations=extra)
     if args.diff:
         # expand each diff sample's N ranges over the segregating positions
         from ..io.diff import materialize_missing
@@ -232,7 +239,11 @@ def main(argv=None) -> int:
                      f"{args.optimization_radius}).")
                 _optimize(T, args.optimization_radius,
                           args.optimization_minutes)
-                engine = PlacementEngine(T, vcf)
+                if args.bigmat:
+                    from ..placement.big_engine import BigPlacementEngine
+                    engine = BigPlacementEngine(T, vcf)
+                else:
+                    engine = PlacementEngine(T, vcf)
                 pars_accum = 0
     stats_f.close()
 
