@@ -39,16 +39,17 @@ void write_varint(std::string& out, unsigned int v) {
     out.push_back(static_cast<char>(v));
 }
 
-unsigned int load_varint(const uint8_t*& in) {
-    unsigned int out = (*in & 0x7f);
-    int shamt = 7;
-    while (*in & 0x80) {
-        in++;
-        out |= ((*in & 0x7f) << shamt);
-        shamt += 7;
+// LEB128-style decoder for the transposed-VCF on-disk format (7 payload
+// bits per byte, high bit = continuation; same wire layout as the
+// reference codec, required for file-format parity).
+unsigned int load_varint(const uint8_t*& cursor) {
+    unsigned int value = 0;
+    for (int shift = 0;; shift += 7) {
+        uint8_t byte = *cursor++;
+        value |= static_cast<unsigned int>(byte & 0x7f) << shift;
+        if (!(byte & 0x80)) break;
     }
-    in++;
-    return out;
+    return value;
 }
 
 // ---------------------------------------------------------------- encode
