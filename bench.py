@@ -253,9 +253,12 @@ def bench_bigmat(rng):
 
     t0 = time.time()
     s, n, _ = big.score_batch_T(pos, gval, kmiss, max_cols=2048)
-    _progress(f"bigmat: first batch (compile incl.) {time.time()-t0:.1f}s")
+    first_dt = time.time() - t0
+    _progress(f"bigmat: first batch (compile incl.) {first_dt:.1f}s")
     t0 = time.time()
-    iters = 3
+    # adaptive: on a latency-degraded tunnel one steady batch is minutes;
+    # don't burn the run budget on repetitions that only average noise
+    iters = 3 if first_dt < 60 else 1
     for _ in range(iters):
         s, n, _ = big.score_batch_T(pos, gval, kmiss, max_cols=2048)
     dt = (time.time() - t0) / iters
