@@ -23,6 +23,13 @@ cmp "$TMP/p/placement_stats.tsv" tests/goldens/smoke_placement_stats.tsv
 cmp "$TMP/p/final-tree.nh" tests/goldens/smoke_final_tree.nh
 echo "smoke goldens OK"
 
+echo "== workflow smoke (usher + systematic run types) =="
+USHER_TPU_PLATFORM=${USHER_CI_PLATFORM:-cpu} python workflows/run.py --runtype systematic \
+    --vcf /root/reference/test/new_samples.vcf --pb "$TMP/out.pb" \
+    --outdir "$TMP/wf" 2> "$TMP/wf.log"
+test -s "$TMP/wf/parsimony_report.txt"
+echo "workflow smoke OK"
+
 echo "== multi-chip dryrun (8 virtual devices) =="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" python -c "
 import os; os.environ['JAX_PLATFORMS']='cpu'
