@@ -93,3 +93,32 @@ def test_bigmat_cli_byte_identical(tmp_path):
         a = open(os.path.join(dense, name), "rb").read()
         b = open(os.path.join(big, name), "rb").read()
         assert a == b, f"{name} differs between bigmat and dense engines"
+
+
+def test_bigmat_parsimony_scores_tsv(tmp_path):
+    """usher -p --bigmat: per-node parsimony scores identical to dense."""
+    import os
+    import pytest
+    scripts = "/root/reference/scripts"
+    if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "o.pb")
+    assert usher_main(["-t", os.path.join(scripts, "testBranchLen2.nwk"),
+                       "-v", os.path.join(scripts, "testBranchLen2.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    vcf = tmp_path / "new.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tGT\tz1\n"
+        "x\t1\t.\tA\tT\t.\t.\t.\t.\t1\n"
+        "x\t6\t.\tA\tT\t.\t.\t.\t.\t1\n")
+    d1 = str(tmp_path / "dense")
+    d2 = str(tmp_path / "big")
+    assert usher_main(["-i", pb, "-v", str(vcf), "-d", d1, "-p"]) == 0
+    assert usher_main(["-i", pb, "-v", str(vcf), "-d", d2, "-p",
+                       "--bigmat"]) == 0
+    a = open(os.path.join(d1, "parsimony-scores.tsv")).read()
+    b = open(os.path.join(d2, "parsimony-scores.tsv")).read()
+    assert a == b
