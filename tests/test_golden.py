@@ -75,3 +75,28 @@ def test_smoke_summary_goldens(tmp_path):
         got = os.path.join(outdir, name)
         want = os.path.join(golden_dir, name)
         assert filecmp.cmp(got, want, shallow=False), f"{name} differs"
+
+
+def test_smoke_extract_writer_goldens(tmp_path):
+    """matUtils extract format writers (VCF, MAPLE diff, newick) must be
+    byte-stable on the smoke MAT."""
+    import filecmp
+    from usher_tpu.cli.matutils_cli import main as mu
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "smoke.pb")
+    rc = usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                     "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                     "-o", pb, "-d", build])
+    assert rc == 0
+    outdir = str(tmp_path / "ex")
+    assert mu(["extract", "-i", pb, "-v", "smoke.vcf",
+               "--write-diff", "smoke.diff", "-t", "smoke.nh",
+               "-d", outdir]) == 0
+    golden_dir = os.path.join(os.path.dirname(__file__), "goldens", "extract")
+    for name in ("smoke.vcf", "smoke.diff", "smoke.nh"):
+        assert filecmp.cmp(os.path.join(outdir, name),
+                           os.path.join(golden_dir, name),
+                           shallow=False), f"{name} differs"
