@@ -182,3 +182,60 @@ def test_socket_server_fifo_stop(small_mat, tmp_path):
     th.join(timeout=30)
     assert not th.is_alive()
     assert not os.path.exists(sock_path)
+
+
+def test_socket_server_fifo_reload_and_timeout(small_mat, tmp_path):
+    """Manager fifo: reload (paths until blank line) + timeout N
+    (socket.cpp:137-186)."""
+    sock_path = str(tmp_path / "s3.sock")
+    fifo_path = str(tmp_path / "mgr3.fifo")
+    trees = TreeCollection([])
+    assert trees.trees == {}
+    server = SocketServer(sock_path, fifo_path, trees, timeout_s=30)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        with open(fifo_path, "w") as f:
+            f.write(f"timeout 77\nreload\n{small_mat}\n\n")
+            f.flush()
+        # wait for the server loop to process
+        import time
+        for _ in range(100):
+            if small_mat in trees.trees and server.timeout_s == 77:
+                break
+            time.sleep(0.1)
+        assert server.timeout_s == 77
+        assert small_mat in trees.trees
+        # reloaded tree answers requests
+        reply = _request(sock_path, ["-i", small_mat, "--existing_samples",
+                                     "/dev/null", "-d", str(tmp_path)])
+        assert reply.endswith(b"\x04\n")
+    finally:
+        with open(fifo_path, "w") as f:
+            f.write("stop\n")
+        th.join(timeout=30)
+        server.close()
+
+
+def test_usher_server_mat_list_serve_cycle(small_mat, tmp_path):
+    """serve() with a MAT-list store: pre-loaded tree is used and re-loaded
+    after consumption (usher_server.cpp:117-139)."""
+    mat_list = tmp_path / "mats.txt"
+    mat_list.write_text(small_mat + "\n")
+    arg_dir = tmp_path / "args"
+    arg_dir.mkdir()
+    outdir = tmp_path / "out"
+    vcf = tmp_path / "new.vcf"
+    vcf.write_text(NEW_SAMPLE_VCF)
+    (arg_dir / "j1.txt").write_text(
+        f"-i {small_mat} -v {vcf} -d {outdir}^\n")
+    store = MatStore(str(mat_list))
+    assert store.load_list()
+    rc = serve(str(arg_dir), store, sleep_ms=10, term_char=94, once=True)
+    assert rc == 0
+    assert (outdir / "placement_stats.tsv").exists()
+    # consumed then available for reload on the next cycle
+    store.refresh_consumed()
+    assert store.trees[small_mat] is not None
+    # the resident tree must NOT contain the placed sample (fresh reload)
+    assert store.trees[small_mat].get_node("z1") is None
