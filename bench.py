@@ -156,9 +156,11 @@ def main():
              jnp.asarray(is_root), jnp.asarray(num_leaves),
              jnp.asarray(bfs_rank), jnp.asarray(pos), jnp.asarray(gval),
              jnp.asarray(kmiss))
+    t0 = time.time()
     sbest = [np.asarray(x)
              for x in pp.placement_step_sparse(*sargs, pos.shape[1])]
-    _progress("placement_step_sparse compiled")
+    sparse_compile_s = time.time() - t0
+    _progress(f"placement_step_sparse compiled ({sparse_compile_s:.0f}s)")
 
     iters = 5
     t0 = time.time()
@@ -199,16 +201,19 @@ def main():
               f"(sparse is {dt/sdt:.2f}x)")
 
     if jax.default_backend() == "tpu":
-        # supplementary phase; on a degraded tunnel (compiles observed at
-        # minutes-per-program vs 5s nominal) skip it rather than risk the
-        # driver's run budget — the headline above is already out
+        # supplementary phase; the remote compile service is bimodal
+        # (5s..20min per program) — when THIS run's sparse compile was slow,
+        # the bigmat compiles will be too, and a timeout-kill mid-phase can
+        # take the whole process group (including the pipe holding the
+        # already-printed headline).  Skip unless the tunnel is fast.
         elapsed = time.time() - _T0
-        if elapsed < 900 or os.environ.get("USHER_BENCH_FULL"):
+        if (sparse_compile_s < 60 and elapsed < 900) \
+                or os.environ.get("USHER_BENCH_FULL"):
             bench_bigmat(rng)
         else:
-            _progress(f"skipping bigmat phase (elapsed {elapsed:.0f}s "
-                      f"indicates a degraded tunnel; set USHER_BENCH_FULL=1 "
-                      f"to force)")
+            _progress(f"skipping bigmat phase (sparse compile took "
+                      f"{sparse_compile_s:.0f}s — degraded tunnel; set "
+                      f"USHER_BENCH_FULL=1 to force)")
 
 
 def bench_bigmat(rng):
