@@ -181,24 +181,34 @@ def main():
         "vs_baseline": round(sparse_rate / cpu_rate_64t, 3),
     }), flush=True)
 
-    # supplementary: dense XLA path for the cross-check + speed ratio
-    args = (jnp.asarray(st), jnp.asarray(parent), jnp.int32(0),
-            jnp.asarray(ref), jnp.asarray(active), jnp.asarray(is_leaf),
-            jnp.asarray(is_root), jnp.asarray(num_leaves),
-            jnp.asarray(bfs_rank), jnp.asarray(g), jnp.asarray(E),
-            jnp.asarray(miss))
-    best = [np.asarray(x) for x in dev.placement_step(*args)]
-    _progress("placement_step (dense) compiled")
-    for a, b in zip(best, sbest):
-        np.testing.assert_array_equal(a, b)
-    _progress("sparse == dense on the bench workload")
-    t0 = time.time()
-    for _ in range(iters):
+    # supplementary: dense XLA path for the cross-check + speed ratio.
+    # Same degraded-tunnel guard as bigmat: a timeout-kill mid-compile can
+    # take the pipe holding the already-printed headline with it.
+    degraded = (sparse_compile_s >= 60
+                and jax.default_backend() == "tpu"
+                and not os.environ.get("USHER_BENCH_FULL"))
+    if degraded:
+        _progress(f"skipping dense cross-check phase (sparse compile took "
+                  f"{sparse_compile_s:.0f}s — degraded tunnel; equality is "
+                  f"enforced in tests/test_placement_pallas.py)")
+    else:
+        args = (jnp.asarray(st), jnp.asarray(parent), jnp.int32(0),
+                jnp.asarray(ref), jnp.asarray(active), jnp.asarray(is_leaf),
+                jnp.asarray(is_root), jnp.asarray(num_leaves),
+                jnp.asarray(bfs_rank), jnp.asarray(g), jnp.asarray(E),
+                jnp.asarray(miss))
         best = [np.asarray(x) for x in dev.placement_step(*args)]
-    dt = (time.time() - t0) / iters
-    dense_rate = BATCH / dt
-    _progress(f"dense: {dt*1e3:.1f} ms/batch -> {dense_rate:.0f} samples/s "
-              f"(sparse is {dt/sdt:.2f}x)")
+        _progress("placement_step (dense) compiled")
+        for a, b in zip(best, sbest):
+            np.testing.assert_array_equal(a, b)
+        _progress("sparse == dense on the bench workload")
+        t0 = time.time()
+        for _ in range(iters):
+            best = [np.asarray(x) for x in dev.placement_step(*args)]
+        dt = (time.time() - t0) / iters
+        dense_rate = BATCH / dt
+        _progress(f"dense: {dt*1e3:.1f} ms/batch -> {dense_rate:.0f} "
+                  f"samples/s (sparse is {dt/sdt:.2f}x)")
 
     if jax.default_backend() == "tpu":
         # supplementary phase; the remote compile service is bimodal
