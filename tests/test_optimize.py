@@ -319,3 +319,62 @@ def test_apply_move_undo_roundtrip():
         if applied:
             revert_moves(T, logs)
             assert signature(T) == before, f"trial {trial} mismatch"
+
+
+def test_sparse_leaf_store_matches_dense():
+    """SparseLeafStore materialization must equal the dense
+    leaf_masks_from_tree rows at leaves (chunked and arbitrary columns)."""
+    import numpy as np
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.core.flat import collect_positions
+    from usher_tpu.optimize.fitch import FitchEngine, leaf_masks_from_tree
+    from usher_tpu.optimize.leafstore import SparseLeafStore
+
+    rng = np.random.default_rng(5)
+    bases = [1, 2, 4, 8]
+    T = Tree()
+    T.create_node("root")
+    nodes = ["root"]
+    for i in range(60):
+        parent = nodes[int(rng.integers(len(nodes)))]
+        n = T.create_node(f"n{i}", parent)
+        for _ in range(int(rng.integers(1, 4))):
+            p = int(rng.integers(100, 140))
+            n.add_mutation(Mutation("c", p, 1, 1,
+                                    bases[int(rng.integers(1, 4))]))
+        nodes.append(f"n{i}")
+    positions, ref, chrom = collect_positions(T)
+    eng = FitchEngine(T, positions, chunk=8)
+    dense, ref_row = leaf_masks_from_tree(T, positions, eng.bfs)
+    store, ref_row2 = SparseLeafStore.from_tree(T, positions)
+    np.testing.assert_array_equal(ref_row, ref_row2)
+    P = len(positions)
+    # chunked materialization
+    for c0 in range(0, P, 7):
+        c1 = min(c0 + 7, P)
+        got = store.materialize(eng.bfs, eng.is_leaf, c0, c1)
+        for i in range(eng.n):
+            if eng.is_leaf[i]:
+                np.testing.assert_array_equal(got[i], dense[i, c0:c1])
+    # arbitrary column sets
+    cols = np.array(sorted(rng.choice(P, size=min(9, P), replace=False)))
+    got = store.materialize_cols(eng.bfs, eng.is_leaf, cols)
+    for i in range(eng.n):
+        if eng.is_leaf[i]:
+            np.testing.assert_array_equal(got[i], dense[i][cols])
+    # FS run equality through the provider path
+    s1, m1 = eng.run(dense, ref_row)
+    s2, m2 = eng.run(store, ref_row)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(m1, m2)
+    # rewrite equality (scores + mutation lists)
+    import copy
+    T2 = T.copy()
+    eng2 = FitchEngine(T2, positions, chunk=8)
+    store2, _ = SparseLeafStore.from_tree(T2, positions)
+    sc1 = eng.rewrite_mutations(s1, dense, ref_row, chrom)
+    sc2 = eng2.rewrite_mutations(s2, store2, ref_row, chrom)
+    assert sc1 == sc2
+    from usher_tpu.io.newick import write_newick
+    assert write_newick(T, print_internal=True, print_branch_len=True) == \
+        write_newick(T2, print_internal=True, print_branch_len=True)

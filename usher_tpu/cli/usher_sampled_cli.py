@@ -254,12 +254,13 @@ def main(argv=None) -> int:
 
     if args.reduce_back_mutations:
         from ..core.flat import collect_positions
-        from ..optimize.fitch import FitchEngine, leaf_masks_from_tree
+        from ..optimize.fitch import FitchEngine
         positions, ref, chrom = collect_positions(T)
         fe = FitchEngine(T, positions)
-        leaf_masks, ref_row = leaf_masks_from_tree(T, positions, fe.bfs)
-        states, _ = fe.run(leaf_masks, ref_row, min_back=True)
-        fe.rewrite_mutations(states, leaf_masks, ref_row, chrom)
+        from ..optimize.leafstore import SparseLeafStore
+        leaf_store, ref_row = SparseLeafStore.from_tree(T, positions)
+        states, _ = fe.run(leaf_store, ref_row, min_back=True)
+        fe.rewrite_mutations(states, leaf_store, ref_row, chrom)
 
     # outputs (same artifact set as usher)
     if args.write_uncondensed_final_tree:

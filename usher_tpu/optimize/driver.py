@@ -30,7 +30,7 @@ import numpy as np
 
 from ..core.flat import collect_positions
 from ..core.tree import Tree
-from .fitch import FitchEngine, leaf_masks_from_tree
+from .fitch import FitchEngine
 from .spr import MoveFinder, apply_move, resolve_conflicts
 
 
@@ -177,24 +177,21 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
     radius = 2 if doubling else opts.radius
 
     engine = FitchEngine(T, positions, mesh=mesh)
-    leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
     # persistent leaf genotypes (the reference's Original_State_t,
-    # check_samples.cpp:35-41): the invariant of the whole optimization
-    leaf_rows = {engine.bfs[i].identifier: leaf_masks[i].copy()
-                 for i in range(engine.n) if engine.is_leaf[i]}
+    # check_samples.cpp:35-41): the invariant of the whole optimization.
+    # Sparse store: O(total deviations) instead of a dense [n, P] matrix
+    # (optimize/leafstore.py).
+    from .leafstore import SparseLeafStore
+    leaf_store, ref_row = SparseLeafStore.from_tree(T, positions)
 
     def full_refresh():
         eng = FitchEngine(T, positions, mesh=mesh)
-        lm = np.zeros((eng.n, len(positions)), dtype=np.uint8)
-        for i in range(eng.n):
-            if eng.is_leaf[i]:
-                lm[i] = leaf_rows[eng.bfs[i].identifier]
-        st, mk = eng.run(lm, ref_row)
-        sc = eng.rewrite_mutations(st, lm, ref_row, chrom)
+        st, mk = eng.run(leaf_store, ref_row)
+        sc = eng.rewrite_mutations(st, leaf_store, ref_row, chrom)
         return eng, st, mk, sc
 
-    states, masks = engine.run(leaf_masks, ref_row)
-    score = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
+    states, masks = engine.run(leaf_store, ref_row)
+    score = engine.rewrite_mutations(states, leaf_store, ref_row, chrom)
     _err(f"Initial parsimony score {score}")
 
     drift_remaining = opts.drift_iterations
@@ -285,10 +282,8 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             states = states[src_rows]
             masks = masks[src_rows]
             cols_arr = np.asarray(cols, dtype=np.int64)
-            lm_sub = np.zeros((engine.n, len(cols)), dtype=np.uint8)
-            for i in range(engine.n):
-                if engine.is_leaf[i]:
-                    lm_sub[i] = leaf_rows[engine.bfs[i].identifier][cols_arr]
+            lm_sub = leaf_store.materialize_cols(engine.bfs, engine.is_leaf,
+                                                 cols_arr)
             with timeit("optimize:fs_patch"):
                 st_sub, mk_sub = engine.run(lm_sub, ref_row[cols_arr])
             engine.patch_mutations(st_sub, lm_sub, ref_row[cols_arr], chrom,
@@ -365,16 +360,12 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
     if opts.reduce_back_mutations:
         # final pass: re-pick states minimizing (parsimony, back-mutations)
         engine = FitchEngine(T, positions, mesh=mesh)
-        leaf_masks = np.zeros((engine.n, len(positions)), dtype=np.uint8)
-        for i in range(engine.n):
-            if engine.is_leaf[i]:
-                leaf_masks[i] = leaf_rows[engine.bfs[i].identifier]
-        states, masks = engine.run(leaf_masks, ref_row, min_back=True)
-        mb_score = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
+        states, masks = engine.run(leaf_store, ref_row, min_back=True)
+        mb_score = engine.rewrite_mutations(states, leaf_store, ref_row, chrom)
         if mb_score > score:
             # never trade parsimony away; redo with the plain pass
-            states, masks = engine.run(leaf_masks, ref_row)
-            score = engine.rewrite_mutations(states, leaf_masks, ref_row, chrom)
+            states, masks = engine.run(leaf_store, ref_row)
+            score = engine.rewrite_mutations(states, leaf_store, ref_row, chrom)
         else:
             score = mb_score
 

@@ -266,13 +266,18 @@ class FitchEngine:
                 self.parent_slot_pad[i, :len(a)] = np.searchsorted(
                     up, self.parent[a])
 
-    def run(self, leaf_masks: np.ndarray, ref_row: np.ndarray,
+    def run(self, leaf_masks, ref_row: np.ndarray,
             min_back: bool = False):
-        """leaf_masks [n,P] uint8 (rows meaningful at leaves), ref_row [P].
-        min_back selects the (parsimony, #back-mutations) lexicographic DP
-        (reference Min_back_FS.cpp) instead of plain Fitch-Sankoff.
+        """leaf_masks: [n,P] uint8 (rows meaningful at leaves) OR a
+        SparseLeafStore (optimize/leafstore.py) materialized per chunk —
+        the pandemic-scale path that never holds the dense matrix.
+        ref_row [P].  min_back selects the (parsimony, #back-mutations)
+        lexicographic DP (reference Min_back_FS.cpp).
         Returns (states [n,P] int8 0..3, masks [n,P] uint8)."""
-        P = leaf_masks.shape[1]
+        store = None
+        if not isinstance(leaf_masks, np.ndarray):
+            store = leaf_masks
+        P = len(ref_row)
         ref_nt = np.zeros(P, dtype=np.int32)
         nz = ref_row > 0
         ref_nt[nz] = np.log2(ref_row[nz]).astype(np.int32)
@@ -292,7 +297,10 @@ class FitchEngine:
         psl = rep(self.parent_slot_pad)
         for c0 in range(0, P, self.chunk):
             c1 = min(c0 + self.chunk, P)
-            lm = leaf_masks[:, c0:c1]
+            if store is not None:
+                lm = store.materialize(self.bfs, self.is_leaf, c0, c1)
+            else:
+                lm = leaf_masks[:, c0:c1]
             rn = ref_nt[c0:c1]
             pad = self.chunk - (c1 - c0)
             if pad:
@@ -373,16 +381,34 @@ class FitchEngine:
                 node.mutations = kept
         return added - removed
 
-    def rewrite_mutations(self, states: np.ndarray, leaf_masks: np.ndarray,
+    def rewrite_mutations(self, states: np.ndarray, leaf_masks,
                           ref_row: np.ndarray, chrom: str) -> int:
         """Replace every node's branch mutations from the FS states.
 
         Internal nodes take single FS states; leaves keep their full original
         genotype mask as mut_nuc when the parent state is outside it
         (ambiguity-preserving, so genotype reconstruction stays exact).
-        Returns the new total parsimony score."""
-        per_node, total = self._mutation_lists(states, leaf_masks, ref_row,
-                                               self.positions, chrom)
+        leaf_masks may be a dense [n, P] array or a SparseLeafStore
+        (materialized per column chunk).  Returns the new total parsimony
+        score."""
+        if isinstance(leaf_masks, np.ndarray):
+            per_node, total = self._mutation_lists(
+                states, leaf_masks, ref_row, self.positions, chrom)
+        else:
+            store = leaf_masks
+            P = len(ref_row)
+            per_node = [[] for _ in range(self.n)]
+            total = 0
+            for c0 in range(0, P, self.chunk):
+                c1 = min(c0 + self.chunk, P)
+                lm = store.materialize(self.bfs, self.is_leaf, c0, c1)
+                chunk_nodes, chunk_total = self._mutation_lists(
+                    states[:, c0:c1], lm, ref_row[c0:c1],
+                    self.positions[c0:c1], chrom)
+                total += chunk_total
+                for i, muts in enumerate(chunk_nodes):
+                    if muts:
+                        per_node[i].extend(muts)
         for i, node in enumerate(self.bfs):
             node.mutations = per_node[i]
         return total
