@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..core.tree import Tree
 from ..ops.placement import score_with_stp, valid_mask
-from .fitch import FitchEngine, leaf_masks_from_tree
+from .fitch import FitchEngine
 from .spr import MoveFinder, collapse_bonus
 
 
@@ -61,8 +61,9 @@ def count_epps(T: Tree, radius: int, dump_path: str = "epps_dump") -> None:
     from ..core.flat import collect_positions
     positions, ref, chrom = collect_positions(T)
     engine = FitchEngine(T, positions)
-    leaf_masks, ref_row = leaf_masks_from_tree(T, positions, engine.bfs)
-    states, masks = engine.run(leaf_masks, ref_row)
+    from .leafstore import SparseLeafStore
+    leaf_store, ref_row = SparseLeafStore.from_tree(T, positions)
+    states, masks = engine.run(leaf_store, ref_row)
     finder = MoveFinder(T, states, masks, ref_row, engine.bfs, engine.parent)
     bfs = finder.bfs
     n = finder.n
