@@ -161,3 +161,17 @@ def test_ripples_fleet_runs_and_merges(small_mat, tmp_path):
     assert rc == 0
     assert os.path.exists(os.path.join(outdir, "recombination.tsv"))
     assert os.path.exists(os.path.join(outdir, "descendants.tsv"))
+
+
+def test_top_level_dispatcher(capsys):
+    from usher_tpu.__main__ import main as dispatch
+    import sys
+    old = sys.argv
+    try:
+        sys.argv = ["usher_tpu", "--help"]
+        assert dispatch() == 0
+        assert "matUtils" in capsys.readouterr().err
+        sys.argv = ["usher_tpu", "nosuchtool"]
+        assert dispatch() == 1
+    finally:
+        sys.argv = old
