@@ -184,7 +184,7 @@ def main():
     # supplementary: dense XLA path for the cross-check + speed ratio.
     # Same degraded-tunnel guard as bigmat: a timeout-kill mid-compile can
     # take the pipe holding the already-printed headline with it.
-    degraded = (sparse_compile_s >= 60
+    degraded = (sparse_compile_s >= 150
                 and jax.default_backend() == "tpu"
                 and not os.environ.get("USHER_BENCH_FULL"))
     if degraded:
@@ -217,7 +217,7 @@ def main():
         # take the whole process group (including the pipe holding the
         # already-printed headline).  Skip unless the tunnel is fast.
         elapsed = time.time() - _T0
-        if (sparse_compile_s < 60 and elapsed < 900) \
+        if (sparse_compile_s < 150 and elapsed < 900) \
                 or os.environ.get("USHER_BENCH_FULL"):
             bench_bigmat(rng)
         else:
