@@ -122,3 +122,66 @@ def test_bigmat_parsimony_scores_tsv(tmp_path):
     a = open(os.path.join(d1, "parsimony-scores.tsv")).read()
     b = open(os.path.join(d2, "parsimony-scores.tsv")).read()
     assert a == b
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_bigmat_spr_scoring_matches_dense(seed):
+    """BigMAT.score_spr_T (sparse E=1-everywhere scoring with the base_spr
+    aggregate) must equal the dense SPR formula used by
+    optimize/spr.py _score_moves, including multi-bit ambiguity masks."""
+    import jax.numpy as jnp
+    from usher_tpu.ops.placement import score_with_stp
+
+    T, positions, refarr, samples = _setup(seed)
+    big = BigMAT.from_tree(T, positions, refarr)
+    N, P = big.N, big.P
+    rng = np.random.default_rng(seed + 77)
+
+    # dense st/stp from the CSR (materialize all columns)
+    cols = np.arange(P)
+    lo = big.csc_ptr[cols]
+    hi = big.csc_ptr[cols + 1]
+    counts = hi - lo
+    import usher_tpu.core.bigmat as bm
+    flat_idx = np.repeat(lo, counts) + bm._ranges(counts)
+    coo_col = np.repeat(cols, counts)
+    coo_node = big.csc_node[flat_idx]
+    coo_val = np.where(big.csc_eff[flat_idx], big.csc_mut[flat_idx], 0)
+    m0 = np.zeros((N, P), dtype=np.uint8)
+    m0[coo_node, coo_col] = coo_val
+    val = m0.copy()
+    for k in range(big.n_anc):
+        val = np.where(val > 0, val, val[big.anc[k]])
+    st = np.where(val > 0, val, refarr[None, :]).astype(np.uint8)
+    stp = st[big.parent]
+    stp[big.root_slot] = st[big.root_slot]
+
+    # Fitch-mask-style g rows: mostly ref, some single/multi-bit deviations
+    B, K = 5, 8
+    g = np.tile(refarr, (B, 1))
+    pos = np.full((B, K), P, dtype=np.int32)
+    gval = np.zeros((B, K), dtype=np.uint8)
+    for b in range(B):
+        idx = rng.choice(P, size=min(K, P), replace=False)
+        for j, p in enumerate(idx):
+            v = int(rng.integers(1, 16))  # any mask incl. multi-bit
+            if v == refarr[p]:
+                v = (v % 15) + 1
+            g[b, p] = v
+            pos[b, j] = p
+            gval[b, j] = v
+
+    # dense SPR semantics (E=ones, miss=zeros)
+    E = np.ones((B, P), dtype=bool)
+    miss = np.zeros((B, P), dtype=bool)
+    active = np.ones(N, dtype=bool)
+    ds, dnc, dnnm = score_with_stp(
+        jnp.asarray(st), jnp.asarray(stp), jnp.asarray(refarr),
+        jnp.asarray(active), jnp.asarray(g), jnp.asarray(E),
+        jnp.asarray(miss))
+    ds, dnc = np.asarray(ds), np.asarray(dnc)
+
+    ss_T, snc_T, snnm = big.score_spr_T(pos, gval, max_cols=16)
+    np.testing.assert_array_equal(ss_T.T, ds)
+    np.testing.assert_array_equal(snc_T.T, dnc)
+    np.testing.assert_array_equal(snnm, np.asarray(dnnm))

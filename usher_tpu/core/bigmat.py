@@ -178,6 +178,78 @@ class BigMAT:
         self.csc_ptr = np.searchsorted(self.mut_col[csc_order],
                                        np.arange(self.P + 1))
 
+        # kept for the lazy SPR-base precompute
+        self._mut_node = mut_node
+        self._root_mut = root_mut
+        self._level_order = order
+        self._level_bounds = bounds
+        self._base_spr = None
+
+    @property
+    def base_spr(self):
+        """Per-node aggregate for SPR move scoring: sum over ALL positions of
+        the E=1-everywhere g==ref term ((ref & A_r) == 0) — the base the SPR
+        scorer (optimize/spr.py _score_moves) decomposes around, which
+        differs from the placement no-entry base (A_r != ref) whenever A_r is
+        a multi-bit ambiguity mask containing ref.
+
+        Derivation: at positions without a branch mutation at n the term is
+        (ref & pathstate) == 0, which telescopes over the root path exactly
+        like the placement F recurrence; n's own branch positions swap in the
+        bm-aware term.  nc_base is IDENTICAL between the two modes."""
+        if self._base_spr is None:
+            refm = self.ref[self.mut_col].astype(np.int32)
+            mi = self.mut_mut.astype(np.int32)
+            pi = self.mut_par.astype(np.int32)
+            eff = mi != pi
+            matched = (refm & mi) != 0
+            miss_mi = ((refm & mi) == 0).astype(np.int64)
+            miss_pi = ((refm & pi) == 0).astype(np.int64)
+            g_delta_m = np.where(eff, miss_mi - miss_pi, 0)
+            own_corr_m = np.where(eff & ~matched, miss_pi - miss_mi, 0)
+            own_corr_m = np.where(self._root_mut, 0, own_corr_m)
+            N = self.N
+            g_delta = np.bincount(self._mut_node, weights=g_delta_m,
+                                  minlength=N).astype(np.int64)
+            own_corr = np.bincount(self._mut_node, weights=own_corr_m,
+                                   minlength=N).astype(np.int64)
+            G = np.zeros(N, dtype=np.int64)
+            order, bounds = self._level_order, self._level_bounds
+            parent = self.parent
+            for li in range(self.max_depth):
+                idx = order[bounds[li]:bounds[li + 1]]
+                if li == 0:
+                    G[idx] = g_delta[idx]
+                else:
+                    G[idx] = G[parent[idx]] + g_delta[idx]
+            self._base_spr = (G + own_corr).astype(np.int32)
+        return self._base_spr
+
+    def score_spr_T(self, pos, gval, max_cols: int = 2048):
+        """SPR-mode scoring (E=1 everywhere, no missing): score_T/nc_T for a
+        batch of subtree Fitch masks given as entry deviations from ref.
+        Same chunking as score_batch_T."""
+        B, K = pos.shape
+        kmiss = np.zeros((B, K), dtype=bool)
+        score_T = np.empty((self.N, B), dtype=np.int32)
+        nc_T = np.empty((self.N, B), dtype=np.int32)
+        start = 0
+        while start < B:
+            end = start + 1
+            cols = np.unique(pos[start][pos[start] < self.P])
+            while end < B:
+                cand = np.union1d(cols, pos[end][pos[end] < self.P])
+                if len(cand) > max_cols:
+                    break
+                cols = cand
+                end += 1
+            s, n = self._score_chunk(pos[start:end], gval[start:end],
+                                     kmiss[start:end], cols, spr=True)
+            score_T[:, start:end] = s
+            nc_T[:, start:end] = n
+            start = end
+        return score_T, nc_T, self.node_num_mut
+
     def _levels(self):
         """Exact levels: #hops to root, O(depth) vectorized gathers."""
         N = self.N
@@ -233,7 +305,7 @@ class BigMAT:
             start = end
         return score_T, nc_T, self.node_num_mut
 
-    def _score_chunk(self, pos, gval, kmiss, cols):
+    def _score_chunk(self, pos, gval, kmiss, cols, spr: bool = False):
         C = len(cols)
         # bucket the column axis to 512-multiples so chunk-to-chunk shape
         # drift doesn't retrigger compilation
@@ -254,12 +326,13 @@ class BigMAT:
         col_of = np.full(self.P + 1, C_pad, dtype=np.int32)
         col_of[cols] = np.arange(C, dtype=np.int32)
         pos_cols = col_of[np.minimum(pos, self.P)]
+        base = self.base_spr if spr else self.base
         score_t, nc_t = pp.score_cols_T(
             jnp.asarray(m0), jnp.asarray(self.anc), jnp.asarray(self.parent),
             np.int32(self.root_slot), jnp.asarray(ref_cols),
-            jnp.asarray(self.base), jnp.asarray(self.nc_base),
+            jnp.asarray(base), jnp.asarray(self.nc_base),
             jnp.asarray(pos_cols), jnp.asarray(gval), jnp.asarray(kmiss),
-            pos.shape[1], self.n_anc)
+            pos.shape[1], self.n_anc, spr=spr)
         return np.asarray(score_t), np.asarray(nc_t)
 
     def place_batch(self, samples_mutations, max_cols=2048):

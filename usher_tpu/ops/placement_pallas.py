@@ -62,7 +62,7 @@ def _interpret() -> bool:
 
 
 def _kernel(meta_ref, base_ref, packed_ref, o_ref, score_ref, nc_ref,
-            acc_ref, *, K: int):
+            acc_ref, *, K: int, spr: bool = False):
     """Grid (Nt, Bt, Pt); Pt innermost accumulates the one-hot contraction.
 
     meta_ref   [1, 1, TBK] int32  per-slot word: gval | kvalid<<4 | kmiss<<5
@@ -100,11 +100,19 @@ def _kernel(meta_ref, base_ref, packed_ref, o_ref, score_ref, nc_ref,
         matched_r = (rk & st_k) != 0
         a = jnp.where(bm & ~matched, stp_k, st_k)
         term1 = jnp.where((kmiss == 0) & ((gv & a) == 0), 1, 0)
-        # what this position contributed to base[n] (the g == ref no-entry
-        # value), to be replaced by term1
-        sub = jnp.where(bm & ~matched_r,
-                        jnp.where(stp_k != rk, 1, 0),
-                        jnp.where(st_k != rk, 1, 0))
+        # what this position contributed to base[n] (the g == ref value),
+        # to be replaced by term1.  Two base semantics exist:
+        #  - placement (spr=False): no-entry term (A_r != ref)
+        #  - SPR (spr=True): E=1-everywhere term ((ref & A_r) == 0)
+        #    (optimize/spr.py _score_moves; differs when A_r is a multi-bit
+        #    ambiguity mask containing ref)
+        if spr:
+            a_r = jnp.where(bm & ~matched_r, stp_k, st_k)
+            sub = jnp.where((rk & a_r) == 0, 1, 0)
+        else:
+            sub = jnp.where(bm & ~matched_r,
+                            jnp.where(stp_k != rk, 1, 0),
+                            jnp.where(st_k != rk, 1, 0))
         corr = kvalid * (term1 - sub)                # [TN, TBK]
 
         nca = jnp.where(bm & matched, 1, 0)
@@ -133,7 +141,7 @@ def _pad_to(x, n, axis, value=0):
 
 
 def _score_entries_T(st, stp, ref, base, nc_base, pos, gval, kmiss,
-                     k_slots: int):
+                     k_slots: int, spr: bool = False):
     """Kernel core over an arbitrary position axis (full genome columns or a
     batch-specific column subset): packs st|stp<<4, pads, and runs the grid.
 
@@ -185,7 +193,7 @@ def _score_entries_T(st, stp, ref, base, nc_base, pos, gval, kmiss,
     # bench shape.  pt stays innermost for the contraction accumulator.
     grid = (bt, nt, pt)
     score_t, nc_t = pl.pallas_call(
-        functools.partial(_kernel, K=K),
+        functools.partial(_kernel, K=K, spr=spr),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, TBK), lambda j, i, k: (j, 0, 0),
@@ -252,9 +260,10 @@ def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
     return score_t, nc_t, node_num_mut
 
 
-@functools.partial(jax.jit, static_argnames=("k_slots", "n_anc"))
+@functools.partial(jax.jit, static_argnames=("k_slots", "n_anc", "spr"))
 def score_cols_T(m0, anc, parent, root_slot, ref_cols, base, nc_base,
-                 pos, gval, kmiss, k_slots: int, n_anc: int):
+                 pos, gval, kmiss, k_slots: int, n_anc: int,
+                 spr: bool = False):
     """Column-subset scoring for CSR-backed MATs (core/bigmat.py): path
     states at the batch's C entry columns are materialized on device by
     pointer-doubling over ancestor tables, then scored by the same kernel.
@@ -274,7 +283,7 @@ def score_cols_T(m0, anc, parent, root_slot, ref_cols, base, nc_base,
     stp_cols = st_cols[parent]
     stp_cols = stp_cols.at[root_slot].set(st_cols[root_slot])
     return _score_entries_T(st_cols, stp_cols, ref_cols, base, nc_base,
-                            pos, gval, kmiss, k_slots)
+                            pos, gval, kmiss, k_slots, spr=spr)
 
 
 def valid_mask_T(score_t, nc_t, node_num_mut, is_root_mask, is_leaf, active):
