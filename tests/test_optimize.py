@@ -404,3 +404,81 @@ def test_matoptimize_improves_smoke_tree(tmp_path):
                      "--mesh-devices", "0"]) == 0
     T1 = load_mat_pb(out)
     assert T1.get_parsimony_score() <= 494
+
+
+def test_big_move_finder_matches_dense():
+    """BigMoveFinder (CSR + sparse SPR kernel + host masking) must produce
+    the EXACT same move list as the dense MoveFinder."""
+    import numpy as np
+    from usher_tpu.core.flat import collect_positions
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.optimize.fitch import FitchEngine
+    from usher_tpu.optimize.leafstore import SparseLeafStore
+    from usher_tpu.optimize.spr import MoveFinder
+    from usher_tpu.optimize.spr_big import BigMoveFinder
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        bases = [1, 2, 4, 8]
+        T = Tree()
+        T.create_node("root")
+        nodes = ["root"]
+        for i in range(70):
+            parent = nodes[int(rng.integers(len(nodes)))]
+            nd = T.create_node(f"n{i}", parent)
+            for _ in range(int(rng.integers(1, 4))):
+                p = int(rng.integers(100, 160))
+                nd.add_mutation(Mutation("c", p, 1, 1,
+                                         bases[int(rng.integers(1, 4))]))
+            nodes.append(f"n{i}")
+        positions, ref, chrom = collect_positions(T)
+        eng = FitchEngine(T, positions, chunk=16)
+        store, ref_row = SparseLeafStore.from_tree(T, positions)
+        states, masks = eng.run(store, ref_row)
+        eng.rewrite_mutations(states, store, ref_row, chrom)
+        # re-run FS on the rewritten tree for canonical masks
+        eng2 = FitchEngine(T, positions, chunk=16)
+        states, masks = eng2.run(store, ref_row)
+
+        dense = MoveFinder(T, states, masks, ref_row, eng2.bfs, eng2.parent,
+                           chunk=32)
+        big = BigMoveFinder(T, states, masks, ref_row, eng2.bfs, eng2.parent,
+                            chunk=32, positions=positions)
+        for radius in (2, 4, 1000):
+            m1 = dense.find_moves(radius)
+            m2 = big.find_moves(radius)
+            sig1 = [(m.src.identifier, m.dst.identifier, m.improvement,
+                     m.sibling_split) for m in m1]
+            sig2 = [(m.src.identifier, m.dst.identifier, m.improvement,
+                     m.sibling_split) for m in m2]
+            assert sig1 == sig2, f"seed {seed} radius {radius}"
+
+
+def test_matoptimize_spr_backend_big_identical(tmp_path):
+    """matOptimize --spr-backend big must produce the identical optimized
+    tree to the dense backend on the smoke MAT."""
+    import os
+    import pytest
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.matoptimize_cli import main as opt_main
+    from usher_tpu.io.newick import write_newick
+    from usher_tpu.io.pbio import load_mat_pb
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "smoke.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    o1 = str(tmp_path / "d.pb")
+    o2 = str(tmp_path / "g.pb")
+    assert opt_main(["-i", pb, "-o", o1, "-N", "2", "-r", "4",
+                     "--mesh-devices", "0"]) == 0
+    assert opt_main(["-i", pb, "-o", o2, "-N", "2", "-r", "4",
+                     "--mesh-devices", "0", "--spr-backend", "big"]) == 0
+    T1 = load_mat_pb(o1)
+    T2 = load_mat_pb(o2)
+    assert T1.get_parsimony_score() == T2.get_parsimony_score()
+    assert write_newick(T1, print_internal=True, print_branch_len=True) == \
+        write_newick(T2, print_internal=True, print_branch_len=True)

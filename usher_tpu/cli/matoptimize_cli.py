@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "lexicographic state reassignment")
     p.add_argument("--threads", "-T", type=int, default=0,
                    help="Accepted for CLI parity; XLA manages parallelism")
+    p.add_argument("--spr-backend", choices=["dense", "big"],
+                   default="dense",
+                   help="Move-scoring path: dense [N,P] device states, or "
+                        "the CSR BigMAT path for trees too large for them")
     p.add_argument("--mesh-devices", type=int, default=-1,
                    help="Shard Fitch-Sankoff positions and SPR source "
                         "batches over N devices (-1 auto, 0/1 off)")
@@ -182,6 +186,7 @@ def main(argv=None) -> int:
         drift_nwk_stem=args.drift_nwk_file,
         initial_changed_ids=frozenset(
             resume_changed if args.resume else ()),
+        spr_backend=args.spr_backend,
         mesh_devices=(len(__import__("jax").devices())
                       if args.mesh_devices < 0 else args.mesh_devices),
     )

@@ -91,6 +91,9 @@ class OptimizeOptions:
                                         # from a detailed checkpoint (-a)
     mesh_devices: int = 0    # >1: shard FS positions + SPR source batches
                              # over a 1-D device mesh (0/1 = single device)
+    spr_backend: str = "dense"  # "big" scores moves through the CSR BigMAT
+                             # path (no [N, P] device state matrices;
+                             # bit-identical, optimize/spr_big.py)
 
 
 def _collect_affected(mv, affected: set, changed: set) -> None:
@@ -208,9 +211,15 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             _err("Interrupt requested (SIGUSR2), saving current tree")
             break
 
-        finder = MoveFinder(T, states, masks, ref_row, engine.bfs,
-                            engine.parent, chunk=opts.source_chunk,
-                            mesh=mesh)
+        if opts.spr_backend == "big":
+            from .spr_big import BigMoveFinder
+            finder = BigMoveFinder(T, states, masks, ref_row, engine.bfs,
+                                   engine.parent, chunk=opts.source_chunk,
+                                   positions=positions)
+        else:
+            finder = MoveFinder(T, states, masks, ref_row, engine.bfs,
+                                engine.parent, chunk=opts.source_chunk,
+                                mesh=mesh)
         if changed_ids is not None:
             sources = _ball_sources(finder, changed_ids, radius)
         else:
