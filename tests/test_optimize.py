@@ -482,3 +482,34 @@ def test_matoptimize_spr_backend_big_identical(tmp_path):
     assert T1.get_parsimony_score() == T2.get_parsimony_score()
     assert write_newick(T1, print_internal=True, print_branch_len=True) == \
         write_newick(T2, print_internal=True, print_branch_len=True)
+
+
+def test_matoptimize_stream_states_identical(tmp_path):
+    """--stream-states (no [n, P] matrices anywhere; streamed FS per
+    iteration) must produce the identical optimized tree to the dense
+    driver on the smoke MAT."""
+    import os
+    import pytest
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.cli.matoptimize_cli import main as opt_main
+    from usher_tpu.io.newick import write_newick
+    from usher_tpu.io.pbio import load_mat_pb
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "smoke.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    o1 = str(tmp_path / "d.pb")
+    o2 = str(tmp_path / "s.pb")
+    assert opt_main(["-i", pb, "-o", o1, "-N", "2", "-r", "4",
+                     "--mesh-devices", "0"]) == 0
+    assert opt_main(["-i", pb, "-o", o2, "-N", "2", "-r", "4",
+                     "--mesh-devices", "0", "--stream-states"]) == 0
+    T1 = load_mat_pb(o1)
+    T2 = load_mat_pb(o2)
+    assert T1.get_parsimony_score() == T2.get_parsimony_score()
+    assert write_newick(T1, print_internal=True, print_branch_len=True) == \
+        write_newick(T2, print_internal=True, print_branch_len=True)

@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="dense",
                    help="Move-scoring path: dense [N,P] device states, or "
                         "the CSR BigMAT path for trees too large for them")
+    p.add_argument("--stream-states", action="store_true",
+                   help="Pandemic-scale mode: never hold [nodes x positions] "
+                        "state matrices; each iteration re-runs the streamed "
+                        "full Fitch-Sankoff (implies --spr-backend big)")
     p.add_argument("--mesh-devices", type=int, default=-1,
                    help="Shard Fitch-Sankoff positions and SPR source "
                         "batches over N devices (-1 auto, 0/1 off)")
@@ -187,6 +191,7 @@ def main(argv=None) -> int:
         initial_changed_ids=frozenset(
             resume_changed if args.resume else ()),
         spr_backend=args.spr_backend,
+        stream_states=args.stream_states,
         mesh_devices=(len(__import__("jax").devices())
                       if args.mesh_devices < 0 else args.mesh_devices),
     )

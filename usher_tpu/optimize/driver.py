@@ -94,6 +94,10 @@ class OptimizeOptions:
     spr_backend: str = "dense"  # "big" scores moves through the CSR BigMAT
                              # path (no [N, P] device state matrices;
                              # bit-identical, optimize/spr_big.py)
+    stream_states: bool = False  # pandemic-scale mode: never hold [n, P]
+                             # states/masks; re-run the streamed full FS
+                             # each iteration instead of the local patch
+                             # (implies spr_backend "big")
 
 
 def _collect_affected(mv, affected: set, changed: set) -> None:
@@ -152,6 +156,7 @@ def _ball_sources(finder, changed_ids: set, radius: int) -> list:
 
 def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
     """Optimize in place; returns the final parsimony score."""
+    global _flush_requested
     t_start = time.time()
     t_checkpoint = t_start
     positions, ref, chrom = collect_positions(T)
@@ -193,8 +198,19 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
         sc = eng.rewrite_mutations(st, leaf_store, ref_row, chrom)
         return eng, st, mk, sc
 
-    states, masks = engine.run(leaf_store, ref_row)
-    score = engine.rewrite_mutations(states, leaf_store, ref_row, chrom)
+    def full_refresh_streamed():
+        eng = FitchEngine(T, positions, mesh=mesh)
+        sc, devs = eng.run_rewrite_streamed(leaf_store, ref_row, chrom)
+        return eng, devs, sc
+
+    stream = opts.stream_states
+    if stream:
+        score, mask_devs = engine.run_rewrite_streamed(leaf_store, ref_row,
+                                                       chrom)
+        states = masks = None
+    else:
+        states, masks = engine.run(leaf_store, ref_row)
+        score = engine.rewrite_mutations(states, leaf_store, ref_row, chrom)
     _err(f"Initial parsimony score {score}")
 
     drift_remaining = opts.drift_iterations
@@ -211,9 +227,11 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             _err("Interrupt requested (SIGUSR2), saving current tree")
             break
 
-        if opts.spr_backend == "big":
+        if stream or opts.spr_backend == "big":
             from .spr_big import BigMoveFinder
-            finder = BigMoveFinder(T, states, masks, ref_row, engine.bfs,
+            finder = BigMoveFinder(T, states,
+                                   mask_devs if stream else masks,
+                                   ref_row, engine.bfs,
                                    engine.parent, chunk=opts.source_chunk,
                                    positions=positions)
         else:
@@ -262,6 +280,63 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                 log_f.write(f"{mv.src.identifier}\t{mv.dst.identifier}\t"
                             f"{iteration}\t{-mv.improvement}\t0\t"
                             f"{mv.src_interval[1]-mv.src_interval[0]}\n")
+
+        if stream:
+            # pandemic-scale path: re-run the streamed full FS (the
+            # reference's MPI rounds do the same, utils.cpp:113-481); no
+            # [n, P] matrices, no remaps
+            cols = sorted(pos_index[p] for p in affected if p in pos_index)
+            engine, mask_devs, new_score = full_refresh_streamed()
+            if new_score > score:
+                _err(f"Iteration {iteration}: batch regressed "
+                     f"({score} -> {new_score}), reverting to single best "
+                     f"move")
+                from .spr import revert_moves
+                revert_moves(T, undo_logs)
+                undo0 = apply_move(T, accepted[0])
+                engine, mask_devs, new_score = full_refresh_streamed()
+                if new_score > score:
+                    revert_moves(T, [undo0])
+                    engine, mask_devs, new_score = full_refresh_streamed()
+                    _finish_iteration = True
+                else:
+                    _finish_iteration = False
+            else:
+                _finish_iteration = False
+            improvement = score - new_score
+            _err(f"Iteration {iteration}: parsimony {score} -> {new_score} "
+                 f"({len(accepted)} moves applied, radius {radius}, "
+                 f"{len(sources)} sources scanned, streamed FS)")
+            score = new_score
+            changed_ids = changed_new
+            if _finish_iteration:
+                break
+            if _flush_requested and log_f:
+                log_f.flush()
+                _flush_requested = False
+            if opts.checkpoint_path and opts.checkpoint_minutes > 0 and (
+                    time.time() - t_checkpoint) > opts.checkpoint_minutes * 60:
+                from ..io.detailed import save_detailed_mutations
+                save_detailed_mutations(T, opts.checkpoint_path,
+                                        changed_ids=changed_ids)
+                t_checkpoint = time.time()
+                _err(f"Checkpoint saved to {opts.checkpoint_path}")
+            if improvement < opts.min_improvement * max(score, 1):
+                if drift_remaining > 0:
+                    drift_remaining -= 1
+                    if opts.drift_nwk_stem:
+                        from ..io.newick import write_newick
+                        with open(f"{opts.drift_nwk_stem}{iteration}.nwk",
+                                  "w") as f:
+                            f.write(write_newick(T, print_internal=True,
+                                                 print_branch_len=True))
+                    continue
+                if doubling and radius < 2 * max_level:
+                    radius *= 2
+                    changed_ids = None
+                    continue
+                break
+            continue
 
         # local FS patch-up (reference apply_move/backward_pass.cpp): only
         # the affected positions are re-solved; everything else keeps its
@@ -335,7 +410,6 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
         score = new_score
         changed_ids = changed_new
 
-        global _flush_requested
         if _flush_requested and log_f:
             log_f.flush()
             _flush_requested = False
@@ -369,14 +443,25 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
     if opts.reduce_back_mutations:
         # final pass: re-pick states minimizing (parsimony, back-mutations)
         engine = FitchEngine(T, positions, mesh=mesh)
-        states, masks = engine.run(leaf_store, ref_row, min_back=True)
-        mb_score = engine.rewrite_mutations(states, leaf_store, ref_row, chrom)
-        if mb_score > score:
-            # never trade parsimony away; redo with the plain pass
-            states, masks = engine.run(leaf_store, ref_row)
-            score = engine.rewrite_mutations(states, leaf_store, ref_row, chrom)
+        if stream:
+            mb_score, _ = engine.run_rewrite_streamed(leaf_store, ref_row,
+                                                      chrom, min_back=True)
+            if mb_score > score:
+                score, _ = engine.run_rewrite_streamed(leaf_store, ref_row,
+                                                       chrom)
+            else:
+                score = mb_score
         else:
-            score = mb_score
+            states, masks = engine.run(leaf_store, ref_row, min_back=True)
+            mb_score = engine.rewrite_mutations(states, leaf_store, ref_row,
+                                                chrom)
+            if mb_score > score:
+                # never trade parsimony away; redo with the plain pass
+                states, masks = engine.run(leaf_store, ref_row)
+                score = engine.rewrite_mutations(states, leaf_store, ref_row,
+                                                 chrom)
+            else:
+                score = mb_score
 
     if log_f:
         log_f.close()

@@ -321,6 +321,66 @@ class FitchEngine:
             masks[:, c0:c1] = np.asarray(mk)[:, :c1 - c0]
         return states, masks
 
+    def run_rewrite_streamed(self, store, ref_row: np.ndarray, chrom: str,
+                             min_back: bool = False):
+        """Fused streamed pass: per position chunk, solve the DP, rewrite
+        that chunk's branch mutations, and record the Fitch-mask deviations
+        from ref — WITHOUT ever retaining the [n, P] states/masks matrices.
+        The pandemic-scale optimizer path (each iteration re-runs this full
+        pass instead of the local patch, the discipline of the reference's
+        MPI FS rounds, utils.cpp:113-481).
+
+        Returns (parsimony_score, MaskDeviations)."""
+        P = len(ref_row)
+        ref_nt = np.zeros(P, dtype=np.int32)
+        nz = ref_row > 0
+        ref_nt[nz] = np.log2(ref_row[nz]).astype(np.int32)
+        if self.mesh is not None:
+            from ..parallel.shard import put_batch, put_replicated
+            rep = lambda a: put_replicated(self.mesh, jnp.asarray(a))  # noqa: E731
+        else:
+            rep = jnp.asarray
+        parent_dev = rep(self.parent)
+        is_leaf_dev = rep(self.is_leaf)
+        lp = rep(self.level_pad)
+        ll = rep(self.level_len)
+        up = rep(self.uparent_pad)
+        ul = rep(self.uparent_len)
+        psl = rep(self.parent_slot_pad)
+        devs = MaskDeviations(self.n)
+        per_node: list[list] = [[] for _ in range(self.n)]
+        total = 0
+        for c0 in range(0, P, self.chunk):
+            c1 = min(c0 + self.chunk, P)
+            lm = store.materialize(self.bfs, self.is_leaf, c0, c1)
+            rn = ref_nt[c0:c1]
+            pad = self.chunk - (c1 - c0)
+            lm_p, rn_p = lm, rn
+            if pad:
+                lm_p = np.pad(lm, ((0, 0), (0, pad)), constant_values=0xF)
+                rn_p = np.pad(rn, (0, pad))
+            if self.mesh is not None:
+                lm_dev = put_batch(self.mesh, lm_p, 1)
+                rn_dev = put_batch(self.mesh, rn_p, 0)
+            else:
+                lm_dev, rn_dev = jnp.asarray(lm_p), jnp.asarray(rn_p)
+            fn = _min_back_chunk if min_back else _fs_chunk
+            st, mk = fn(lm_dev, is_leaf_dev, psl,
+                        lp, ll, up, ul, parent_dev, rn_dev,
+                        n_levels=self.n_levels, max_u=self.max_u)
+            st_h = np.asarray(st, dtype=np.int8)[:, :c1 - c0]
+            mk_h = np.asarray(mk)[:, :c1 - c0]
+            devs.set_chunk(c0, mk_h, ref_row[c0:c1])
+            chunk_nodes, chunk_total = self._mutation_lists(
+                st_h, lm, ref_row[c0:c1], self.positions[c0:c1], chrom)
+            total += chunk_total
+            for i, muts in enumerate(chunk_nodes):
+                if muts:
+                    per_node[i].extend(muts)
+        for i, node in enumerate(self.bfs):
+            node.mutations = per_node[i]
+        return total, devs
+
     def _mutation_lists(self, states, leaf_masks, ref_row, positions, chrom):
         """Per-node mutation lists implied by FS states over the given
         position axis (width of states/leaf_masks/ref_row).  Returns
@@ -412,3 +472,41 @@ class FitchEngine:
         for i, node in enumerate(self.bfs):
             node.mutations = per_node[i]
         return total
+
+
+class MaskDeviations:
+    """Per-node sparse deviations of the FS Fitch masks from the reference
+    row: CSR (row_ptr, cols, vals).  The streamed-states optimizer path
+    (optimize/driver.py stream_states) keeps ONLY this instead of the dense
+    [n, P] states/masks matrices; BigMoveFinder consumes it directly."""
+
+    def __init__(self, n: int):
+        self._rows: list = [None] * n
+        self.n = n
+
+    def set_chunk(self, c0: int, mk_chunk: np.ndarray,
+                  ref_chunk: np.ndarray) -> None:
+        rows, cols = np.nonzero(mk_chunk != ref_chunk[None, :])
+        vals = mk_chunk[rows, cols]
+        cols = cols + c0
+        if len(rows) == 0:
+            return
+        # group by row (rows come sorted from nonzero)
+        starts = np.searchsorted(rows, np.arange(self.n + 1))
+        for i in range(self.n):
+            lo, hi = starts[i], starts[i + 1]
+            if hi > lo:
+                prev = self._rows[i]
+                if prev is None:
+                    self._rows[i] = (cols[lo:hi].copy(), vals[lo:hi].copy())
+                else:
+                    self._rows[i] = (np.concatenate([prev[0], cols[lo:hi]]),
+                                     np.concatenate([prev[1], vals[lo:hi]]))
+
+    def deviations(self, i: int):
+        """(cols int64[], mask values uint8[]) for node i; chunks were
+        appended in ascending column order so cols are sorted."""
+        entry = self._rows[i]
+        if entry is None:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint8))
+        return entry

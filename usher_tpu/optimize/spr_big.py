@@ -39,7 +39,7 @@ class BigMoveFinder(MoveFinder):
         self.chunk = chunk
         n = len(bfs)
         self.n = n
-        self.masks = masks
+        self.masks = masks   # dense [n, P] uint8 OR MaskDeviations
         self.ref_row = ref_row
 
         T.depth_first_expansion()
@@ -64,6 +64,14 @@ class BigMoveFinder(MoveFinder):
         self._num_leaves_h = np.asarray(self.big.num_leaves)
         self._bfs_rank_h = np.arange(self.n, dtype=np.int32)
 
+    def _dev_of(self, si):
+        """(cols, mask values) where node si's Fitch mask deviates from the
+        reference row -- from a dense masks matrix or MaskDeviations."""
+        if isinstance(self.masks, np.ndarray):
+            cols = np.nonzero(self.masks[si] != self.ref_row)[0]
+            return cols, self.masks[si][cols]
+        return self.masks.deviations(si)
+
     def find_moves(self, radius: int, sources=None, log=None) -> list[Move]:
         n = self.n
         bfs = self.bfs
@@ -84,8 +92,8 @@ class BigMoveFinder(MoveFinder):
             for b, si in enumerate(idxs):
                 node = bfs[si]
                 oldcost[b] = len(node.mutations) + collapse_bonus(node)
-                cols = np.nonzero(self.masks[si] != ref_row)[0]
-                devs.append(cols)
+                cols, vals = self._dev_of(si)
+                devs.append((cols, vals))
                 max_k = max(max_k, len(cols))
             K = 1
             while K < max_k:
@@ -97,9 +105,9 @@ class BigMoveFinder(MoveFinder):
             else:
                 pos = np.full((B, K), self.big.P, dtype=np.int32)
                 gval = np.zeros((B, K), dtype=np.uint8)
-                for b, cols in enumerate(devs):
+                for b, (cols, vals) in enumerate(devs):
                     pos[b, :len(cols)] = cols
-                    gval[b, :len(cols)] = self.masks[idxs[b]][cols]
+                    gval[b, :len(cols)] = vals
                 s_T, nc_T, nnm = self.big.score_spr_T(pos, gval)
                 score, nc = s_T.T, nc_T.T
 
@@ -182,7 +190,7 @@ class BigMoveFinder(MoveFinder):
         score = np.zeros((B, self.n), dtype=np.int32)
         nc = np.zeros((B, self.n), dtype=np.int32)
         for b, si in enumerate(idxs):
-            cols = np.nonzero(self.masks[si] != self.ref_row)[0]
+            cols, vals_all = self._dev_of(si)
             acc_s = np.zeros(self.n, dtype=np.int64)
             acc_n = np.zeros(self.n, dtype=np.int64)
             first = True
@@ -194,7 +202,7 @@ class BigMoveFinder(MoveFinder):
                 pos = np.full((1, K), P, dtype=np.int32)
                 gval = np.zeros((1, K), dtype=np.uint8)
                 pos[0, :len(sub)] = sub
-                gval[0, :len(sub)] = self.masks[si][sub]
+                gval[0, :len(sub)] = vals_all[s0:s0 + _MAX_K][:len(sub)]
                 s_T, nc_T, _ = self.big.score_spr_T(pos, gval)
                 if first:
                     acc_s += s_T[:, 0]
