@@ -185,3 +185,17 @@ def test_bigmat_spr_scoring_matches_dense(seed):
     np.testing.assert_array_equal(ss_T.T, ds)
     np.testing.assert_array_equal(snc_T.T, dnc)
     np.testing.assert_array_equal(snnm, np.asarray(dnnm))
+
+
+def test_chain_consistency_checker():
+    from usher_tpu.core.bigmat import check_chain_consistency
+    from usher_tpu.core.tree import Mutation, Tree
+    T = Tree()
+    T.create_node("root")
+    a = T.create_node("a", "root")
+    b = T.create_node("b", "a")
+    a.add_mutation(Mutation("c", 10, 1, 1, 8))
+    b.add_mutation(Mutation("c", 10, 1, 8, 2))  # par matches a's mut: ok
+    assert check_chain_consistency(T) == 0
+    b.mutations[0].par_nuc = 1  # now inconsistent
+    assert check_chain_consistency(T) == 1

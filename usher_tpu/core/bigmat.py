@@ -39,6 +39,14 @@ class BigMAT:
     mut_mut   uint8[M]   mutated-state nibble (nonzero; != mut_par)
     positions int64[P]   genome coordinates (sorted)
     ref       uint8[P]   reference allele nibble per position
+
+    INVARIANT: mutation chains must be consistent — every mutation's
+    mut_par equals the path state immediately above it (what the reference
+    maintains everywhere and our FS rewrite guarantees).  The base/base_spr
+    aggregates telescope per-position deltas along root paths; on an
+    inconsistent tree they diverge from the materialized path states and
+    scores are silently wrong.  Trees straight from external sources should
+    be FS-canonicalized first (FitchEngine.rewrite_mutations).
     """
 
     def __init__(self, parent, mut_ptr, mut_col, mut_par, mut_mut,
@@ -367,3 +375,26 @@ def _ranges(counts):
         return np.zeros(0, dtype=np.int64)
     starts = np.cumsum(counts) - counts
     return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def check_chain_consistency(T) -> int:
+    """Count mutations whose par_nuc differs from the path state above them
+    (0 on any well-formed MAT; BigMAT's telescoped aggregates require 0).
+    Debug helper for externally-sourced trees."""
+    bad = 0
+    stack = [(T.root, {})]
+    while stack:
+        node, state = stack.pop()
+        new_state = state
+        if node.mutations:
+            new_state = dict(state)
+            for m in node.mutations:
+                if m.position < 0:
+                    continue
+                expect = state.get(m.position, m.ref_nuc)
+                if node.parent is not None and m.par_nuc != expect:
+                    bad += 1
+                new_state[m.position] = m.mut_nuc
+        for ch in node.children:
+            stack.append((ch, new_state))
+    return bad
