@@ -95,7 +95,10 @@ class BigMoveFinder(MoveFinder):
                 cols, vals = self._dev_of(si)
                 devs.append((cols, vals))
                 max_k = max(max_k, len(cols))
-            K = 1
+            # bucket K to >= 64 so chunk-to-chunk deviation-count drift
+            # doesn't multiply kernel compilations (the remote compile
+            # service charges minutes per distinct program shape)
+            K = 64
             while K < max_k:
                 K *= 2
             if K > _MAX_K:
