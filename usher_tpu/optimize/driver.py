@@ -204,6 +204,11 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
         return eng, devs, sc
 
     stream = opts.stream_states
+    # streamed mode pays a device round-trip per source chunk; bigger
+    # batches amortize dispatch latency (results are chunk-invariant)
+    source_chunk = opts.source_chunk
+    if stream and source_chunk == 128:
+        source_chunk = 512
     if stream:
         score, mask_devs = engine.run_rewrite_streamed(leaf_store, ref_row,
                                                        chrom)
@@ -232,7 +237,7 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             finder = BigMoveFinder(T, states,
                                    mask_devs if stream else masks,
                                    ref_row, engine.bfs,
-                                   engine.parent, chunk=opts.source_chunk,
+                                   engine.parent, chunk=source_chunk,
                                    positions=positions)
         else:
             finder = MoveFinder(T, states, masks, ref_row, engine.bfs,
