@@ -21,10 +21,12 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(SCRIPTS, "testBranchLen2.nwk")),
     reason="reference scripts unavailable")
 
-# Derived from write_newick_string semantics
-# (mutation_annotated_tree.cpp:215-346) applied to testBranchLen2.nwk's
-# topology: every input branch length equals the mutation count Fitch-
-# Sankoff must assign, so the golden is the input tree with internal labels.
+# LIMITATION: this expected string is HAND-DERIVED, not emitted by the
+# reference binary (which cannot be built in this environment — no MPI or
+# boost).  It applies write_newick_string semantics
+# (mutation_annotated_tree.cpp:215-346) to testBranchLen2.nwk's topology:
+# every input branch length equals the mutation count Fitch-Sankoff must
+# assign, so the golden is the input tree with internal labels.
 EXPECTED_FINAL_TREE = ("((a:0,(b:0,(c:0,d:1)node_4:1)node_3:2,"
                        "((e:0,f:1)node_6:3,g:0)node_5:4)node_2:5,"
                        "h:0)node_1:0;")

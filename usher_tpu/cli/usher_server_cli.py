@@ -261,7 +261,18 @@ def serve(arg_dir: str, store: MatStore, sleep_ms: int, term_char: int,
                 continue
             if not _file_ready(path, term_char):
                 continue
-            process_arg_file(path, term_char, store)
+            try:
+                process_arg_file(path, term_char, store)
+            except Exception as e:
+                # a bad job (e.g. nonexistent VCF path in an argument file)
+                # must not crash the daemon; the reference daemon likewise
+                # keeps serving (usher_server.cpp:40-49).  Remove the file so
+                # a restart does not crash-loop on it.
+                _err(f"ERROR processing {path}: {e}\n")
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
             progressed = True
         if once and not progressed:
             return 0

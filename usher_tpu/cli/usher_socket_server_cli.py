@@ -336,7 +336,11 @@ class SocketServer:
         if os.path.exists(fifo_path):
             os.unlink(fifo_path)
         os.mkfifo(fifo_path, 0o700)
-        self.fifo_fd = os.open(fifo_path, os.O_RDONLY | os.O_NONBLOCK)
+        # O_RDWR (not O_RDONLY): with no writer attached a read-only FIFO is
+        # permanently readable-at-EOF, so select() would wake immediately
+        # forever and the daemon would busy-spin.  Holding a write end
+        # ourselves keeps reads returning EAGAIN until a real writer shows up.
+        self.fifo_fd = os.open(fifo_path, os.O_RDWR | os.O_NONBLOCK)
 
         self.sel = selectors.DefaultSelector()
         self.sel.register(self.sock, selectors.EVENT_READ, "sock")

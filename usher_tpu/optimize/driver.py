@@ -100,6 +100,23 @@ class OptimizeOptions:
                              # (implies spr_backend "big")
 
 
+def _tree_distance(a, b) -> int:
+    """Hop distance between two nodes (walk both to their LCA)."""
+    seen = {}
+    cur, d = a, 0
+    while cur is not None:
+        seen[id(cur)] = d
+        cur = cur.parent
+        d += 1
+    cur, d = b, 0
+    while cur is not None:
+        if id(cur) in seen:
+            return d + seen[id(cur)]
+        cur = cur.parent
+        d += 1
+    return d  # pragma: no cover (disjoint trees)
+
+
 def _collect_affected(mv, affected: set, changed: set) -> None:
     """Positions whose FS states a move can perturb (mutations in the moved
     subtree + on both old and new root paths + merge partners) and the
@@ -278,12 +295,15 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             _collect_affected(mv, affected, changed_new)
         undo_logs = []
         for mv in accepted:
+            # distance BEFORE the apply perturbs levels (reference logs the
+            # src-dst hop distance, optimize_tree.cpp:61-66)
+            dist = _tree_distance(mv.src, mv.dst) if log_f else 0
             undo_logs.append(apply_move(T, mv))
             if mv.src.parent is not None:
                 changed_new.add(mv.src.parent.identifier)
             if log_f:
                 log_f.write(f"{mv.src.identifier}\t{mv.dst.identifier}\t"
-                            f"{iteration}\t{-mv.improvement}\t0\t"
+                            f"{iteration}\t{-mv.improvement}\t{dist}\t"
                             f"{mv.src_interval[1]-mv.src_interval[0]}\n")
 
         if stream:

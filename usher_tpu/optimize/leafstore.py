@@ -115,6 +115,10 @@ class SparseLeafStore:
         n = len(bfs)
         cols_arr = np.asarray(cols_arr, dtype=np.int64)
         out = np.zeros((n, len(cols_arr)), dtype=np.uint8)
+        if len(cols_arr) == 0:
+            # empty request: searchsorted below would index an empty array
+            # with -1 before the take<len guard can mask it
+            return out
         ref_slice = self.ref_row[cols_arr]
         leaf_idx = np.nonzero(is_leaf)[0]
         out[leaf_idx] = ref_slice

@@ -178,6 +178,13 @@ class Pipeline:
 
     # rules extract_parsimony_difference + create_report (Snakefile:230-284)
     def systematic(self):
+        """Intentional deviations from the reference pipeline: (a) variants
+        present only in the user-augmented summary are INCLUDED (the
+        reference's shell `join` silently drops variants absent from the
+        public file — their whole parsimony weight is user-contributed, which
+        is exactly what this report surfaces); (b) sample counts subtract the
+        summary header line (the reference's `wc -l` counts it), so
+        per-sample rates use true sample counts."""
         _need(self.args, ["pb"])
         pb = self.usher()
         from usher_tpu.cli.matutils_cli import main as mu
