@@ -199,3 +199,49 @@ def test_chain_consistency_checker():
     assert check_chain_consistency(T) == 0
     b.mutations[0].par_nuc = 1  # now inconsistent
     assert check_chain_consistency(T) == 1
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_interval_engine_matches_cols_path(seed):
+    """The interval engine (DFS range-add scoring, ops/interval.py) must be
+    bit-identical to the legacy column-materialization path in BOTH modes,
+    on trees large enough to span several scan blocks."""
+    T, positions, refarr, samples = _setup(seed, n_leaves=150,
+                                           n_positions=40)
+    big = BigMAT.from_tree(T, positions, refarr)
+    pos, gval, kmiss = big.sparsify(samples)
+
+    s_iv, nc_iv, _ = big.score_batch_T(pos, gval, kmiss)
+    s_cols, nc_cols, _ = big.score_batch_T_cols(pos, gval, kmiss,
+                                                max_cols=8)
+    np.testing.assert_array_equal(s_iv, s_cols)
+    np.testing.assert_array_equal(nc_iv, nc_cols)
+
+    # SPR mode (E=1 everywhere, ambiguous masks allowed)
+    rng = np.random.default_rng(seed)
+    gv2 = gval.copy()
+    nonpad = pos < big.P
+    gv2[nonpad] = rng.integers(1, 16, size=int(nonpad.sum()),
+                               dtype=np.uint8)
+    s2_iv, nc2_iv, _ = big.score_spr_T(pos, gv2)
+    s2_c, nc2_c, _ = big.score_spr_T_cols(pos, gv2, max_cols=8)
+    np.testing.assert_array_equal(s2_iv, s2_c)
+    np.testing.assert_array_equal(nc2_iv, nc2_c)
+
+
+def test_dfs_numbering():
+    """dfs_of/dfs_end_of computed by the vectorized level sweep must be a
+    valid preorder: parent interval contains child intervals, siblings
+    disjoint, every interval's width is the subtree size."""
+    T, positions, refarr, _ = _setup(5, n_leaves=80)
+    big = BigMAT.from_tree(T, positions, refarr)
+    N = big.N
+    assert sorted(big.dfs_of.tolist()) == list(range(N))
+    for i in range(N):
+        p = int(big.parent[i])
+        if p != i:
+            assert big.dfs_of[p] < big.dfs_of[i]
+            assert big.dfs_end_of[i] <= big.dfs_end_of[p]
+    # dfs_order is the inverse permutation
+    np.testing.assert_array_equal(big.dfs_of[big.dfs_order],
+                                  np.arange(N, dtype=np.int32))

@@ -182,9 +182,44 @@ class BigMAT:
         csc_order = np.argsort(self.mut_col, kind="stable")
         self.csc_node = mut_node[csc_order].astype(np.int32)
         self.csc_mut = self.mut_mut[csc_order]
+        self.csc_par = self.mut_par[csc_order]
         self.csc_eff = eff[csc_order]
+        self.csc_root = root_mut[csc_order]
         self.csc_ptr = np.searchsorted(self.mut_col[csc_order],
                                        np.arange(self.P + 1))
+
+        # DFS numbering (vectorized, no per-node Python):
+        #   subtree sizes by reverse-level accumulation, then
+        #   dfs_idx[n] = dfs_idx[parent] + 1 + (earlier siblings' sizes)
+        # level-synchronously.  Subtrees are the contiguous DFS ranges the
+        # interval scoring engine (ops/interval.py) range-adds over.
+        sz = np.ones(N, dtype=np.int64)
+        for li in range(self.max_depth - 1, 0, -1):
+            idx = order[bounds[li]:bounds[li + 1]]
+            np.add.at(sz, parent[idx], sz[idx])
+        nr = np.nonzero(~root_mask)[0]
+        ch_order = nr[np.argsort(parent[nr], kind="stable")]
+        sizes = sz[ch_order]
+        cs = np.cumsum(sizes)
+        excl = cs - sizes
+        if len(ch_order):
+            seg = parent[ch_order]
+            starts = np.r_[True, seg[1:] != seg[:-1]]
+            seg_idx = np.cumsum(starts) - 1
+            pre_sib_o = excl - excl[starts][seg_idx]
+        else:
+            pre_sib_o = excl
+        pre_sib = np.zeros(N, dtype=np.int64)
+        pre_sib[ch_order] = pre_sib_o
+        dfs_of = np.zeros(N, dtype=np.int64)
+        for li in range(1, self.max_depth):
+            idx = order[bounds[li]:bounds[li + 1]]
+            dfs_of[idx] = dfs_of[parent[idx]] + 1 + pre_sib[idx]
+        self.dfs_of = dfs_of.astype(np.int32)          # slot -> dfs row
+        self.dfs_end_of = (dfs_of + sz).astype(np.int32)
+        dfs_order = np.empty(N, dtype=np.int32)        # dfs row -> slot
+        dfs_order[self.dfs_of] = np.arange(N, dtype=np.int32)
+        self.dfs_order = dfs_order
 
         # kept for the lazy SPR-base precompute
         self._mut_node = mut_node
@@ -236,7 +271,14 @@ class BigMAT:
     def score_spr_T(self, pos, gval, max_cols: int = 2048):
         """SPR-mode scoring (E=1 everywhere, no missing): score_T/nc_T for a
         batch of subtree Fitch masks given as entry deviations from ref.
-        Same chunking as score_batch_T."""
+        Interval-engine path (ops/interval.py)."""
+        B, K = pos.shape
+        kmiss = np.zeros((B, K), dtype=bool)
+        s, n = self._score_interval(pos, gval, kmiss, spr=True)
+        return s, n, self.node_num_mut
+
+    def score_spr_T_cols(self, pos, gval, max_cols: int = 2048):
+        """Legacy column-materialization SPR path (cross-check / fallback)."""
         B, K = pos.shape
         kmiss = np.zeros((B, K), dtype=bool)
         score_T = np.empty((self.N, B), dtype=np.int32)
@@ -257,6 +299,144 @@ class BigMAT:
             nc_T[:, start:end] = n
             start = end
         return score_T, nc_T, self.node_num_mut
+
+    # --- interval engine ----------------------------------------------------
+
+    @property
+    def n_pad(self) -> int:
+        """DFS row count padded to a 2048 bucket (bounds compile diversity
+        across epochs; padding rows are masked inactive)."""
+        return max(256, -(-self.N // 2048) * 2048)
+
+    def _events(self, pos, gval, kmiss, spr: bool):
+        """Difference-array events for a batch (host, fully vectorized).
+
+        For every (sample entry, column mutation) pair, emits the DFS-range
+        delta (domain allele change) and a width-1 delta at the mutation
+        node (the bm-correction); num_common gets point events only.
+        Derivation in ops/interval.py; the per-case formulas are exactly
+        ops/placement_pallas._kernel's."""
+        P = self.P
+        B = pos.shape[0]
+        e = pos < P
+        eb, ek = np.nonzero(e)
+        cols = pos[eb, ek].astype(np.int64)
+        gv = gval[eb, ek].astype(np.int32)
+        km = kmiss[eb, ek]
+        rk = self.ref[cols].astype(np.int32)
+        # corr at reference-state nodes (sub_nobm(ref) == 0 in both modes)
+        add0_src = ((~km) & ((gv & rk) == 0)).astype(np.int32)
+        add0 = np.bincount(eb, weights=add0_src,
+                           minlength=B).astype(np.int32)
+
+        lo = self.csc_ptr[cols]
+        hi = self.csc_ptr[cols + 1]
+        counts = (hi - lo).astype(np.int64)
+        pe = np.repeat(np.arange(len(eb)), counts)
+        flat = np.repeat(lo, counts) + _ranges(counts)
+        u = self.csc_node[flat]
+        am = self.csc_mut[flat].astype(np.int32)
+        ap = self.csc_par[flat].astype(np.int32)
+        rootm = self.csc_root[flat]
+        effm = self.csc_eff[flat]
+        gv_p = gv[pe]
+        km_p = km[pe]
+        rk_p = rk[pe]
+        b_p = eb[pe].astype(np.int32)
+
+        def corr_nobm(a):
+            t1 = ((~km_p) & ((gv_p & a) == 0)).astype(np.int32)
+            if spr:
+                sub = ((rk_p & a) == 0).astype(np.int32)
+            else:
+                sub = (a != rk_p).astype(np.int32)
+            return t1 - sub
+
+        c_am = corr_nobm(am)
+        d_range = c_am - corr_nobm(ap)
+        matched = (gv_p & am) != 0
+        a_eff = np.where(matched, am, ap)
+        t1_bm = ((~km_p) & ((gv_p & a_eff) == 0)).astype(np.int32)
+        if spr:
+            a_r = np.where((rk_p & am) != 0, am, ap)
+            sub_bm = ((rk_p & a_r) == 0).astype(np.int32)
+        else:
+            sub_bm = np.where((rk_p & am) != 0, am != rk_p,
+                              ap != rk_p).astype(np.int32)
+        # the root is never a branch mutation (stp[root] == st[root])
+        d_point = np.where(rootm, 0, (t1_bm - sub_bm) - c_am)
+        d_nc = np.where(effm & ~rootm,
+                        ((gv_p & am) != 0).astype(np.int32)
+                        - ((rk_p & am) != 0).astype(np.int32), 0)
+
+        r = self.dfs_of[u].astype(np.int32)
+        rend = self.dfs_end_of[u].astype(np.int32)
+        ev_idx = np.concatenate([r, rend, r, r + 1])
+        ev_b = np.concatenate([b_p, b_p, b_p, b_p])
+        ev_val = np.concatenate([d_range, -d_range, d_point, -d_point])
+        keep = ev_val != 0
+        ev_idx, ev_b, ev_val = ev_idx[keep], ev_b[keep], ev_val[keep]
+        nkeep = d_nc != 0
+        nc_idx, nc_b, nc_val = r[nkeep], b_p[nkeep], d_nc[nkeep]
+        return ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val, add0
+
+    def _dfs_meta(self, spr: bool):
+        """Per-epoch DFS-ordered metadata, padded to n_pad (cached)."""
+        key = "_dfs_meta_spr" if spr else "_dfs_meta_plc"
+        cached = getattr(self, key, None)
+        if cached is not None:
+            return cached
+        n_pad, N = self.n_pad, self.N
+        o = self.dfs_order
+
+        def padded(a, fill=0, dtype=None):
+            out = np.full(n_pad, fill, dtype=dtype or a.dtype)
+            out[:N] = a[o]
+            return out
+
+        base = self.base_spr if spr else self.base
+        meta = {
+            "base": padded(base.astype(np.int32)),
+            "nc_base": padded(self.nc_base),
+            "num_mut": padded(self.node_num_mut),
+            "is_leaf": padded(self.is_leaf),
+            "is_root": padded(self.is_root_mask),
+            "active": padded(self.active, fill=False),
+            "num_leaves": padded(self.num_leaves, fill=-1),
+            "bfs_rank": padded(self.bfs_rank, fill=-1),
+            "level": padded(self.level.astype(np.int32)),
+        }
+        setattr(self, key, meta)
+        return meta
+
+    def _batch_shapes(self, B, ev, nc):
+        b_pad = 8
+        while b_pad < B:
+            b_pad *= 2
+        from ..ops.interval import pad_events
+        evp = pad_events(*ev, self.n_pad)
+        ncp = pad_events(*nc, self.n_pad)
+        return b_pad, evp, ncp
+
+    def _score_interval(self, pos, gval, kmiss, spr: bool):
+        """[N, B] score/nc via the interval engine (slot order)."""
+        from ..ops import interval as iv
+        B = pos.shape[0]
+        *ev, add0 = self._events(pos, gval, kmiss, spr)
+        b_pad, evp, ncp = self._batch_shapes(B, ev[:3], ev[3:6])
+        meta = self._dfs_meta(spr)
+        add0p = np.zeros(b_pad, np.int32)
+        add0p[:B] = add0
+        score_dfs, nc_dfs = (np.asarray(x) for x in iv.interval_scores(
+            *(jnp.asarray(a) for a in evp), *(jnp.asarray(a) for a in ncp),
+            jnp.asarray(meta["base"]), jnp.asarray(meta["nc_base"]),
+            jnp.asarray(add0p), self.n_pad, b_pad))
+        N = self.N
+        score_T = np.empty((N, B), dtype=np.int32)
+        nc_T = np.empty((N, B), dtype=np.int32)
+        score_T[self.dfs_order] = score_dfs[:N, :B]
+        nc_T[self.dfs_order] = nc_dfs[:N, :B]
+        return score_T, nc_T
 
     def _levels(self):
         """Exact levels: #hops to root, O(depth) vectorized gathers."""
@@ -289,10 +469,16 @@ class BigMAT:
         """Score a batch against every node: returns (score_T [N,B],
         num_common_T [N,B], node_num_mut [N]) numpy arrays.
 
-        pos is in GLOBAL position-index space (>= P marks padding).  The
-        batch is internally chunked so each device call touches at most
-        max_cols unique columns ([N, C] on-demand state materialization).
-        """
+        pos is in GLOBAL position-index space (>= P marks padding).
+        Interval-engine path: one scatter + one [N, B] segmented cumsum on
+        device, no per-column state materialization (ops/interval.py)."""
+        s, n = self._score_interval(pos, gval, kmiss, spr=False)
+        return s, n, self.node_num_mut
+
+    def score_batch_T_cols(self, pos, gval, kmiss, max_cols=2048):
+        """Legacy column-materialization path (pointer-doubling ancestor
+        gathers over the batch's unique columns).  Kept as a cross-check /
+        fallback for the interval engine."""
         B, K = pos.shape
         score_T = np.empty((self.N, B), dtype=np.int32)
         nc_T = np.empty((self.N, B), dtype=np.int32)
@@ -345,27 +531,33 @@ class BigMAT:
 
     def place_batch(self, samples_mutations, max_cols=2048):
         """Best placements for a batch: (best_score [B], best_slot [B],
-        num_best [B]) with the reference tie-break and validity rules."""
-        from ..ops.placement import placement_outputs
+        num_best [B]) with the reference tie-break and validity rules.
+        Fully fused on device — only O(B) vectors cross the boundary."""
         pos, gval, kmiss = self.sparsify(samples_mutations)
-        score_T, nc_T, nnm = self.score_batch_T(pos, gval, kmiss, max_cols)
-        valid, _ = placement_outputs(score_T.T, nc_T.T, nnm,
-                                     self.is_root_mask, self.is_leaf,
-                                     self.active)
-        score, valid = score_T.T, np.asarray(valid)
-        vs = np.where(valid, score, 1 << 30)
-        best_score = vs.min(axis=1)
-        is_best = valid & (score == best_score[:, None])
-        num_best = is_best.sum(axis=1)
-        leaves = np.where(is_best, self.num_leaves[None, :], -1)
-        best_leaves = leaves.max(axis=1)
-        is_best2 = is_best & (self.num_leaves[None, :] == best_leaves[:, None])
-        rank = np.where(is_best2, self.bfs_rank[None, :], -1)
-        best_rank = rank.max(axis=1)
-        best_slot = np.argmax(
-            (self.bfs_rank[None, :] == best_rank[:, None]) & is_best2, axis=1)
-        return (best_score.astype(np.int32), best_slot.astype(np.int32),
-                num_best.astype(np.int32))
+        best_score, best_slot, num_best, _ = self.place_arrays(pos, gval,
+                                                               kmiss)
+        return best_score, best_slot, num_best
+
+    def place_arrays(self, pos, gval, kmiss):
+        """Device-reduced placement of pre-sparsified samples: returns
+        (best_score [B], best_slot [B], num_best [B], hu_best [B])."""
+        from ..ops import interval as iv
+        B = pos.shape[0]
+        *ev, add0 = self._events(pos, gval, kmiss, spr=False)
+        b_pad, evp, ncp = self._batch_shapes(B, ev[:3], ev[3:6])
+        meta = self._dfs_meta(spr=False)
+        add0p = np.zeros(b_pad, np.int32)
+        add0p[:B] = add0
+        best, best_row, num_best, hu = (np.asarray(x) for x in iv.interval_place(
+            *(jnp.asarray(a) for a in evp), *(jnp.asarray(a) for a in ncp),
+            jnp.asarray(meta["base"]), jnp.asarray(meta["nc_base"]),
+            jnp.asarray(add0p), jnp.asarray(meta["num_mut"]),
+            jnp.asarray(meta["is_leaf"]), jnp.asarray(meta["is_root"]),
+            jnp.asarray(meta["active"]), jnp.asarray(meta["num_leaves"]),
+            jnp.asarray(meta["bfs_rank"]), self.n_pad, b_pad))
+        best_slot = self.dfs_order[np.minimum(best_row[:B], self.N - 1)]
+        return (best[:B].astype(np.int32), best_slot.astype(np.int32),
+                num_best[:B].astype(np.int32), hu[:B].astype(bool))
 
 
 def _ranges(counts):

@@ -3,25 +3,26 @@
 The dense MoveFinder holds st/stp [N, P] on device — impossible at the
 reference's >2M-leaf x ~30k-site scale.  This finder scores each source's
 subtree Fitch mask as a SPARSE entry set (its deviations from the reference
-row) through BigMAT.score_spr_T (core/bigmat.py: CSR + on-demand column
-materialization + the spr-mode Pallas kernel), then applies the radius /
-subtree / parent validity rules and the reference tie-break host-side.
+row) through the DFS-interval engine (ops/interval.py): one scatter + one
+segmented cumsum per chunk, with the radius bound computed on device as a
+nested-interval count (the LCA level of (src, dst) for every dst is the
+number of src-ancestor DFS intervals containing dst, minus one) and the
+tie-broken argmin reduced on device — only O(chunk) vectors cross the
+boundary.  Replaces both the reference's per-source pointer walks
+(Profitable_Moves_Enumerators.hpp:166) and round 2's host O(depth*N)
+radius loop.
 
-Results are bit-identical to MoveFinder.find_moves (tested); sources whose
-deviation count exceeds the kernel's lane budget fall back to the dense
-per-source scoring of their columns (rare: a source deviates only at its
-path + subtree-ambiguity positions).
+Results are bit-identical to MoveFinder.find_moves (tested).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..core.bigmat import BigMAT
 from ..core.tree import Tree
 from .spr import Move, MoveFinder, collapse_bonus
-
-_MAX_K = 1024  # kernel lane budget (placement_pallas.TBK)
 
 
 class BigMoveFinder(MoveFinder):
@@ -73,6 +74,8 @@ class BigMoveFinder(MoveFinder):
         return self.masks.deviations(si)
 
     def find_moves(self, radius: int, sources=None, log=None) -> list[Move]:
+        from ..ops import interval as iv
+        big = self.big
         n = self.n
         bfs = self.bfs
         if sources is None:
@@ -80,41 +83,78 @@ class BigMoveFinder(MoveFinder):
         moves: list[Move] = []
         max_level = int(self.level.max()) if n else 0
         eff_radius = radius if radius > 0 else 2 * max_level + 2
-        ref_row = self.ref_row
+        meta = big._dfs_meta(spr=True)
+        n_pad = big.n_pad
+        dfs_of = big.dfs_of
+        dfs_end_of = big.dfs_end_of
 
         for c0 in range(0, len(sources), self.chunk):
             idxs = sources[c0:c0 + self.chunk]
             B = len(idxs)
+            b_pad = 8
+            while b_pad < max(B, self.chunk):
+                b_pad *= 2
             oldcost = np.zeros(B, dtype=np.int64)
             # sparse entries: deviations of each source's Fitch mask from ref
             devs = []
             max_k = 1
+            anc_rows = []   # (dfs row, sample) per proper ancestor
+            src_level = np.zeros(b_pad, dtype=np.int32)
+            src_lo = np.full(b_pad, n_pad, dtype=np.int32)
+            src_hi = np.full(b_pad, n_pad, dtype=np.int32)
+            src_parent_row = np.full(b_pad, -1, dtype=np.int32)
             for b, si in enumerate(idxs):
                 node = bfs[si]
                 oldcost[b] = len(node.mutations) + collapse_bonus(node)
                 cols, vals = self._dev_of(si)
                 devs.append((cols, vals))
                 max_k = max(max_k, len(cols))
-            # bucket K to >= 64 so chunk-to-chunk deviation-count drift
-            # doesn't multiply kernel compilations (the remote compile
-            # service charges minutes per distinct program shape)
-            K = 64
-            while K < max_k:
-                K *= 2
-            if K > _MAX_K:
-                # exceedingly deviant sources: score them via the dense
-                # formula on their own columns (host fallback)
-                score, nc, nnm = self._dense_rows(idxs)
-            else:
-                pos = np.full((B, K), self.big.P, dtype=np.int32)
-                gval = np.zeros((B, K), dtype=np.uint8)
-                for b, (cols, vals) in enumerate(devs):
-                    pos[b, :len(cols)] = cols
-                    gval[b, :len(cols)] = vals
-                s_T, nc_T, nnm = self.big.score_spr_T(pos, gval)
-                score, nc = s_T.T, nc_T.T
+                p = int(self.parent[si])
+                while True:
+                    anc_rows.append((dfs_of[p], dfs_end_of[p], b))
+                    if p == 0:
+                        break
+                    p = int(self.parent[p])
+                # BigMAT levels (0-based hops to root), matching meta["level"]
+                # and the ancestor-count lca — host Tree levels are 1-based
+                src_level[b] = big.level[si]
+                src_lo[b] = dfs_of[si]
+                src_hi[b] = dfs_end_of[si]
+                src_parent_row[b] = dfs_of[int(self.parent[si])]
 
-            cost, slot, hu = self._reduce(idxs, score, nc, nnm, eff_radius)
+            pos = np.full((B, max_k), big.P, dtype=np.int32)
+            gval = np.zeros((B, max_k), dtype=np.uint8)
+            for b, (cols, vals) in enumerate(devs):
+                pos[b, :len(cols)] = cols
+                gval[b, :len(cols)] = vals
+            kmiss = np.zeros((B, max_k), dtype=bool)
+
+            *ev, add0 = big._events(pos, gval, kmiss, spr=True)
+            evp = iv.pad_events(*ev[:3], n_pad)
+            ncp = iv.pad_events(*ev[3:6], n_pad)
+            ar = np.asarray(anc_rows, dtype=np.int32).reshape(-1, 3)
+            cnt_idx = np.concatenate([ar[:, 0], ar[:, 1]])
+            cnt_b = np.concatenate([ar[:, 2], ar[:, 2]])
+            cnt_val = np.concatenate([np.ones(len(ar), np.int32),
+                                      -np.ones(len(ar), np.int32)])
+            cntp = iv.pad_events(cnt_idx, cnt_b, cnt_val, n_pad, bucket=1024)
+            add0p = np.zeros(b_pad, np.int32)
+            add0p[:B] = add0
+
+            cost, row, hu = (np.asarray(x) for x in iv.interval_spr(
+                *(jnp.asarray(a) for a in evp),
+                *(jnp.asarray(a) for a in ncp),
+                *(jnp.asarray(a) for a in cntp),
+                jnp.asarray(meta["base"]), jnp.asarray(meta["nc_base"]),
+                jnp.asarray(add0p), jnp.asarray(meta["num_mut"]),
+                jnp.asarray(meta["is_root"]), jnp.asarray(meta["active"]),
+                jnp.asarray(meta["num_leaves"]), jnp.asarray(meta["bfs_rank"]),
+                jnp.asarray(meta["level"]),
+                jnp.asarray(src_level), jnp.asarray(src_lo),
+                jnp.asarray(src_hi), jnp.asarray(src_parent_row),
+                jnp.int32(eff_radius), n_pad, b_pad))
+
+            slot = big.dfs_order[np.minimum(row[:B], big.N - 1)]
             for b, si in enumerate(idxs):
                 imp = int(oldcost[b]) - int(cost[b])
                 if imp > 0 and cost[b] < (1 << 29):
@@ -127,11 +167,12 @@ class BigMoveFinder(MoveFinder):
                         dst_dfs=int(self.dfs_idx[d])))
         return moves
 
-    # -- host-side validity, radius bounding, and tie-break ------------------
+    # -- host-side mirror of the device mask/reduction (cross-check only) ----
 
     def _reduce(self, idxs, score, nc, nnm, radius):
-        """Numpy mirror of _score_moves's device mask + reduction
-        (optimize/spr.py:55-108), bit-identical semantics."""
+        """Numpy mirror of interval_spr's device mask + reduction
+        (optimize/spr.py:55-108 semantics); kept as the test oracle for the
+        device path (tests/test_optimize.py)."""
         B = len(idxs)
         n = self.n
         has_unique = nc < nnm[None, :]
@@ -144,7 +185,6 @@ class BigMoveFinder(MoveFinder):
                  | (has_unique & nc_pos)
                  | (~has_unique))
 
-        d = self.dfs_idx[None, :]
         lvl = self.level
         ok = np.zeros((B, n), dtype=bool)
         for b, si in enumerate(idxs):
@@ -183,38 +223,3 @@ class BigMoveFinder(MoveFinder):
             axis=1)
         hu_best = has_unique[np.arange(B), best_slot]
         return best, best_slot.astype(np.int32), hu_best
-
-    def _dense_rows(self, idxs):
-        """Fallback: dense scoring of a few extreme sources by materializing
-        ALL columns for them via chunked score_spr_T with full-column entry
-        sets split across multiple kernel batches."""
-        B = len(idxs)
-        P = self.big.P
-        score = np.zeros((B, self.n), dtype=np.int32)
-        nc = np.zeros((B, self.n), dtype=np.int32)
-        for b, si in enumerate(idxs):
-            cols, vals_all = self._dev_of(si)
-            acc_s = np.zeros(self.n, dtype=np.int64)
-            acc_n = np.zeros(self.n, dtype=np.int64)
-            first = True
-            for s0 in range(0, max(len(cols), 1), _MAX_K):
-                sub = cols[s0:s0 + _MAX_K]
-                K = 1
-                while K < max(len(sub), 1):
-                    K *= 2
-                pos = np.full((1, K), P, dtype=np.int32)
-                gval = np.zeros((1, K), dtype=np.uint8)
-                pos[0, :len(sub)] = sub
-                gval[0, :len(sub)] = vals_all[s0:s0 + _MAX_K][:len(sub)]
-                s_T, nc_T, _ = self.big.score_spr_T(pos, gval)
-                if first:
-                    acc_s += s_T[:, 0]
-                    acc_n += nc_T[:, 0]
-                    first = False
-                else:
-                    # subsequent slices add only their corrections
-                    acc_s += s_T[:, 0] - self.big.base_spr
-                    acc_n += nc_T[:, 0] - self.big.nc_base
-            score[b] = acc_s.astype(np.int32)
-            nc[b] = acc_n.astype(np.int32)
-        return score, nc, self.big.node_num_mut
