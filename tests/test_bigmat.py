@@ -245,3 +245,78 @@ def test_dfs_numbering():
     # dfs_order is the inverse permutation
     np.testing.assert_array_equal(big.dfs_of[big.dfs_order],
                                   np.arange(N, dtype=np.int32))
+
+
+def _assert_bigmat_equal(a, b):
+    """Incrementally-maintained BigMAT must match a fresh from_tree build
+    in every scoring-relevant array (slot numbering may differ — compare
+    in DFS order via the node identity mapping)."""
+    assert a.N == b.N
+    # map a-slot -> b-slot by node identity
+    b_slot = {id(n): i for i, n in enumerate(b._nodes)}
+    amap = np.array([b_slot[id(n)] for n in a._nodes])
+    np.testing.assert_array_equal(a.base, b.base[amap])
+    np.testing.assert_array_equal(a.nc_base, b.nc_base[amap])
+    np.testing.assert_array_equal(a.node_num_mut, b.node_num_mut[amap])
+    np.testing.assert_array_equal(a.F, b.F[amap])
+    np.testing.assert_array_equal(a.num_leaves, b.num_leaves[amap])
+    np.testing.assert_array_equal(a.level, b.level[amap])
+    np.testing.assert_array_equal(a.is_leaf, b.is_leaf[amap])
+    np.testing.assert_array_equal(a.bfs_rank, b.bfs_rank[amap])
+    np.testing.assert_array_equal(a.dfs_of, b.dfs_of[amap])
+    np.testing.assert_array_equal(a.dfs_end_of, b.dfs_end_of[amap])
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_incremental_appends_match_rebuild(seed):
+    """Place a stream of samples through BigPlacementEngine; the snapshot
+    must be maintained by O(delta) appends (ZERO from_tree rebuilds after
+    the first) and stay bit-identical to a from-scratch rebuild."""
+    from usher_tpu.core import bigmat as bm
+    from usher_tpu.placement.big_engine import BigPlacementEngine
+    from usher_tpu.placement.driver import PlacementEngine
+    from usher_tpu.placement.mapper import score_placement
+
+    rng = np.random.default_rng(seed)
+    T, ref = random_mat(rng, n_leaves=40, n_positions=25)
+    samples = [(f"S{i}", random_sample(rng, ref)) for i in range(12)]
+    T2 = T.copy()
+
+    eng = BigPlacementEngine(
+        T, extra_mutations=[m for _, s in samples for m in s])
+    dense = PlacementEngine(
+        T2, backend="dense",
+        extra_mutations=[m for _, s in samples for m in s])
+
+    builds = {"n": 0}
+    orig = bm.BigMAT.from_tree.__func__
+
+    def counting(cls, *a, **k):
+        builds["n"] += 1
+        return orig(cls, *a, **k)
+    bm.BigMAT.from_tree = classmethod(counting)
+    try:
+        for name, muts in samples:
+            muts.sort(key=lambda m: m.position)
+            rb = eng.score_samples([muts])[0]
+            rd = dense.score_samples([muts])[0]
+            assert rb.best_score == rd.best_score
+            assert rb.num_best == rd.num_best
+            assert rb.best_node.identifier == rd.best_node.identifier
+            db = score_placement(rb.best_node, muts)
+            dd = score_placement(rd.best_node, muts)
+            eng.apply_placement(name, rb, db.excess)
+            dense.apply_placement(name, rd, dd.excess)
+    finally:
+        bm.BigMAT.from_tree = classmethod(orig)
+    assert builds["n"] == 1, f"expected 1 initial build, got {builds['n']}"
+
+    # evolved trees identical
+    from usher_tpu.io.newick import write_newick
+    assert write_newick(T, print_internal=True, print_branch_len=True) == \
+        write_newick(T2, print_internal=True, print_branch_len=True)
+
+    # maintained arrays == from-scratch rebuild of the evolved tree
+    eng._big._flush()
+    fresh = bm.BigMAT.from_tree(T, eng.positions, eng.ref)
+    _assert_bigmat_equal(eng._big, fresh)

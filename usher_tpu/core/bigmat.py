@@ -61,6 +61,13 @@ class BigMAT:
         self.N = len(self.parent)
         self.P = len(self.positions)
         self.pos_index = {int(p): i for i, p in enumerate(self.positions)}
+        # incremental-append state (queue_* / _flush)
+        self._pending: list = []
+        self._appended = 0
+        self.csc_dead = None     # lazily allocated bool over csc rows
+        self._ov = None          # overlay mutations: (node, col, par, mut,
+        #                          dead) column-sorted numpy arrays
+        self._cols_stale = False  # legacy column path unusable after appends
         self._precompute(num_leaves, bfs_rank)
 
     # --- construction -------------------------------------------------------
@@ -160,6 +167,7 @@ class BigMAT:
                 F[idx] = f_delta[idx]
             else:
                 F[idx] = F[parent[idx]] + f_delta[idx]
+        self.F = F  # kept: incremental appends chain F[new] = F[parent] + ...
         self.base = (F + own_corr).astype(np.int32)
 
         # leaf / tie-break metadata
@@ -207,10 +215,20 @@ class BigMAT:
             starts = np.r_[True, seg[1:] != seg[:-1]]
             seg_idx = np.cumsum(starts) - 1
             pre_sib_o = excl - excl[starts][seg_idx]
+            pos_in_seg = np.arange(len(ch_order), dtype=np.int64)
+            pos_in_seg -= pos_in_seg[starts][seg_idx]
         else:
             pre_sib_o = excl
+            pos_in_seg = np.zeros(0, dtype=np.int64)
         pre_sib = np.zeros(N, dtype=np.int64)
         pre_sib[ch_order] = pre_sib_o
+        # child-order keys for incremental BFS-rank recomputation (position
+        # within the parent's children list; appended children get a
+        # monotone counter so relative order always matches the host tree)
+        self.child_key = np.zeros(N, dtype=np.int64)
+        self.child_key[ch_order] = pos_in_seg
+        self.child_count = np.bincount(parent[~root_mask],
+                                       minlength=N).astype(np.int64)
         dfs_of = np.zeros(N, dtype=np.int64)
         for li in range(1, self.max_depth):
             idx = order[bounds[li]:bounds[li + 1]]
@@ -272,6 +290,7 @@ class BigMAT:
         """SPR-mode scoring (E=1 everywhere, no missing): score_T/nc_T for a
         batch of subtree Fitch masks given as entry deviations from ref.
         Interval-engine path (ops/interval.py)."""
+        self._flush()
         B, K = pos.shape
         kmiss = np.zeros((B, K), dtype=bool)
         s, n = self._score_interval(pos, gval, kmiss, spr=True)
@@ -339,6 +358,27 @@ class BigMAT:
         ap = self.csc_par[flat].astype(np.int32)
         rootm = self.csc_root[flat]
         effm = self.csc_eff[flat]
+        if self.csc_dead is not None:
+            # mutations moved off a node by a sibling split are tombstoned;
+            # dead rows are simply absent from the tree
+            alive = ~self.csc_dead[flat]
+            pe, u, am, ap = pe[alive], u[alive], am[alive], ap[alive]
+            rootm, effm = rootm[alive], effm[alive]
+        if self._ov is not None:
+            # overlay mutations from incremental appends, column-sorted
+            ov_node, ov_col, ov_par, ov_mut = self._ov
+            lo2 = np.searchsorted(ov_col, cols)
+            hi2 = np.searchsorted(ov_col, cols, side="right")
+            c2 = (hi2 - lo2).astype(np.int64)
+            pe2 = np.repeat(np.arange(len(eb)), c2)
+            flat2 = np.repeat(lo2, c2) + _ranges(c2)
+            pe = np.concatenate([pe, pe2])
+            u = np.concatenate([u, ov_node[flat2]])
+            am = np.concatenate([am, ov_mut[flat2].astype(np.int32)])
+            ap = np.concatenate([ap, ov_par[flat2].astype(np.int32)])
+            rootm = np.concatenate([rootm, np.zeros(len(pe2), bool)])
+            effm = np.concatenate(
+                [effm, ov_mut[flat2] != ov_par[flat2]])
         gv_p = gv[pe]
         km_p = km[pe]
         rk_p = rk[pe]
@@ -371,9 +411,12 @@ class BigMAT:
 
         r = self.dfs_of[u].astype(np.int32)
         rend = self.dfs_end_of[u].astype(np.int32)
-        ev_idx = np.concatenate([r, rend, r, r + 1])
-        ev_b = np.concatenate([b_p, b_p, b_p, b_p])
-        ev_val = np.concatenate([d_range, -d_range, d_point, -d_point])
+        # the range-start and the width-1 point share row r: combine, so a
+        # pair costs at most 3 events (H2D volume is the scarce resource on
+        # a tunneled link)
+        ev_idx = np.concatenate([r, rend, r + 1])
+        ev_b = np.concatenate([b_p, b_p, b_p])
+        ev_val = np.concatenate([d_range + d_point, -d_range, -d_point])
         keep = ev_val != 0
         ev_idx, ev_b, ev_val = ev_idx[keep], ev_b[keep], ev_val[keep]
         nkeep = d_nc != 0
@@ -381,7 +424,10 @@ class BigMAT:
         return ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val, add0
 
     def _dfs_meta(self, spr: bool):
-        """Per-epoch DFS-ordered metadata, padded to n_pad (cached)."""
+        """Per-epoch DFS-ordered metadata, padded to n_pad and RESIDENT ON
+        DEVICE (uploaded once per epoch, not per batch — the arrays are
+        ~tens of MB at pandemic scale and the host<->device link may be a
+        high-latency tunnel)."""
         key = "_dfs_meta_spr" if spr else "_dfs_meta_plc"
         cached = getattr(self, key, None)
         if cached is not None:
@@ -392,7 +438,7 @@ class BigMAT:
         def padded(a, fill=0, dtype=None):
             out = np.full(n_pad, fill, dtype=dtype or a.dtype)
             out[:N] = a[o]
-            return out
+            return jnp.asarray(out)
 
         base = self.base_spr if spr else self.base
         meta = {
@@ -455,6 +501,277 @@ class BigMAT:
                 raise ValueError("parent pointers contain a cycle")
         return level
 
+    # --- incremental placement appends --------------------------------------
+    #
+    # Placement surgery never changes an existing node's PATH STATE, so the
+    # snapshot arrays can be maintained exactly under appends: new slots at
+    # the end, vectorized DFS-row shifts, O(|mutations|) aggregate patches
+    # via the F-prefix chain, and an overlay CSC for new/moved mutations.
+    # This replaces the per-epoch from_tree Python rebuild (the reference's
+    # followers patch their replicas the same way instead of re-receiving
+    # the tree, place_sample_follower.cpp:95-249).  Queued by the engine,
+    # flushed lazily at the next scoring call.
+
+    def queue_child_insert(self, u_slot: int, s_muts, node=None) -> int:
+        """Append a sample leaf under internal node u_slot.  s_muts is a
+        list of (col, par_nibble, mut_nibble).  Returns the new slot."""
+        slot = self.N + sum(1 if p[0] == "child" else 2
+                            for p in self._pending)
+        self._pending.append(("child", u_slot, s_muts, node))
+        return slot
+
+    def queue_sibling_split(self, u_slot: int, common, l2,
+                            x_node=None, s_node=None) -> tuple[int, int]:
+        """Split the branch above u_slot: new internal X takes `common`
+        (removed from u's list), the new sample leaf under X takes `l2`.
+        Returns (x_slot, s_slot)."""
+        base = self.N + sum(1 if p[0] == "child" else 2
+                            for p in self._pending)
+        self._pending.append(("split", u_slot, common, l2, x_node, s_node))
+        return base, base + 1
+
+    def _mut_terms(self, cols, par, mut):
+        """Per-mutation aggregate contributions (same formulas as
+        _precompute): (f_delta, own_corr, nc, eff) int64 arrays."""
+        cols = np.asarray(cols, dtype=np.int64)
+        pi = np.asarray(par, dtype=np.int32)
+        mi = np.asarray(mut, dtype=np.int32)
+        refm = self.ref[cols].astype(np.int32)
+        eff = mi != pi
+        matched = (refm & mi) != 0
+        f_delta = np.where(eff, (mi != refm).astype(np.int64)
+                           - (pi != refm).astype(np.int64), 0)
+        own_corr = np.where(eff & ~matched,
+                            (pi != refm).astype(np.int64)
+                            - (mi != refm).astype(np.int64), 0)
+        nc = (eff & matched).astype(np.int64)
+        return f_delta, own_corr, nc, eff.astype(np.int64)
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        pend = self._pending
+        self._pending = []
+        n_new = sum(1 if p[0] == "child" else 2 for p in pend)
+        N0 = self.N
+        N = N0 + n_new
+        self._appended += n_new
+        self._cols_stale = True
+
+        def grow(a, fill, dtype=None):
+            out = np.full(N, fill, dtype=dtype or a.dtype)
+            out[:N0] = a
+            return out
+
+        BIGROW = np.int32(1 << 30)
+        self.parent = grow(self.parent, 0)
+        self.level = grow(self.level, 0)
+        self.is_leaf = grow(self.is_leaf, True)
+        self.active = grow(self.active, True)
+        self.num_leaves = grow(self.num_leaves, 1)
+        self.base = grow(self.base, 0)
+        self.nc_base = grow(self.nc_base, 0)
+        self.node_num_mut = grow(self.node_num_mut, 0)
+        self.F = grow(self.F, 0)
+        self.child_key = grow(self.child_key, 0)
+        self.child_count = grow(self.child_count, 0)
+        self.dfs_of = grow(self.dfs_of, BIGROW)
+        self.dfs_end_of = grow(self.dfs_end_of, BIGROW)
+        self.is_root_mask = grow(self.is_root_mask, False)
+        nodes = getattr(self, "_nodes", None)
+
+        ov_new: list[tuple] = []   # (node, col, par, mut)
+        slot = N0
+        for p in pend:
+            if p[0] == "child":
+                _, u, s_muts, s_node = p
+                s = slot
+                slot += 1
+                r_s = int(self.dfs_end_of[u])
+                anc_mask = (self.dfs_end_of == r_s) & \
+                    (self.dfs_of <= self.dfs_of[u])
+                self.dfs_of += self.dfs_of >= r_s
+                self.dfs_end_of += (self.dfs_end_of > r_s) | anc_mask
+                self.dfs_of[s] = r_s
+                self.dfs_end_of[s] = r_s + 1
+                self.parent[s] = u
+                self.level[s] = self.level[u] + 1
+                self.child_key[s] = self.child_count[u]
+                self.child_count[u] += 1
+                self._leaf_count_walk(u)
+                self._init_new_node(s, u, s_muts, ov_new)
+                if nodes is not None:
+                    nodes.append(s_node)
+            else:
+                _, u, common, l2, x_node, s_node = p
+                x, s = slot, slot + 1
+                slot += 2
+                pold = int(self.parent[u])
+                lo, hi = int(self.dfs_of[u]), int(self.dfs_end_of[u])
+                # host surgery appends X at the END of p's children (and
+                # moves u under X), so canonically u's subtree rotates past
+                # its later siblings to the end of p's interval
+                p_end = int(self.dfs_end_of[pold])
+                if hi < p_end:
+                    w = hi - lo
+                    later_of = (self.dfs_of >= hi) & (self.dfs_of < p_end)
+                    later_end = (self.dfs_end_of > hi) & \
+                        (self.dfs_end_of <= p_end) & ~(self.dfs_of < hi)
+                    sub_of = (self.dfs_of >= lo) & (self.dfs_of < hi)
+                    sub_end = (self.dfs_end_of > lo) & (self.dfs_end_of <= hi)
+                    self.dfs_of[later_of] -= w
+                    self.dfs_end_of[later_end] -= w
+                    self.dfs_of[sub_of] += p_end - hi
+                    self.dfs_end_of[sub_end] += p_end - hi
+                    lo, hi = lo + (p_end - hi), p_end
+                # u's subtree deepens under X
+                sub = (self.dfs_of >= lo) & (self.dfs_of < hi)
+                self.level[sub] += 1
+                # insert X's row immediately before u
+                self.dfs_of += self.dfs_of >= lo
+                self.dfs_end_of += self.dfs_end_of > lo
+                self.dfs_of[x] = lo
+                self.dfs_end_of[x] = int(self.dfs_end_of[u])
+                self.parent[x] = pold
+                self.parent[u] = x
+                self.level[x] = self.level[u] - 1
+                self.child_key[x] = self.child_count[pold]
+                self.child_count[pold] += 1
+                # s inserted inside X, BEFORE u's subtree (host surgery
+                # makes X.children == [s, u], and from_tree's DFS follows
+                # children-list order — keep the numberings identical)
+                r_s = int(self.dfs_of[u])
+                self.dfs_of += self.dfs_of >= r_s
+                self.dfs_end_of += self.dfs_end_of > r_s
+                self.dfs_of[s] = r_s
+                self.dfs_end_of[s] = r_s + 1
+                self.parent[s] = x
+                self.level[s] = self.level[x] + 1
+                # host surgery creates X, then s under X, then moves u:
+                # X.children == [s, u]
+                self.child_key[s] = 0
+                self.child_key[u] = 1
+                self.child_count[x] = 2
+                self.is_leaf[x] = False
+                self.num_leaves[x] = self.num_leaves[u] + 1
+                self._leaf_count_walk(pold)
+                # u loses `common`: patch aggregates + tombstone CSC rows
+                if common:
+                    cc = np.array([c for c, _, _ in common], np.int64)
+                    cp = np.array([pn for _, pn, _ in common], np.int32)
+                    cm = np.array([mn for _, _, mn in common], np.int32)
+                    _, oc, nc, eff = self._mut_terms(cc, cp, cm)
+                    self.base[u] -= int(oc.sum())
+                    self.nc_base[u] -= int(nc.sum())
+                    self.node_num_mut[u] -= int(eff.sum())
+                    self._kill_muts(u, cc)
+                self._init_new_node(x, pold, common, ov_new)
+                self._init_new_node(s, x, l2, ov_new)
+                if nodes is not None:
+                    nodes.append(x_node)
+                    nodes.append(s_node)
+
+        self.N = N
+        self.max_depth = int(self.level.max()) + 1
+        dfs_order = np.empty(N, dtype=np.int32)
+        dfs_order[self.dfs_of] = np.arange(N, dtype=np.int32)
+        self.dfs_order = dfs_order
+        if ov_new:
+            node_a = np.array([t[0] for t in ov_new], np.int32)
+            col_a = np.array([t[1] for t in ov_new], np.int32)
+            par_a = np.array([t[2] for t in ov_new], np.uint8)
+            mut_a = np.array([t[3] for t in ov_new], np.uint8)
+            if self._ov is not None:
+                node_a = np.concatenate([self._ov[0], node_a])
+                col_a = np.concatenate([self._ov[1], col_a])
+                par_a = np.concatenate([self._ov[2], par_a])
+                mut_a = np.concatenate([self._ov[3], mut_a])
+            o = np.argsort(col_a, kind="stable")
+            self._ov = (node_a[o], col_a[o], par_a[o], mut_a[o])
+        self._recompute_ranks()
+        self._base_spr = None
+        for k in ("_dfs_meta_spr", "_dfs_meta_plc"):
+            if hasattr(self, k):
+                delattr(self, k)
+
+    def _init_new_node(self, slot, parent_slot, muts, ov_new) -> None:
+        """Aggregates for a new node from the F-prefix chain + its own
+        mutation triplets; mutations go to the overlay."""
+        if muts:
+            cc = np.array([c for c, _, _ in muts], np.int64)
+            cp = np.array([pn for _, pn, _ in muts], np.int32)
+            cm = np.array([mn for _, _, mn in muts], np.int32)
+            fd, oc, nc, eff = self._mut_terms(cc, cp, cm)
+            self.F[slot] = self.F[parent_slot] + int(fd.sum())
+            self.base[slot] = self.F[slot] + int(oc.sum())
+            self.nc_base[slot] = int(nc.sum())
+            self.node_num_mut[slot] = int(eff.sum())
+            for (c, pn, mn) in muts:
+                ov_new.append((slot, c, pn, mn))
+        else:
+            self.F[slot] = self.F[parent_slot]
+            self.base[slot] = self.F[slot]
+            self.nc_base[slot] = 0
+            self.node_num_mut[slot] = 0
+
+    def _leaf_count_walk(self, start_slot) -> None:
+        """+1 leaf on start_slot and every ancestor (a placement adds
+        exactly one leaf to each containing subtree)."""
+        s = int(start_slot)
+        while True:
+            self.num_leaves[s] += 1
+            p = int(self.parent[s])
+            if p == s:
+                break
+            s = p
+
+    def _kill_muts(self, u_slot, cols) -> None:
+        """Tombstone u's base-CSC (or overlay) mutations at `cols`."""
+        for c in np.asarray(cols, dtype=np.int64):
+            lo, hi = int(self.csc_ptr[c]), int(self.csc_ptr[c + 1])
+            seg = self.csc_node[lo:hi]
+            hit = np.nonzero(seg == u_slot)[0]
+            if len(hit):
+                if self.csc_dead is None:
+                    self.csc_dead = np.zeros(len(self.csc_node), bool)
+                self.csc_dead[lo + hit] = True
+                continue
+            if self._ov is not None:
+                lo2 = np.searchsorted(self._ov[1], c)
+                hi2 = np.searchsorted(self._ov[1], c, side="right")
+                hit2 = np.nonzero(self._ov[0][lo2:hi2] == u_slot)[0]
+                if len(hit2):
+                    keep = np.ones(len(self._ov[0]), bool)
+                    keep[lo2 + hit2] = False
+                    self._ov = tuple(a[keep] for a in self._ov)
+                    continue
+            raise AssertionError(
+                f"mutation to remove not found: node {u_slot} col {int(c)}")
+
+    def _recompute_ranks(self) -> None:
+        """Exact BFS ranks from (level, parent rank, child key) — a
+        vectorized level sweep reproducing the host tree's
+        breadth_first_expansion order."""
+        N = self.N
+        level = self.level
+        order = np.argsort(level, kind="stable")
+        bounds = np.searchsorted(level[order],
+                                 np.arange(int(level.max()) + 2))
+        rank = np.zeros(N, dtype=np.int64)
+        start = 0
+        for li in range(len(bounds) - 1):
+            idx = order[bounds[li]:bounds[li + 1]]
+            if len(idx) == 0:
+                continue
+            if li == 0:
+                rank[idx] = np.arange(len(idx))
+            else:
+                o2 = np.lexsort((self.child_key[idx],
+                                 rank[self.parent[idx]]))
+                rank[idx[o2]] = start + np.arange(len(idx))
+            start += len(idx)
+        self.bfs_rank = rank.astype(np.int32)
+
     # --- sample encoding ----------------------------------------------------
 
     def sparsify(self, samples_mutations, k_slots=None):
@@ -472,6 +789,7 @@ class BigMAT:
         pos is in GLOBAL position-index space (>= P marks padding).
         Interval-engine path: one scatter + one [N, B] segmented cumsum on
         device, no per-column state materialization (ops/interval.py)."""
+        self._flush()
         s, n = self._score_interval(pos, gval, kmiss, spr=False)
         return s, n, self.node_num_mut
 
@@ -500,6 +818,11 @@ class BigMAT:
         return score_T, nc_T, self.node_num_mut
 
     def _score_chunk(self, pos, gval, kmiss, cols, spr: bool = False):
+        if self._cols_stale:
+            raise RuntimeError(
+                "legacy column path is unavailable after incremental "
+                "appends (ancestor tables are stale); use the interval "
+                "engine or rebuild via from_tree")
         C = len(cols)
         # bucket the column axis to 512-multiples so chunk-to-chunk shape
         # drift doesn't retrigger compilation
@@ -541,6 +864,7 @@ class BigMAT:
     def place_arrays(self, pos, gval, kmiss):
         """Device-reduced placement of pre-sparsified samples: returns
         (best_score [B], best_slot [B], num_best [B], hu_best [B])."""
+        self._flush()
         from ..ops import interval as iv
         B = pos.shape[0]
         *ev, add0 = self._events(pos, gval, kmiss, spr=False)

@@ -5,12 +5,13 @@ reference's target scale (>2M leaves x ~30k sites ~ 150 GB).  This engine
 keeps the tree as CSR mutation lists (core/bigmat.py, O(N+M) ~ tens of MB)
 and materializes path states on device only at a batch's entry columns.
 
-Epoch discipline: tree surgery marks the engine dirty; the next scoring
-call rebuilds the BigMAT snapshot (O(N+M), seconds at millions of nodes).
-The batch placer (placement/sampled.py) scores whole batches against one
-snapshot and re-scores only stale samples, so rebuild cost amortizes over
-the batch — the same staleness tolerance as the reference's MPI leader
-(place_sample.cpp:450-584).
+Epoch discipline: tree surgery queues O(delta) incremental appends into
+the CSR snapshot (core/bigmat.py queue_child_insert/queue_sibling_split),
+flushed lazily at the next scoring call — the same replica-patching
+discipline as the reference's MPI followers
+(place_sample_follower.cpp:95-249).  A full from_tree rebuild happens only
+at construction, on compaction (appends > snapshot/4), or when a sample
+mutates a position outside the snapshot's column set.
 """
 
 from __future__ import annotations
@@ -70,12 +71,22 @@ class BigPlacementEngine:
         self.chrom = chrom
         self.flat = _FlatShim(self)
         self._big = None
+        self._slot_of: dict = {}
         self._dirty = True
 
     def _ensure(self):
+        big = self._big
+        if (big is not None and not self._dirty
+                and big._appended + len(big._pending)
+                > max(4096, (big.N - big._appended) // 4)):
+            # compaction: the incremental overlay has grown past a quarter
+            # of the snapshot; fold it into a fresh CSR build
+            self._dirty = True
         if self._dirty or self._big is None:
             from ..core.bigmat import BigMAT
             self._big = BigMAT.from_tree(self.T, self.positions, self.ref)
+            self._slot_of = {id(n): i
+                             for i, n in enumerate(self._big._nodes)}
             self._dirty = False
         return self._big
 
@@ -122,19 +133,41 @@ class BigPlacementEngine:
                 tied_has_unique=[bool(hu_row[s]) for s in tied_slots],
             )
             if want_matrix:
-                # slots ARE BFS order in BigMAT.from_tree
-                res.scores_bfs = s_row
-                res.valid_bfs = v_row
+                # slot -> BFS order (identity right after from_tree;
+                # incremental appends interleave, so reorder by rank)
+                order = np.argsort(bfs_rank, kind="stable")
+                res.scores_bfs = s_row[order]
+                res.valid_bfs = v_row[order]
             results.append(res)
         return results
+
+    def _triplets(self, muts):
+        """Mutation list -> [(col, par_nibble, mut_nibble)] in BigMAT
+        column space (masked positions dropped, mirroring from_tree's
+        filter).  Returns None when a position is outside the snapshot's
+        column set (caller falls back to a full rebuild)."""
+        out = []
+        for m in muts:
+            if m.position < 0:
+                continue
+            c = self._big.pos_index.get(m.position)
+            if c is None:
+                return None
+            out.append((c, int(m.par_nuc), int(m.mut_nuc)))
+        return out
 
     def apply_placement(self, sample_name: str, res: SampleResult,
                         excess: list[Mutation]) -> None:
         """Identical surgery semantics to PlacementEngine.apply_placement
-        (reference usher_common.cpp:652-765); the CSR snapshot rebuilds
-        lazily on the next scoring call."""
+        (reference usher_common.cpp:652-765).  The host tree is patched
+        first, then the CSR snapshot mirrors the result via O(delta)
+        incremental appends (core/bigmat.py queue_*) — no per-batch
+        from_tree rebuild."""
         T = self.T
         best_node = res.best_node
+        big = self._big if not self._dirty else None
+        u_slot = (self._slot_of.get(id(best_node))
+                  if big is not None else None)
         if best_node.is_leaf() or res.best_has_unique:
             nid = T.new_internal_node_id()
             new_internal = T.create_node(nid, best_node.parent)
@@ -159,6 +192,18 @@ class BigPlacementEngine:
                 best_node.add_mutation(m)
             for m in l2:
                 sample_node.add_mutation(m)
+            tc = (self._triplets(new_internal.mutations)
+                  if u_slot is not None else None)
+            tl2 = (self._triplets(sample_node.mutations)
+                   if u_slot is not None else None)
+            if u_slot is not None and tc is not None and tl2 is not None:
+                x_slot, s_slot = big.queue_sibling_split(
+                    u_slot, tc, tl2,
+                    x_node=new_internal, s_node=sample_node)
+                self._slot_of[id(new_internal)] = x_slot
+                self._slot_of[id(sample_node)] = s_slot
+            else:
+                self._dirty = True
         else:
             sample_node = T.create_node(sample_name, best_node.identifier)
             curr_l1 = best_node.mutations
@@ -166,4 +211,11 @@ class BigPlacementEngine:
                 if not any((not m1.is_masked()) and m1.position == m2.position
                            and m1.mut_nuc == m2.mut_nuc for m2 in curr_l1):
                     sample_node.add_mutation(m1.copy())
-        self._dirty = True
+            ts = (self._triplets(sample_node.mutations)
+                  if u_slot is not None else None)
+            if u_slot is not None and ts is not None:
+                s_slot = big.queue_child_insert(u_slot, ts,
+                                                node=sample_node)
+                self._slot_of[id(sample_node)] = s_slot
+            else:
+                self._dirty = True
