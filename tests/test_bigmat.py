@@ -320,3 +320,42 @@ def test_incremental_appends_match_rebuild(seed):
     eng._big._flush()
     fresh = bm.BigMAT.from_tree(T, eng.positions, eng.ref)
     _assert_bigmat_equal(eng._big, fresh)
+
+
+def test_place_arrays_dev_expansion_with_overlay():
+    """place_arrays (device-side CSC expansion + overlay events) must match
+    the host-expansion scoring path after incremental appends."""
+    from usher_tpu.core.bigmat import BigMAT
+    from usher_tpu.placement.big_engine import BigPlacementEngine
+    from usher_tpu.placement.mapper import score_placement
+
+    rng = np.random.default_rng(77)
+    T, ref = random_mat(rng, n_leaves=35, n_positions=22)
+    samples = [(f"S{i}", random_sample(rng, ref)) for i in range(8)]
+    eng = BigPlacementEngine(
+        T, extra_mutations=[m for _, s in samples for m in s])
+    for name, muts in samples[:5]:
+        muts.sort(key=lambda m: m.position)
+        r = eng.score_samples([muts])[0]
+        d = score_placement(r.best_node, muts)
+        eng.apply_placement(name, r, d.excess)
+    big = eng._ensure()
+    assert big._ov is not None or big._appended  # overlay exercised
+
+    probe = [s for _, s in samples[5:]]
+    for muts in probe:
+        muts.sort(key=lambda m: m.position)
+    pos, gval, kmiss = big.sparsify(probe)
+    # host path reference
+    sT, ncT, nnm = big.score_batch_T(pos, gval, kmiss)
+    from usher_tpu.ops.placement import placement_outputs
+    valid, _ = placement_outputs(sT.T, ncT.T, nnm, big.is_root_mask,
+                                 big.is_leaf, big.active)
+    valid = np.asarray(valid)
+    vs = np.where(valid, sT.T, 1 << 30)
+    exp_best = vs.min(axis=1)
+    exp_nb = (valid & (sT.T == exp_best[:, None])).sum(axis=1)
+
+    bs, slot, nb, hu = big.place_arrays(pos, gval, kmiss)
+    np.testing.assert_array_equal(bs, exp_best)
+    np.testing.assert_array_equal(nb, exp_nb)

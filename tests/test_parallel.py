@@ -153,3 +153,106 @@ def test_optimize_mesh_identical(tmp_path):
     assert T1.get_parsimony_score() == T8.get_parsimony_score()
     assert write_newick(T1, print_internal=True, print_branch_len=True) == \
         write_newick(T8, print_internal=True, print_branch_len=True)
+
+
+def test_bigmat_mesh_identical():
+    """BigMAT interval scoring + placement + SPR search sharded over the
+    8-device batch mesh must equal single-device bit-for-bit (mesh x
+    pandemic-scale composition)."""
+    import numpy as np
+    from jax.sharding import Mesh
+    import jax
+    from usher_tpu.core.bigmat import BigMAT
+    from test_placement import random_mat, random_sample
+
+    rng = np.random.default_rng(5)
+    T, ref = random_mat(rng, n_leaves=120, n_positions=30)
+    positions = np.array(sorted(ref), dtype=np.int64)
+    refarr = np.array([ref[p] for p in positions.tolist()], dtype=np.uint8)
+    samples = [random_sample(rng, ref) for _ in range(19)]
+
+    big1 = BigMAT.from_tree(T, positions, refarr)
+    bigM = BigMAT.from_tree(T, positions, refarr)
+    bigM.mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+
+    pos, gval, kmiss = big1.sparsify(samples)
+    s1, n1, _ = big1.score_batch_T(pos, gval, kmiss)
+    sM, nM, _ = bigM.score_batch_T(pos, gval, kmiss)
+    np.testing.assert_array_equal(s1, sM)
+    np.testing.assert_array_equal(n1, nM)
+
+    b1 = big1.place_batch(samples)
+    bM = bigM.place_batch(samples)
+    for a, b in zip(b1, bM):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_big_move_finder_mesh_identical():
+    """BigMoveFinder with the 8-device mesh must produce the same move list
+    as single-device (replacing the reference's MPI SPR distribution,
+    optimize_tree.cpp:165-252)."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.core.flat import collect_positions
+    from usher_tpu.optimize.fitch import FitchEngine
+    from usher_tpu.optimize.leafstore import SparseLeafStore
+    from usher_tpu.optimize.spr_big import BigMoveFinder
+
+    rng = np.random.default_rng(3)
+    bases = [1, 2, 4, 8]
+    T = Tree(); T.create_node("root"); nodes = ["root"]
+    for i in range(60):
+        parent = nodes[int(rng.integers(len(nodes)))]
+        nd = T.create_node(f"n{i}", parent)
+        for _ in range(int(rng.integers(1, 4))):
+            p = int(rng.integers(100, 150))
+            nd.add_mutation(Mutation("c", p, 1, 1,
+                                     bases[int(rng.integers(1, 4))]))
+        nodes.append(f"n{i}")
+    positions, ref, chrom = collect_positions(T)
+    eng = FitchEngine(T, positions, chunk=16)
+    store, ref_row = SparseLeafStore.from_tree(T, positions)
+    states, masks = eng.run(store, ref_row)
+    eng.rewrite_mutations(states, store, ref_row, chrom)
+    eng2 = FitchEngine(T, positions, chunk=16)
+    states, masks = eng2.run(store, ref_row)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("batch",))
+    f1 = BigMoveFinder(T, states, masks, ref_row, eng2.bfs, eng2.parent,
+                       chunk=16, positions=positions)
+    fM = BigMoveFinder(T, states, masks, ref_row, eng2.bfs, eng2.parent,
+                       chunk=16, positions=positions, mesh=mesh)
+    for radius in (2, 4, 1000):
+        m1 = f1.find_moves(radius)
+        m2 = fM.find_moves(radius)
+        sig = lambda ms: [(m.src.identifier, m.dst.identifier,  # noqa: E731
+                           m.improvement, m.sibling_split) for m in ms]
+        assert sig(m1) == sig(m2), radius
+
+
+def test_mesh_sparse_scorer_matches_dense():
+    """The sharded sparse (Pallas) mesh scorer must equal the sharded dense
+    scorer (multi-chip keeps the sparse kernel advantage)."""
+    import numpy as np
+    from usher_tpu.core.tree import Tree
+    from usher_tpu.parallel.mesh import make_mesh
+    from usher_tpu.placement.driver import PlacementEngine
+    from test_placement import random_mat, random_sample
+
+    rng = np.random.default_rng(11)
+    T, ref = random_mat(rng, n_leaves=60, n_positions=24)
+    T2 = T.copy()
+    samples = [random_sample(rng, ref) for _ in range(9)]
+    mesh = make_mesh(8)
+    eng_d = PlacementEngine(T, mesh=mesh, backend="dense",
+                            extra_mutations=[m for s in samples for m in s])
+    eng_s = PlacementEngine(T2, mesh=mesh, backend="sparse",
+                            extra_mutations=[m for s in samples for m in s])
+    r_d = eng_d.score_samples(samples)
+    r_s = eng_s.score_samples(samples)
+    for a, b in zip(r_d, r_s):
+        assert a.best_score == b.best_score
+        assert a.num_best == b.num_best
+        assert a.best_node.identifier == b.best_node.identifier

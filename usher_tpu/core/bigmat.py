@@ -68,6 +68,9 @@ class BigMAT:
         self._ov = None          # overlay mutations: (node, col, par, mut,
         #                          dead) column-sorted numpy arrays
         self._cols_stale = False  # legacy column path unusable after appends
+        self.mesh = None         # optional 1-D jax Mesh: shard the sample /
+        #                          source batch axis, replicate the CSR meta
+        #                          (ops/interval.py shard_map composition)
         self._precompute(num_leaves, bfs_rank)
 
     # --- construction -------------------------------------------------------
@@ -327,7 +330,7 @@ class BigMAT:
         across epochs; padding rows are masked inactive)."""
         return max(256, -(-self.N // 2048) * 2048)
 
-    def _events(self, pos, gval, kmiss, spr: bool):
+    def _events(self, pos, gval, kmiss, spr: bool, skip_base=False):
         """Difference-array events for a batch (host, fully vectorized).
 
         For every (sample entry, column mutation) pair, emits the DFS-range
@@ -348,17 +351,24 @@ class BigMAT:
         add0 = np.bincount(eb, weights=add0_src,
                            minlength=B).astype(np.int32)
 
-        lo = self.csc_ptr[cols]
-        hi = self.csc_ptr[cols + 1]
-        counts = (hi - lo).astype(np.int64)
-        pe = np.repeat(np.arange(len(eb)), counts)
-        flat = np.repeat(lo, counts) + _ranges(counts)
-        u = self.csc_node[flat]
-        am = self.csc_mut[flat].astype(np.int32)
-        ap = self.csc_par[flat].astype(np.int32)
-        rootm = self.csc_root[flat]
-        effm = self.csc_eff[flat]
-        if self.csc_dead is not None:
+        if skip_base:
+            # overlay-only expansion (base CSC handled on device)
+            z = np.zeros(0, np.int64)
+            pe, u = z, z.astype(np.int32)
+            am = ap = np.zeros(0, np.int32)
+            rootm = effm = np.zeros(0, bool)
+        else:
+            lo = self.csc_ptr[cols]
+            hi = self.csc_ptr[cols + 1]
+            counts = (hi - lo).astype(np.int64)
+            pe = np.repeat(np.arange(len(eb)), counts)
+            flat = np.repeat(lo, counts) + _ranges(counts)
+            u = self.csc_node[flat]
+            am = self.csc_mut[flat].astype(np.int32)
+            ap = self.csc_par[flat].astype(np.int32)
+            rootm = self.csc_root[flat]
+            effm = self.csc_eff[flat]
+        if not skip_base and self.csc_dead is not None:
             # mutations moved off a node by a sibling split are tombstoned;
             # dead rows are simply absent from the tree
             alive = ~self.csc_dead[flat]
@@ -423,6 +433,30 @@ class BigMAT:
         nc_idx, nc_b, nc_val = r[nkeep], b_p[nkeep], d_nc[nkeep]
         return ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val, add0
 
+    def _csc_dev(self):
+        """Device-resident CSC index for IN-KERNEL event expansion
+        (ops/interval.interval_place_dev): uploaded once per epoch so the
+        per-batch H2D shrinks to the [B, K] entry arrays.  Dead bits are
+        folded into csc_meta (re-uploaded on flush)."""
+        cached = getattr(self, "_csc_dev_cache", None)
+        if cached is not None:
+            return cached
+        eff = self.csc_mut != self.csc_par
+        meta32 = (self.csc_mut.astype(np.int32)
+                  | (self.csc_par.astype(np.int32) << 4)
+                  | (self.csc_root.astype(np.int32) << 8)
+                  | (eff.astype(np.int32) << 9))
+        if self.csc_dead is not None:
+            meta32 = meta32 | (self.csc_dead.astype(np.int32) << 10)
+        cache = (jnp.asarray(self.csc_ptr.astype(np.int32)),
+                 jnp.asarray(self.csc_node),
+                 jnp.asarray(meta32),
+                 jnp.asarray(self.dfs_of),
+                 jnp.asarray(self.dfs_end_of),
+                 jnp.asarray(self.ref))
+        self._csc_dev_cache = cache
+        return cache
+
     def _dfs_meta(self, spr: bool):
         """Per-epoch DFS-ordered metadata, padded to n_pad and RESIDENT ON
         DEVICE (uploaded once per epoch, not per batch — the arrays are
@@ -435,10 +469,18 @@ class BigMAT:
         n_pad, N = self.n_pad, self.N
         o = self.dfs_order
 
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            dev = lambda a: jax.device_put(a, rep)  # noqa: E731
+        else:
+            dev = jnp.asarray
+
         def padded(a, fill=0, dtype=None):
             out = np.full(n_pad, fill, dtype=dtype or a.dtype)
             out[:N] = a[o]
-            return jnp.asarray(out)
+            return dev(out)
 
         base = self.base_spr if spr else self.base
         meta = {
@@ -456,12 +498,18 @@ class BigMAT:
         return meta
 
     def _batch_shapes(self, B, ev, nc):
-        b_pad = 8
+        nd = self.mesh.size if self.mesh is not None else 1
+        b_pad = max(8, nd)
         while b_pad < B:
             b_pad *= 2
-        from ..ops.interval import pad_events
-        evp = pad_events(*ev, self.n_pad)
-        ncp = pad_events(*nc, self.n_pad)
+        from ..ops import interval as iv
+        if self.mesh is not None:
+            bl = b_pad // nd
+            evp = iv.shard_events(ev, nd, bl, self.n_pad)
+            ncp = iv.shard_events(nc, nd, bl, self.n_pad)
+        else:
+            evp = iv.pad_events(*ev, self.n_pad)
+            ncp = iv.pad_events(*nc, self.n_pad)
         return b_pad, evp, ncp
 
     def _score_interval(self, pos, gval, kmiss, spr: bool):
@@ -473,10 +521,19 @@ class BigMAT:
         meta = self._dfs_meta(spr)
         add0p = np.zeros(b_pad, np.int32)
         add0p[:B] = add0
-        score_dfs, nc_dfs = (np.asarray(x) for x in iv.interval_scores(
-            *(jnp.asarray(a) for a in evp), *(jnp.asarray(a) for a in ncp),
-            jnp.asarray(meta["base"]), jnp.asarray(meta["nc_base"]),
-            jnp.asarray(add0p), self.n_pad, b_pad))
+        if self.mesh is not None:
+            fn = iv._scores_sharded_fn(self.mesh, self.mesh.axis_names[0],
+                                       self.n_pad, b_pad // self.mesh.size)
+            score_dfs, nc_dfs = (np.asarray(x) for x in fn(
+                *(jnp.asarray(a) for a in evp),
+                *(jnp.asarray(a) for a in ncp),
+                meta["base"], meta["nc_base"], jnp.asarray(add0p)))
+        else:
+            score_dfs, nc_dfs = (np.asarray(x) for x in iv.interval_scores(
+                *(jnp.asarray(a) for a in evp),
+                *(jnp.asarray(a) for a in ncp),
+                meta["base"], meta["nc_base"],
+                jnp.asarray(add0p), self.n_pad, b_pad))
         N = self.N
         score_T = np.empty((N, B), dtype=np.int32)
         nc_T = np.empty((N, B), dtype=np.int32)
@@ -690,7 +747,7 @@ class BigMAT:
             self._ov = (node_a[o], col_a[o], par_a[o], mut_a[o])
         self._recompute_ranks()
         self._base_spr = None
-        for k in ("_dfs_meta_spr", "_dfs_meta_plc"):
+        for k in ("_dfs_meta_spr", "_dfs_meta_plc", "_csc_dev_cache"):
             if hasattr(self, k):
                 delattr(self, k)
 
@@ -867,18 +924,73 @@ class BigMAT:
         self._flush()
         from ..ops import interval as iv
         B = pos.shape[0]
+        meta = self._dfs_meta(spr=False)
+        margs = (meta["num_mut"], meta["is_leaf"], meta["is_root"],
+                 meta["active"], meta["num_leaves"], meta["bfs_rank"])
+        if self.mesh is None:
+            # device-expansion fast path: the CSC index is resident on the
+            # device, so per-batch H2D is just the [B, K] entry arrays
+            e = pos < self.P
+            cnts = self.csc_ptr[pos[e] + 1] - self.csc_ptr[pos[e]]
+            mc = 32
+            mx = int(cnts.max()) if cnts.size else 0
+            while mc < mx:
+                mc = mc * 3 // 2
+            if mc <= 8192:
+                b_pad = 8
+                while b_pad < B:
+                    b_pad *= 2
+                if b_pad != B:
+                    padn = b_pad - B
+                    pos = np.concatenate(
+                        [pos, np.full((padn, pos.shape[1]), self.P,
+                                      pos.dtype)], 0)
+                    gval = np.concatenate(
+                        [gval, np.zeros((padn, gval.shape[1]),
+                                        gval.dtype)], 0)
+                    kmiss = np.concatenate(
+                        [kmiss, np.zeros((padn, kmiss.shape[1]), bool)], 0)
+                if self._ov is not None:
+                    *oev, _ = self._events(pos, gval, kmiss, spr=False,
+                                           skip_base=True)
+                else:
+                    z = (np.zeros(0, np.int32),) * 3
+                    oev = [*z, *z]
+                ovp = iv.pad_events(*oev[:3], self.n_pad, bucket=256)
+                ovn = iv.pad_events(*oev[3:6], self.n_pad, bucket=256)
+                csc = self._csc_dev()
+                best, best_row, num_best, hu = (
+                    np.asarray(x) for x in iv.interval_place_dev(
+                        *csc, jnp.asarray(pos.astype(np.int32)),
+                        jnp.asarray(gval), jnp.asarray(kmiss),
+                        *(jnp.asarray(a) for a in ovp),
+                        *(jnp.asarray(a) for a in ovn),
+                        meta["base"], meta["nc_base"], *margs,
+                        self.n_pad, b_pad, mc))
+                best_slot = self.dfs_order[np.minimum(best_row[:B],
+                                                      self.N - 1)]
+                return (best[:B].astype(np.int32),
+                        best_slot.astype(np.int32),
+                        num_best[:B].astype(np.int32),
+                        hu[:B].astype(bool))
         *ev, add0 = self._events(pos, gval, kmiss, spr=False)
         b_pad, evp, ncp = self._batch_shapes(B, ev[:3], ev[3:6])
-        meta = self._dfs_meta(spr=False)
         add0p = np.zeros(b_pad, np.int32)
         add0p[:B] = add0
-        best, best_row, num_best, hu = (np.asarray(x) for x in iv.interval_place(
-            *(jnp.asarray(a) for a in evp), *(jnp.asarray(a) for a in ncp),
-            jnp.asarray(meta["base"]), jnp.asarray(meta["nc_base"]),
-            jnp.asarray(add0p), jnp.asarray(meta["num_mut"]),
-            jnp.asarray(meta["is_leaf"]), jnp.asarray(meta["is_root"]),
-            jnp.asarray(meta["active"]), jnp.asarray(meta["num_leaves"]),
-            jnp.asarray(meta["bfs_rank"]), self.n_pad, b_pad))
+        if self.mesh is not None:
+            fn = iv._place_sharded_fn(self.mesh, self.mesh.axis_names[0],
+                                      self.n_pad, b_pad // self.mesh.size)
+            best, best_row, num_best, hu = (np.asarray(x) for x in fn(
+                *(jnp.asarray(a) for a in evp),
+                *(jnp.asarray(a) for a in ncp),
+                meta["base"], meta["nc_base"], jnp.asarray(add0p), *margs))
+        else:
+            best, best_row, num_best, hu = (np.asarray(x)
+                                            for x in iv.interval_place(
+                *(jnp.asarray(a) for a in evp),
+                *(jnp.asarray(a) for a in ncp),
+                meta["base"], meta["nc_base"], jnp.asarray(add0p), *margs,
+                self.n_pad, b_pad))
         best_slot = self.dfs_order[np.minimum(best_row[:B], self.N - 1)]
         return (best[:B].astype(np.int32), best_slot.astype(np.int32),
                 num_best[:B].astype(np.int32), hu[:B].astype(bool))

@@ -132,6 +132,132 @@ def interval_place(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
     return best, best_row, num_best, hu_best
 
 
+def _expand_events(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+                   pos, gval, kmiss, P: int, mc: int, spr: bool):
+    """DEVICE-side event expansion: per (entry, column-mutation) pair deltas
+    computed from the RESIDENT CSC index (uploaded once per epoch), so the
+    per-batch H2D is just the [B, K] entry arrays.  Same case analysis as
+    core/bigmat.py _events; mc bounds the column occupancy (pairs padded).
+
+    csc_meta packs per-mutation fields: am | ap<<4 | root<<8 | eff<<9 |
+    dead<<10.  Returns flattened (rows, b, val) difference events (3
+    streams) + (nc_rows, nc_b, nc_val) point events; padding targets row
+    `dead_row` (caller passes n_pad).
+    """
+    B, K = pos.shape
+    valid_e = pos < P
+    cols = jnp.clip(pos, 0, P - 1).astype(jnp.int32)
+    lo = csc_ptr[cols]                        # [B, K]
+    cnt = jnp.where(valid_e, csc_ptr[cols + 1] - lo, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (B, K, mc), 2)
+    pair_ok = j < cnt[:, :, None]
+    flat = jnp.clip(lo[:, :, None] + j, 0, csc_node.shape[0] - 1)
+    u = csc_node[flat]
+    m = csc_meta[flat]
+    am = m & 0xF
+    ap = (m >> 4) & 0xF
+    rootm = (m >> 8) & 1
+    effm = (m >> 9) & 1
+    dead = (m >> 10) & 1
+    pair_ok = pair_ok & (dead == 0)
+
+    gv = gval.astype(jnp.int32)[:, :, None]
+    km = kmiss[:, :, None]
+    return (u, am, ap, rootm, effm, pair_ok, gv, km)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "b_pad", "mc", "spr"))
+def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+                       ref_cols, pos, gval, kmiss,
+                       ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
+                       base_dfs, nc_base_dfs,
+                       num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
+                       num_leaves_dfs, bfs_rank_dfs,
+                       n_pad: int, b_pad: int, mc: int, spr: bool = False):
+    """interval_place with DEVICE-side event expansion from the resident
+    CSC index: per-batch H2D is only the [B, K] entry arrays plus the
+    (small) overlay event streams from incremental appends.  add0 is also
+    computed on device.  Bit-identical to the host-expansion path
+    (tested)."""
+    P = ref_cols.shape[0]
+    B, K = pos.shape
+    (u, am, ap, rootm, effm, pair_ok, gv, km) = _expand_events(
+        csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+        pos, gval, kmiss, P, mc, spr)
+    valid_e = pos < P
+    cols = jnp.clip(pos, 0, P - 1).astype(jnp.int32)
+    rk_e = jnp.where(valid_e, ref_cols[cols].astype(jnp.int32), 0)
+    rk = rk_e[:, :, None]
+
+    def corr_nobm(a):
+        t1 = ((~km) & ((gv & a) == 0)).astype(jnp.int32)
+        if spr:
+            sub = ((rk & a) == 0).astype(jnp.int32)
+        else:
+            sub = (a != rk).astype(jnp.int32)
+        return t1 - sub
+
+    c_am = corr_nobm(am)
+    d_range = c_am - corr_nobm(ap)
+    matched = (gv & am) != 0
+    a_eff = jnp.where(matched, am, ap)
+    t1_bm = ((~km) & ((gv & a_eff) == 0)).astype(jnp.int32)
+    if spr:
+        a_r = jnp.where((rk & am) != 0, am, ap)
+        sub_bm = ((rk & a_r) == 0).astype(jnp.int32)
+    else:
+        sub_bm = jnp.where((rk & am) != 0, (am != rk).astype(jnp.int32),
+                           (ap != rk).astype(jnp.int32))
+    d_point = jnp.where(rootm == 1, 0, (t1_bm - sub_bm) - c_am)
+    d_nc = jnp.where((effm == 1) & (rootm == 0),
+                     ((gv & am) != 0).astype(jnp.int32)
+                     - ((rk & am) != 0).astype(jnp.int32), 0)
+    ok = pair_ok.astype(jnp.int32)
+    d_range = d_range * ok
+    d_point = d_point * ok
+    d_nc = d_nc * ok
+
+    r = jnp.where(pair_ok, dfs_of[u], n_pad)
+    rend = jnp.where(pair_ok, dfs_end_of[u], n_pad)
+    bcast_b = jax.lax.broadcasted_iota(jnp.int32, (B, K, mc), 0)
+
+    flat_b = bcast_b.reshape(-1)
+    diff = jnp.zeros((n_pad + 1, b_pad), jnp.int32)
+    diff = diff.at[r.reshape(-1), flat_b].add(
+        (d_range + d_point).reshape(-1))
+    diff = diff.at[rend.reshape(-1), flat_b].add((-d_range).reshape(-1))
+    diff = diff.at[jnp.minimum(r + 1, n_pad).reshape(-1), flat_b].add(
+        (-d_point).reshape(-1))
+    # overlay events from incremental appends (host-expanded, small)
+    diff = diff.at[ov_idx, ov_b.astype(jnp.int32)].add(
+        ov_val.astype(jnp.int32))
+    run = _scan_rows(diff[:n_pad])
+    add0 = jnp.sum(((~kmiss) & valid_e
+                    & ((gval.astype(jnp.int32) & rk_e) == 0)),
+                   axis=1, dtype=jnp.int32)
+    add0 = jnp.pad(add0, (0, b_pad - B))
+    score = base_dfs[:, None] + add0[None, :] + run
+
+    ncd = jnp.zeros((n_pad + 1, b_pad), jnp.int32)
+    ncd = ncd.at[r.reshape(-1), flat_b].add(d_nc.reshape(-1))
+    ncd = ncd.at[ovn_idx, ovn_b.astype(jnp.int32)].add(
+        ovn_val.astype(jnp.int32))
+    nc = nc_base_dfs[:, None] + ncd[:n_pad]
+
+    hu = nc < num_mut_dfs[:, None]
+    nc_pos = nc > 0
+    leaf = is_leaf_dfs[:, None]
+    valid = (is_root_dfs[:, None]
+             | (leaf & nc_pos)
+             | (~leaf & hu & nc_pos)
+             | (~leaf & ~hu)) & active_dfs[:, None]
+    best, best_row, num_best = _tie_reduce(score, valid, num_leaves_dfs,
+                                           bfs_rank_dfs)
+    hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
+    return best, best_row, num_best, hu_best
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad", "b_pad"))
 def interval_spr(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
                  cnt_idx, cnt_b, cnt_val,
@@ -202,3 +328,93 @@ def pad_events(idx, b, val, n_pad, bucket: int = 4096):
     pb[:r] = b
     pv[:r] = val
     return pi, pb, pv
+
+
+# --- multi-chip composition (batch-axis shard_map) ---------------------------
+#
+# The TPU-native analog of the reference's replicated-tree / sharded-samples
+# follower protocol (place_sample.cpp:591-662): the CSR metadata (tens of MB
+# even at 2M nodes) is replicated per device, the sample/source batch and its
+# event streams are sharded, and each device runs the identical single-device
+# program on its shard.  Placement needs zero collectives (outputs are
+# per-sample); results are bit-identical to single-device by construction.
+
+def shard_events(ev, nd, bl, n_pad, bucket: int = 4096):
+    """Split raw (idx, b, val) events by destination device (sample b // bl)
+    into [nd, Rd] stacks with a common bucket; sample ids become local."""
+    idx, b, val = (np.asarray(idx_) for idx_ in ev)
+    d = b // bl
+    order = np.argsort(d, kind="stable")
+    idx, b, d = idx[order], b[order], d[order]
+    val = np.asarray(ev[2])[order]
+    counts = np.bincount(d, minlength=nd)
+    cap = bucket
+    mx = int(counts.max()) if len(counts) else 0
+    while cap < mx:
+        cap = cap * 3 // 2
+    out_i = np.full((nd, cap), n_pad, np.int32)
+    out_b = np.zeros((nd, cap), np.int16)
+    out_v = np.zeros((nd, cap), np.int8)
+    start = 0
+    for dd in range(nd):
+        c = int(counts[dd])
+        out_i[dd, :c] = idx[start:start + c]
+        out_b[dd, :c] = b[start:start + c] - dd * bl
+        out_v[dd, :c] = val[start:start + c]
+        start += c
+    return out_i, out_b, out_v
+
+
+@functools.lru_cache(maxsize=None)
+def _place_sharded_fn(mesh, axis, n_pad: int, bl: int):
+    from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: F401
+    ev_spec = P(axis, None)
+    rep = P()
+
+    def body(ei, eb, ev, ni, nb, nv, base, ncb, a0,
+             nm, lf, rt, ac, nl, br):
+        return interval_place(ei[0], eb[0], ev[0], ni[0], nb[0], nv[0],
+                              base, ncb, a0, nm, lf, rt, ac, nl, br,
+                              n_pad, bl)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(ev_spec,) * 6 + (rep, rep, P(axis))
+                      + (rep,) * 6,
+                      out_specs=(P(axis),) * 4)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _scores_sharded_fn(mesh, axis, n_pad: int, bl: int):
+    from jax.sharding import PartitionSpec as P
+    ev_spec = P(axis, None)
+    rep = P()
+
+    def body(ei, eb, ev, ni, nb, nv, base, ncb, a0):
+        return interval_scores(ei[0], eb[0], ev[0], ni[0], nb[0], nv[0],
+                               base, ncb, a0, n_pad, bl)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(ev_spec,) * 6 + (rep, rep, P(axis)),
+                      out_specs=(P(None, axis),) * 2)
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _spr_sharded_fn(mesh, axis, n_pad: int, bl: int):
+    from jax.sharding import PartitionSpec as P
+    ev_spec = P(axis, None)
+    rep = P()
+
+    def body(ei, eb, ev, ni, nb, nv, ci, cb, cv, base, ncb, a0,
+             nm, rt, ac, nl, br, lv, sl, slo, shi, spr_, radius):
+        return interval_spr(ei[0], eb[0], ev[0], ni[0], nb[0], nv[0],
+                            ci[0], cb[0], cv[0], base, ncb, a0,
+                            nm, rt, ac, nl, br, lv, sl, slo, shi, spr_,
+                            radius, n_pad, bl)
+
+    f = jax.shard_map(body, mesh=mesh,
+                      in_specs=(ev_spec,) * 9 + (rep, rep, P(axis))
+                      + (rep,) * 6 + (P(axis),) * 4 + (rep,),
+                      out_specs=(P(axis),) * 3)
+    return jax.jit(f)

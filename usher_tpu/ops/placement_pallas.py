@@ -241,7 +241,14 @@ def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
     """
     stp = st[parent]
     stp = stp.at[root_slot].set(st[root_slot])
+    return score_sparse_stp_T(st, stp, ref, pos, gval, kmiss, k_slots)
 
+
+@functools.partial(jax.jit, static_argnames=("k_slots",))
+def score_sparse_stp_T(st, stp, ref, pos, gval, kmiss, k_slots: int):
+    """score_sparse_T with the parent states supplied directly — the form
+    the sharded mesh path uses (stp is precomputed per tree refresh so a
+    node shard is self-contained; parallel/mesh.py)."""
     sti = st.astype(jnp.int32)
     stpi = stp.astype(jnp.int32)
     refi = ref.astype(jnp.int32)[None, :]

@@ -255,7 +255,7 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                                    mask_devs if stream else masks,
                                    ref_row, engine.bfs,
                                    engine.parent, chunk=source_chunk,
-                                   positions=positions)
+                                   positions=positions, mesh=mesh)
         else:
             finder = MoveFinder(T, states, masks, ref_row, engine.bfs,
                                 engine.parent, chunk=opts.source_chunk,

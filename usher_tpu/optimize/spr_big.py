@@ -31,13 +31,17 @@ class BigMoveFinder(MoveFinder):
 
     def __init__(self, T: Tree, states: np.ndarray, masks: np.ndarray,
                  ref_row: np.ndarray, bfs, parent: np.ndarray,
-                 chunk: int = 128, positions=None):
+                 chunk: int = 128, positions=None, mesh=None):
+        """mesh: optional 1-D jax Mesh — shards the SOURCE batch axis of the
+        interval-engine SPR scorer over devices with the CSR metadata
+        replicated (the TPU-native analog of the reference's MPI SPR work
+        distributor, optimize_tree.cpp:165-252)."""
         # host bookkeeping only — never upload [N, P] state matrices
         self.T = T
         self.bfs = bfs
         self.parent = parent
-        self.mesh = None
-        self.chunk = chunk
+        self.mesh = mesh
+        self.chunk = chunk * (mesh.size if mesh is not None else 1)
         n = len(bfs)
         self.n = n
         self.masks = masks   # dense [n, P] uint8 OR MaskDeviations
@@ -59,6 +63,7 @@ class BigMoveFinder(MoveFinder):
         if positions is None:
             positions = np.arange(masks.shape[1], dtype=np.int64)
         self.big = BigMAT.from_tree(T, positions, ref_row)
+        self.big.mesh = mesh
         # BigMAT slots are BFS order == our bfs indexing; verify cheaply
         if not np.array_equal(self.big.parent, parent.astype(np.int32)):
             raise AssertionError("BigMAT BFS order diverged from FitchEngine")
@@ -130,29 +135,47 @@ class BigMoveFinder(MoveFinder):
             kmiss = np.zeros((B, max_k), dtype=bool)
 
             *ev, add0 = big._events(pos, gval, kmiss, spr=True)
-            evp = iv.pad_events(*ev[:3], n_pad)
-            ncp = iv.pad_events(*ev[3:6], n_pad)
             ar = np.asarray(anc_rows, dtype=np.int32).reshape(-1, 3)
             cnt_idx = np.concatenate([ar[:, 0], ar[:, 1]])
             cnt_b = np.concatenate([ar[:, 2], ar[:, 2]])
             cnt_val = np.concatenate([np.ones(len(ar), np.int32),
                                       -np.ones(len(ar), np.int32)])
-            cntp = iv.pad_events(cnt_idx, cnt_b, cnt_val, n_pad, bucket=1024)
             add0p = np.zeros(b_pad, np.int32)
             add0p[:B] = add0
-
-            cost, row, hu = (np.asarray(x) for x in iv.interval_spr(
-                *(jnp.asarray(a) for a in evp),
-                *(jnp.asarray(a) for a in ncp),
-                *(jnp.asarray(a) for a in cntp),
-                jnp.asarray(meta["base"]), jnp.asarray(meta["nc_base"]),
-                jnp.asarray(add0p), jnp.asarray(meta["num_mut"]),
-                jnp.asarray(meta["is_root"]), jnp.asarray(meta["active"]),
-                jnp.asarray(meta["num_leaves"]), jnp.asarray(meta["bfs_rank"]),
-                jnp.asarray(meta["level"]),
-                jnp.asarray(src_level), jnp.asarray(src_lo),
-                jnp.asarray(src_hi), jnp.asarray(src_parent_row),
-                jnp.int32(eff_radius), n_pad, b_pad))
+            margs = (meta["num_mut"], meta["is_root"], meta["active"],
+                     meta["num_leaves"], meta["bfs_rank"], meta["level"])
+            if self.mesh is not None:
+                nd = self.mesh.size
+                bl = b_pad // nd
+                evp = iv.shard_events(ev[:3], nd, bl, n_pad)
+                ncp = iv.shard_events(ev[3:6], nd, bl, n_pad)
+                cntp = iv.shard_events((cnt_idx, cnt_b, cnt_val), nd, bl,
+                                       n_pad, bucket=1024)
+                fn = iv._spr_sharded_fn(self.mesh, self.mesh.axis_names[0],
+                                        n_pad, bl)
+                cost, row, hu = (np.asarray(x) for x in fn(
+                    *(jnp.asarray(a) for a in evp),
+                    *(jnp.asarray(a) for a in ncp),
+                    *(jnp.asarray(a) for a in cntp),
+                    meta["base"], meta["nc_base"], jnp.asarray(add0p),
+                    *margs,
+                    jnp.asarray(src_level), jnp.asarray(src_lo),
+                    jnp.asarray(src_hi), jnp.asarray(src_parent_row),
+                    jnp.int32(eff_radius)))
+            else:
+                evp = iv.pad_events(*ev[:3], n_pad)
+                ncp = iv.pad_events(*ev[3:6], n_pad)
+                cntp = iv.pad_events(cnt_idx, cnt_b, cnt_val, n_pad,
+                                     bucket=1024)
+                cost, row, hu = (np.asarray(x) for x in iv.interval_spr(
+                    *(jnp.asarray(a) for a in evp),
+                    *(jnp.asarray(a) for a in ncp),
+                    *(jnp.asarray(a) for a in cntp),
+                    meta["base"], meta["nc_base"], jnp.asarray(add0p),
+                    *margs,
+                    jnp.asarray(src_level), jnp.asarray(src_lo),
+                    jnp.asarray(src_hi), jnp.asarray(src_parent_row),
+                    jnp.int32(eff_radius), n_pad, b_pad))
 
             slot = big.dfs_order[np.minimum(row[:B], big.N - 1)]
             for b, si in enumerate(idxs):

@@ -107,3 +107,23 @@ def sharded_score_fn(mesh: Mesh):
            NamedSharding(mesh, P("data", "model")),
            NamedSharding(mesh, P("model")))
     return jax.jit(score_with_stp, out_shardings=out)
+
+
+def sharded_sparse_score_fn(mesh: Mesh, k_slots: int):
+    """Sparse (Pallas MXU-gather) scoring under the (data, model) mesh via
+    shard_map: each device scores its node shard against its sample shard
+    with the SAME kernel as single-device — so multi-chip keeps the
+    sparse-vs-dense advantage instead of falling back to the dense formula.
+    stp ships precomputed (node shards are self-contained)."""
+    from ..ops.placement_pallas import score_sparse_stp_T
+
+    def body(st, stp, ref, pos, gval, kmiss):
+        return score_sparse_stp_T(st, stp, ref, pos, gval, kmiss, k_slots)
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("model", None), P("model", None), P(),
+                  P("data", None), P("data", None), P("data", None)),
+        out_specs=(P("model", "data"), P("model", "data"), P("model")),
+        check_vma=False)  # pallas_call outputs carry no vma annotation
+    return jax.jit(f)

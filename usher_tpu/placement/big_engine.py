@@ -53,9 +53,16 @@ class BigPlacementEngine:
     .flat.tree."""
 
     def __init__(self, T: Tree, vcf=None, extra_mutations=None,
-                 max_cols: int = 2048):
+                 max_cols: int = 2048, mesh=None):
+        """mesh: optional jax Mesh — flattened to a 1-D batch mesh; the
+        sample batch and its event streams shard over devices while the CSR
+        metadata replicates (ops/interval.py shard_map composition)."""
         self.T = T
         self.max_cols = max_cols
+        if mesh is not None and len(mesh.axis_names) > 1:
+            from jax.sharding import Mesh
+            mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("batch",))
+        self.mesh = mesh
         positions, ref, chrom = collect_positions(T, vcf)
         if extra_mutations:
             pos_ref = {int(p): int(r) for p, r in zip(positions, ref)}
@@ -85,6 +92,7 @@ class BigPlacementEngine:
         if self._dirty or self._big is None:
             from ..core.bigmat import BigMAT
             self._big = BigMAT.from_tree(self.T, self.positions, self.ref)
+            self._big.mesh = self.mesh
             self._slot_of = {id(n): i
                              for i, n in enumerate(self._big._nodes)}
             self._dirty = False

@@ -197,30 +197,60 @@ class PlacementEngine:
         """Sharded scoring over the (data, model) mesh: the sample batch is
         padded to the data-axis size, placed P("data", None); st/stp live
         sharded P("model", None) in the FlatMAT.  Identical math to the
-        single-device path — XLA inserts the collectives."""
+        single-device path — the sparse Pallas kernel runs per-shard via
+        shard_map when the backend resolves sparse (multi-chip keeps the
+        sparse-vs-dense advantage), the dense XLA formula otherwise."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel import mesh as pmesh
         flat = self.flat
         st_dev, stp_dev = flat.sync_mesh()
-        if self._mesh_score is None:
-            self._mesh_score = pmesh.sharded_score_fn(self.mesh)
-        g, E, miss = flat.encode_samples(samples_mutations)
         B = len(samples_mutations)
         dsize = self.mesh.shape["data"]
         Bp = -(-B // dsize) * dsize
+        batch_sh = NamedSharding(self.mesh, P("data", None))
+        ref_dev = jax.device_put(np.asarray(flat.ref),
+                                 NamedSharding(self.mesh, P()))
+        if self._resolve_backend(samples_mutations) == "sparse":
+            from ..ops import placement_pallas as pp
+            pos, gval, kmiss = pp.sparsify(samples_mutations,
+                                           flat.pos_index, flat.P_pad)
+            if Bp != B:
+                pad = Bp - B
+                K = pos.shape[1]
+                pos = np.concatenate(
+                    [pos, np.full((pad, K), flat.P_pad, np.int32)], 0)
+                gval = np.concatenate(
+                    [gval, np.zeros((pad, K), np.uint8)], 0)
+                kmiss = np.concatenate(
+                    [kmiss, np.zeros((pad, K), bool)], 0)
+            fns = getattr(self, "_mesh_sparse_fns", None)
+            if fns is None:
+                fns = self._mesh_sparse_fns = {}
+            fn = fns.get(pos.shape[1])
+            if fn is None:
+                fn = fns[pos.shape[1]] = pmesh.sharded_sparse_score_fn(
+                    self.mesh, pos.shape[1])
+            score_t, nc_t, nnm = fn(
+                st_dev, stp_dev, ref_dev,
+                jax.device_put(pos, batch_sh),
+                jax.device_put(gval, batch_sh),
+                jax.device_put(kmiss, batch_sh))
+            score_t = np.asarray(score_t)
+            return (score_t.T[:B], np.asarray(nc_t).T[:B],
+                    np.asarray(nnm))
+        if self._mesh_score is None:
+            self._mesh_score = pmesh.sharded_score_fn(self.mesh)
+        g, E, miss = flat.encode_samples(samples_mutations)
         if Bp != B:
             pad = Bp - B
             g = np.concatenate([g, np.tile(flat.ref, (pad, 1))], 0)
             E = np.concatenate([E, np.zeros((pad, E.shape[1]), bool)], 0)
             miss = np.concatenate(
                 [miss, np.zeros((pad, miss.shape[1]), bool)], 0)
-        batch_sh = NamedSharding(self.mesh, P("data", None))
         g = jax.device_put(g, batch_sh)
         E = jax.device_put(E, batch_sh)
         miss = jax.device_put(miss, batch_sh)
-        ref_dev = jax.device_put(np.asarray(flat.ref),
-                                 NamedSharding(self.mesh, P()))
         active_dev = jax.device_put(active,
                                     NamedSharding(self.mesh, P("model")))
         score, nc, nnm = self._mesh_score(st_dev, stp_dev, ref_dev,
@@ -339,7 +369,7 @@ def run_usher(T: Tree, missing_samples: list[MissingSample], opts: UsherOptions,
     if opts.use_bigmat:
         from .big_engine import BigPlacementEngine
         _err("Using the CSR BigMAT engine (pandemic-scale path).")
-        engine = BigPlacementEngine(T, vcf)
+        engine = BigPlacementEngine(T, vcf, mesh=mesh)
     else:
         engine = PlacementEngine(T, vcf, mesh=mesh)
     flat = engine.flat
