@@ -256,3 +256,29 @@ def test_mesh_sparse_scorer_matches_dense():
         assert a.best_score == b.best_score
         assert a.num_best == b.num_best
         assert a.best_node.identifier == b.best_node.identifier
+
+
+def test_distributed_degenerate_single_process(tmp_path):
+    """--distributed must run the jax.distributed init path and a placement
+    end-to-end in the degenerate 1-process case (real N-host runs need pod
+    hardware; this proves the code path executes)."""
+    import subprocess, sys, os
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["USHER_TPU_PLATFORM"] = "cpu"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from usher_tpu.parallel.distributed import (maybe_initialize,"
+        " global_batch_mesh, is_leader)\n"
+        "assert maybe_initialize()\n"
+        "assert maybe_initialize()  # idempotent\n"
+        "assert is_leader()\n"
+        "m = global_batch_mesh()\n"
+        "assert m.size == jax.device_count()\n"
+        "print('distributed-ok', jax.process_count())\n")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert "distributed-ok 1" in out.stdout

@@ -6,6 +6,7 @@ Flag surface mirrors the reference matOptimize (src/matOptimize/main.cpp:155-184
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from ..io.newick import parse_newick
@@ -69,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Pandemic-scale mode: never hold [nodes x positions] "
                         "state matrices; each iteration re-runs the streamed "
                         "full Fitch-Sankoff (implies --spr-backend big)")
+    p.add_argument("--distributed", action="store_true",
+                   help="Initialize jax.distributed for multi-host (DCN) meshes; "
+                        "coordinator via USHER_TPU_COORDINATOR/NUM_PROCESSES/"
+                        "PROCESS_ID env vars or auto-detection (parallel/distributed.py)")
     p.add_argument("--mesh-devices", type=int, default=-1,
                    help="Shard Fitch-Sankoff positions and SPR source "
                         "batches over N devices (-1 auto, 0/1 off)")
@@ -83,6 +88,9 @@ def main(argv=None) -> int:
     apply_platform_env()
     maybe_begin_session_from_env()
     args = build_parser().parse_args(argv)
+    if getattr(args, 'distributed', False) or os.environ.get('USHER_TPU_DISTRIBUTED'):
+        from ..parallel.distributed import maybe_initialize
+        maybe_initialize()
 
     try:
         if args.resume:

@@ -6,6 +6,7 @@ Flag surface mirrors the reference `usher` binary (src/usher.cpp:47-86).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -56,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the sequential reference semantics at any value")
     p.add_argument("--mesh-devices", type=int, default=-1,
                    help="Shard scoring over N devices (-1 auto, 0 off)")
+    p.add_argument("--distributed", action="store_true",
+                   help="Initialize jax.distributed for multi-host (DCN) meshes; "
+                        "coordinator via USHER_TPU_COORDINATOR/NUM_PROCESSES/"
+                        "PROCESS_ID env vars or auto-detection (parallel/distributed.py)")
     p.add_argument("--bigmat", action="store_true",
                    help="Use the CSR BigMAT engine (O(N+M) memory) for "
                         "trees too large for the dense path-state matrix")
@@ -70,6 +75,9 @@ def main(argv=None) -> int:
     apply_platform_env()
     maybe_begin_session_from_env()
     args = build_parser().parse_args(argv)
+    if getattr(args, 'distributed', False) or os.environ.get('USHER_TPU_DISTRIBUTED'):
+        from ..parallel.distributed import maybe_initialize
+        maybe_initialize()
 
     t0 = time.time()
     if args.tree:

@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-add", "-n", action="store_true")
     p.add_argument("--threads", "-T", type=int, default=0,
                    help="Accepted for CLI parity; XLA manages parallelism")
+    p.add_argument("--distributed", action="store_true",
+                   help="Initialize jax.distributed for multi-host (DCN) meshes; "
+                        "coordinator via USHER_TPU_COORDINATOR/NUM_PROCESSES/"
+                        "PROCESS_ID env vars or auto-detection (parallel/distributed.py)")
     p.add_argument("--version", action="version",
                    version="usher-sampled-tpu (v0.1.0)")
     return p
@@ -90,6 +94,9 @@ def _optimize(T: Tree, radius: int, minutes: float) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if getattr(args, 'distributed', False) or os.environ.get('USHER_TPU_DISTRIBUTED'):
+        from ..parallel.distributed import maybe_initialize
+        maybe_initialize()
     t0 = time.time()
 
     if args.din:

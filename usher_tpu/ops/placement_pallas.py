@@ -122,10 +122,15 @@ def _kernel(meta_ref, base_ref, packed_ref, o_ref, score_ref, nc_ref,
         tb = TBK // K
         row = jax.lax.broadcasted_iota(jnp.int32, (TBK, tb), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (TBK, tb), 1)
-        seg = ((row // K) == col).astype(jnp.float32)
-        cs = jnp.dot(corr.astype(jnp.float32), seg,
+        # per-sample segment sums as a block-diagonal matmul.  bf16 operands
+        # when exact (|corr| <= 1, segment sums <= K <= 256: bf16 integers
+        # are exact to 256) — the f32-HIGHEST dot here was ~2x of the whole
+        # kernel's runtime (multi-pass f32 emulation on the MXU).
+        dt = jnp.bfloat16 if K <= 256 else jnp.float32
+        seg = ((row // K) == col).astype(dt)
+        cs = jnp.dot(corr.astype(dt), seg,
                      preferred_element_type=jnp.float32).astype(jnp.int32)
-        ns = jnp.dot(corr_nc.astype(jnp.float32), seg,
+        ns = jnp.dot(corr_nc.astype(dt), seg,
                      preferred_element_type=jnp.float32).astype(jnp.int32)
         score_ref[0] = base_ref[:, 0:1] + cs
         nc_ref[0] = base_ref[:, 1:2] + ns
@@ -340,10 +345,13 @@ def placement_step_sparse(st, parent, root_slot, ref, active, is_leaf,
 
 def sparsify(samples_mutations, pos_index, P, k_slots=None):
     """Host-side: mutation lists -> (pos [B,K] i32, gval [B,K] u8,
-    kmiss [B,K] bool) padded to a power-of-two K dividing TBK."""
+    kmiss [B,K] bool) padded to a power-of-two K dividing TBK.  Attribute
+    extraction is one flat pass; slot assignment is vectorized."""
     from ..core.nuc import N as NUC_N
     B = len(samples_mutations)
-    kmax = max((len(m) for m in samples_mutations), default=1)
+    lens = np.fromiter((len(m) for m in samples_mutations),
+                       dtype=np.int64, count=B)
+    kmax = int(lens.max()) if B else 1
     K = k_slots or 8
     while K < kmax:
         K *= 2
@@ -352,23 +360,33 @@ def sparsify(samples_mutations, pos_index, P, k_slots=None):
     pos = np.full((B, K), P, dtype=np.int32)
     gval = np.zeros((B, K), dtype=np.uint8)
     kmiss = np.zeros((B, K), dtype=bool)
-    for b, muts in enumerate(samples_mutations):
-        for k, m in enumerate(muts):
-            idx = pos_index.get(m.position)
-            if idx is None:
-                raise KeyError(f"sample position {m.position} not in MAT")
-            pos[b, k] = idx
-            if m.is_missing:
-                gval[b, k] = NUC_N
-                kmiss[b, k] = True
-            else:
-                gval[b, k] = m.mut_nuc
+    total = int(lens.sum())
+    if total:
+        flat = [m for muts in samples_mutations for m in muts]
+        try:
+            fpos = np.fromiter((pos_index[m.position] for m in flat),
+                               dtype=np.int32, count=total)
+        except KeyError:
+            bad = next(m.position for m in flat
+                       if m.position not in pos_index)
+            raise KeyError(f"sample position {bad} not in MAT")
+        fmiss = np.fromiter((m.is_missing for m in flat),
+                            dtype=bool, count=total)
+        fval = np.fromiter((m.mut_nuc for m in flat),
+                           dtype=np.uint8, count=total)
+        b_idx = np.repeat(np.arange(B), lens)
+        starts = np.cumsum(lens) - lens
+        k_idx = np.arange(total) - np.repeat(starts, lens)
+        pos[b_idx, k_idx] = fpos
+        gval[b_idx, k_idx] = np.where(fmiss, NUC_N, fval)
+        kmiss[b_idx, k_idx] = fmiss
     return pos, gval, kmiss
 
 
 def sparsify_dense(g, E, miss, k_slots=None):
-    """Host-side: dense (g, E, miss) sample encoding -> sparse slot arrays.
-    Requires g == ref at ~E positions (encode_samples guarantees this)."""
+    """Host-side: dense (g, E, miss) sample encoding -> sparse slot arrays
+    (fully vectorized).  Requires g == ref at ~E positions
+    (encode_samples guarantees this)."""
     g = np.asarray(g)
     E = np.asarray(E)
     miss = np.asarray(miss)
@@ -383,9 +401,11 @@ def sparsify_dense(g, E, miss, k_slots=None):
     pos = np.full((B, K), P, dtype=np.int32)
     gval = np.zeros((B, K), dtype=np.uint8)
     kmiss = np.zeros((B, K), dtype=bool)
-    for b in range(B):
-        idx = np.nonzero(E[b])[0]
-        pos[b, :len(idx)] = idx
-        gval[b, :len(idx)] = g[b, idx]
-        kmiss[b, :len(idx)] = miss[b, idx]
+    b_idx, p_idx = np.nonzero(E)          # row-major: sorted by (b, p)
+    if len(b_idx):
+        starts = np.cumsum(counts) - counts
+        k_idx = np.arange(len(b_idx)) - starts[b_idx]
+        pos[b_idx, k_idx] = p_idx
+        gval[b_idx, k_idx] = g[b_idx, p_idx]
+        kmiss[b_idx, k_idx] = miss[b_idx, p_idx]
     return pos, gval, kmiss

@@ -307,11 +307,46 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                             f"{mv.src_interval[1]-mv.src_interval[0]}\n")
 
         if stream:
-            # pandemic-scale path: re-run the streamed full FS (the
-            # reference's MPI rounds do the same, utils.cpp:113-481); no
-            # [n, P] matrices, no remaps
+            # pandemic-scale path: patch ONLY the affected columns (the
+            # same local FS discipline as the dense branch below) — the
+            # per-iteration cost scales with |affected|, never O(n*P).
+            # Fall back to the streamed full FS when the remap fails or
+            # the affected set covers most of the genome.
             cols = sorted(pos_index[p] for p in affected if p in pos_index)
-            engine, mask_devs, new_score = full_refresh_streamed()
+            new_engine = FitchEngine(T, positions, mesh=mesh)
+            old_index = {id(nd): i for i, nd in enumerate(engine.bfs)}
+            src_rows = np.empty(new_engine.n, dtype=np.int64)
+            ok_remap = True
+            for i, nd in enumerate(new_engine.bfs):
+                j = old_index.get(id(nd))
+                if j is None:
+                    ch = next((c for c in nd.children
+                               if id(c) in old_index), None)
+                    if ch is None:
+                        ok_remap = False
+                        break
+                    j = old_index[id(ch)]
+                src_rows[i] = j
+            if not ok_remap or len(cols) > len(positions) // 2:
+                engine, mask_devs, new_score = full_refresh_streamed()
+            else:
+                engine = new_engine
+                cols_arr = np.asarray(cols, dtype=np.int64)
+                lm_sub = leaf_store.materialize_cols(
+                    engine.bfs, engine.is_leaf, cols_arr)
+                with timeit("optimize:fs_patch_streamed"):
+                    st_sub, mk_sub = engine.run(lm_sub, ref_row[cols_arr])
+                engine.patch_mutations(st_sub, lm_sub, ref_row[cols_arr],
+                                       chrom, positions[cols_arr])
+                mask_devs = mask_devs.remap_patch(
+                    src_rows, cols_arr, mk_sub, ref_row[cols_arr])
+                new_score = T.get_parsimony_score()
+                if os.environ.get("USHER_TPU_CHECK_STATE_REASSIGN"):
+                    chk_engine, chk_devs, chk_score = full_refresh_streamed()
+                    assert chk_score == new_score, (
+                        f"CHECK_STATE_REASSIGN(streamed): local patch score "
+                        f"{new_score} != full recompute {chk_score}")
+                    engine, mask_devs = chk_engine, chk_devs
             if new_score > score:
                 _err(f"Iteration {iteration}: batch regressed "
                      f"({score} -> {new_score}), reverting to single best "

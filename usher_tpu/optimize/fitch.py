@@ -510,3 +510,36 @@ class MaskDeviations:
         if entry is None:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint8))
         return entry
+
+    def remap_patch(self, src_rows, cols_arr, mk_sub: np.ndarray,
+                    ref_sub: np.ndarray) -> "MaskDeviations":
+        """Incremental update after a local FS patch: new node order
+        `src_rows` (new row i copies old row src_rows[i]), with deviations
+        at `cols_arr` REPLACED from the freshly solved mk_sub [n, |cols|].
+        Every column where a new/changed node's mask can differ from its
+        copy source is in cols_arr (the affected-position set), so rows are
+        exact (same argument as the dense engine's states/masks remap,
+        optimize/driver.py)."""
+        n = len(src_rows)
+        out = MaskDeviations(n)
+        colset = np.asarray(cols_arr, dtype=np.int64)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint8))
+        for i in range(n):
+            j = int(src_rows[i])
+            cols, vals = (self._rows[j] or empty) if 0 <= j < self.n \
+                else empty
+            if len(cols) and len(colset):
+                take = np.searchsorted(colset, cols)
+                inpatch = (take < len(colset)) & \
+                    (colset[np.minimum(take, len(colset) - 1)] == cols)
+                cols, vals = cols[~inpatch], vals[~inpatch]
+            dev = np.nonzero(mk_sub[i] != ref_sub)[0] if len(colset) \
+                else np.empty(0, dtype=np.int64)
+            if len(dev):
+                cols = np.concatenate([cols, colset[dev]])
+                vals = np.concatenate([vals, mk_sub[i][dev]])
+                o = np.argsort(cols, kind="stable")
+                cols, vals = cols[o], vals[o]
+            if len(cols):
+                out._rows[i] = (cols, vals)
+        return out
