@@ -1,13 +1,12 @@
 """Benchmark: batched maximum-parsimony placement scoring throughput.
 
-Workload: BASELINE.json config #3 scale -- a synthetic 100k-node MAT over
-512 segregating sites, a batch of 1024 samples, every sample scored against
-EVERY tree node (the reference's hot loop #1, usher_mapper.cpp:167-504) plus
-the validity + argmin/tie-break reduction, all as ONE fused device step.
-Both production kernels are measured and cross-checked for equality: the
-dense XLA path (ops/placement.placement_step) and the sparse Pallas MXU
-kernel (ops/placement_pallas.placement_step_sparse); the headline number is
-the faster (sparse) path, which is what PlacementEngine uses on TPU.
+Headline workload: BASELINE.json config #3 scale -- a synthetic 100k-node
+MAT over 512 segregating sites, a batch of 1024 samples, every sample
+scored against EVERY tree node (the reference's hot loop #1,
+usher_mapper.cpp:167-504) plus the validity + argmin/tie-break reduction,
+all as ONE fused device step, via the production sparse Pallas MXU kernel
+(ops/placement_pallas.placement_step_sparse, bit-identical to the dense
+XLA path).
 
 Metric: samples placed/sec (scoring + best-placement reduction; host tree
 surgery is amortized bookkeeping in both systems).
@@ -19,24 +18,37 @@ fused elementwise loops are comparable to the reference's memory-bound C++
 scan, and the reference's early-exit pruning is offset by numpy's SIMD).
 BASELINE.json target: >= 10x vs 64-thread CPU.
 
-Prints ONE json line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints ONE json line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Supplementary phases (BASELINE.md's declared metrics) print labeled JSON
+lines to STDERR, each guarded so a degraded tunnel can never cost the
+headline:
+  node_score_evals_per_sec      headline workload, N*B / t
+  realistic_100k_x_30k          genome-width tree via the interval engine
+  pandemic_1m_x_30k             1M-node CSR MAT via the interval engine
+  reference_fixture             4k-leaf global_phylo.nh + 423-site VCF
+  mesh8_overhead_ratio          sharded-vs-single wall ratio on the
+                                8-device virtual CPU mesh (structure check;
+                                real N-chip scaling needs pod hardware)
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 # Persistent compile cache: the tunneled remote-compile service can be slow
 # (observed minutes-per-program on a degraded day vs 5s nominal); caching
 # compiled executables in-repo makes reruns immune.  Must go through
 # jax.config (sitecustomize imports jax before env vars are read).
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          ".jax_cache")
+_CACHE_DIR = os.path.join(REPO, ".jax_cache")
 try:
     import jax as _jax
     _jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
@@ -45,18 +57,29 @@ try:
 except Exception as e:  # cache is an optimization, never a requirement
     print(f"[bench] compile cache unavailable: {e}", file=sys.stderr)
 
+# honor USHER_TPU_PLATFORM=cpu (sitecustomize imports jax before env vars
+# are read, so JAX_PLATFORMS alone is too late — must go through jax.config)
+try:
+    from usher_tpu.utils.instrument import apply_platform_env
+    apply_platform_env()
+except Exception:
+    pass
+
 N_NODES = 100_000
 P_SITES = 512
 BATCH = 1024
 MUTS_PER_SAMPLE = 16
 NIBBLES = np.array([1, 2, 4, 8], dtype=np.uint8)
 
-
 _T0 = time.time()
 
 
 def _progress(msg, t0=_T0):
     print(f"[bench +{time.time()-t0:.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _aux(phase, **kv):
+    print(json.dumps({"phase": phase, **kv}), file=sys.stderr, flush=True)
 
 
 def synth_flat_mat(rng):
@@ -68,8 +91,6 @@ def synth_flat_mat(rng):
                   * np.arange(N_NODES - 1)).astype(np.int32)
     st = np.zeros((N_NODES, P_SITES), dtype=np.uint8)
     st[0] = ref
-    # vectorized root->leaf accumulation: nodes are topologically ordered, so
-    # process in chunks whose parents all precede the chunk
     n_mut = 3
     mut_pos = rng.integers(0, P_SITES, size=(N_NODES, n_mut))
     mut_allele = NIBBLES[rng.integers(0, 4, size=(N_NODES, n_mut))]
@@ -118,6 +139,152 @@ def numpy_score_batch(st, stp, ref, g, E, miss):
     return scores
 
 
+def synth_bigmat(rng, N, P, n_mut=2):
+    """Synthetic CSR MAT for the interval-engine phases."""
+    from usher_tpu.core.bigmat import BigMAT
+    parent = np.zeros(N, dtype=np.int32)
+    parent[1:] = (rng.random(N - 1) * np.arange(1, N)).astype(np.int32)
+    M = n_mut * (N - 1)
+    mut_ptr = np.zeros(N + 1, dtype=np.int64)
+    mut_ptr[2:] = n_mut * np.arange(1, N, dtype=np.int64)
+    mut_col = rng.integers(0, P, size=M).astype(np.int32)
+    mut_mut = NIBBLES[rng.integers(0, 4, size=M)]
+    ref = NIBBLES[rng.integers(0, 4, size=P)]
+    mut_par = ref[mut_col].copy()
+    same = mut_par == mut_mut
+    mut_mut[same] = NIBBLES[(np.searchsorted(NIBBLES, mut_mut[same]) + 1) % 4]
+    positions = np.arange(P, dtype=np.int64)
+    return BigMAT(parent, mut_ptr, mut_col, mut_par, mut_mut, positions, ref)
+
+
+def bench_interval(rng, N, P, B, K, label):
+    """samples/s + evals/s of BigMAT.place_arrays (device-reduced interval
+    engine) at the given shape."""
+    t0 = time.time()
+    big = synth_bigmat(rng, N, P)
+    _progress(f"{label}: built {N}-node CSR MAT in {time.time()-t0:.1f}s")
+    pos = rng.integers(0, P, size=(B, K)).astype(np.int32)
+    gval = NIBBLES[rng.integers(0, 4, size=(B, K))]
+    kmiss = np.zeros((B, K), dtype=bool)
+    Kp = 32
+    pos = np.concatenate(
+        [pos, np.full((B, Kp - K), P, np.int32)], axis=1)
+    gval = np.concatenate([gval, np.zeros((B, Kp - K), np.uint8)], axis=1)
+    kmiss = np.concatenate([kmiss, np.zeros((B, Kp - K), bool)], axis=1)
+    t0 = time.time()
+    big.place_arrays(pos, gval, kmiss)
+    compile_s = time.time() - t0
+    _progress(f"{label}: first batch (compile incl.) {compile_s:.1f}s")
+    iters = 5 if compile_s < 120 else 2
+    t0 = time.time()
+    for _ in range(iters):
+        big.place_arrays(pos, gval, kmiss)
+    dt = (time.time() - t0) / iters
+    _aux(label, ms_per_batch=round(dt * 1e3, 1), B=B,
+         samples_per_sec=round(B / dt, 1),
+         node_score_evals_per_sec=round(N * B / dt))
+    return dt
+
+
+def bench_reference_fixture():
+    """Placement throughput on the reference's own smoke fixture: the
+    4k-leaf SARS-CoV-2 tree (global_phylo.nh) + 423-site VCF, samples
+    replicated to a full batch (test/ fixtures, SURVEY.md §4)."""
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        _progress("reference fixtures not present; skipping fixture phase")
+        return
+    from usher_tpu.io.newick import parse_newick
+    from usher_tpu.io.vcf import read_vcf
+    from usher_tpu.ops.sankoff import assign_states_from_vcf
+    from usher_tpu.placement.driver import PlacementEngine
+    t0 = time.time()
+    T = parse_newick(os.path.join(ref_dir, "global_phylo.nh"))
+    missing, vcf = read_vcf(T, os.path.join(ref_dir, "global_samples.vcf"),
+                            create_new_mat=True)
+    assign_states_from_vcf(T, vcf)
+    _progress(f"fixture: built MAT from newick+VCF in {time.time()-t0:.1f}s "
+              f"({len(T.breadth_first_expansion())} nodes)")
+    new, _ = read_vcf(T, os.path.join(ref_dir, "new_samples.vcf"),
+                      create_new_mat=False)
+    batch = []
+    while len(batch) < 64:
+        batch.extend(s.mutations for s in new)
+    batch = batch[:64]
+    for muts in batch:
+        muts.sort(key=lambda m: m.position)
+    eng = PlacementEngine(T, extra_mutations=[m for s in batch for m in s])
+    t0 = time.time()
+    eng.score_samples(batch)
+    compile_s = time.time() - t0
+    iters = 3 if compile_s < 120 else 1
+    t0 = time.time()
+    for _ in range(iters):
+        res = eng.score_samples(batch)
+    dt = (time.time() - t0) / iters
+    n = len(T.breadth_first_expansion())
+    assert all(r.best_score < 20 for r in res)  # sanity, not parity:
+    # byte-level fixture parity is enforced by ci.sh's smoke goldens
+    _aux("reference_fixture", nodes=n, sites=423, B=len(batch),
+         ms_per_batch=round(dt * 1e3, 1),
+         samples_per_sec=round(len(batch) / dt, 1))
+
+
+def bench_mesh_overhead():
+    """Sharded-vs-single wall ratio on the 8-device VIRTUAL CPU mesh, in a
+    subprocess with the TPU tunnel disabled (virtual devices share the same
+    host cores, so this measures the COMPOSITION OVERHEAD of the shard_map
+    path, not real scaling — ~1.0 means sharding is free; real N-chip
+    scaling needs pod hardware)."""
+    code = r"""
+import os, time, json, sys
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+sys.path.insert(0, %r)
+from jax.sharding import Mesh
+sys.argv = ['bench-mesh']
+from bench import synth_bigmat, NIBBLES
+rng = np.random.default_rng(7)
+N, P, B, K = 200_000, 30_000, 512, 24
+big1 = synth_bigmat(rng, N, P)
+bigM = synth_bigmat(np.random.default_rng(7), N, P)
+bigM.mesh = Mesh(np.array(jax.devices()[:8]), ('batch',))
+pos = rng.integers(0, P, size=(B, K)).astype(np.int32)
+gval = NIBBLES[rng.integers(0, 4, size=(B, K))]
+kmiss = np.zeros((B, K), dtype=bool)
+out = {}
+for tag, big in (('mesh1', big1), ('mesh8', bigM)):
+    big.place_arrays(pos, gval, kmiss)
+    t0 = time.time()
+    for _ in range(3):
+        r = big.place_arrays(pos, gval, kmiss)
+    out[tag] = (time.time() - t0) / 3
+    out[tag + '_best0'] = int(r[0][0])
+assert out['mesh1_best0'] == out['mesh8_best0']
+print(json.dumps(out))
+""" % (REPO,)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=900)
+        if out.returncode != 0:
+            _progress(f"mesh-overhead phase failed: {out.stderr[-400:]}")
+            return
+        d = json.loads(out.stdout.strip().splitlines()[-1])
+        _aux("mesh8_overhead_ratio",
+             ratio=round(d["mesh8"] / d["mesh1"], 3),
+             mesh1_ms=round(d["mesh1"] * 1e3, 1),
+             mesh8_ms=round(d["mesh8"] * 1e3, 1),
+             note="virtual CPU mesh: composition overhead, not scaling")
+    except subprocess.TimeoutExpired:
+        _progress("mesh-overhead phase timed out; skipping")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -162,7 +329,9 @@ def main():
     sparse_compile_s = time.time() - t0
     _progress(f"placement_step_sparse compiled ({sparse_compile_s:.0f}s)")
 
-    iters = 5
+    # CPU runs use the interpret-mode Pallas kernel (minutes per batch) —
+    # one iteration suffices there; the real measurement is on the chip
+    iters = 5 if jax.default_backend() == "tpu" else 1
     t0 = time.time()
     for _ in range(iters):
         sbest = [np.asarray(x)
@@ -180,17 +349,20 @@ def main():
             BATCH, N_NODES, P_SITES),
         "vs_baseline": round(sparse_rate / cpu_rate_64t, 3),
     }), flush=True)
+    _aux("node_score_evals_per_sec",
+         value=round(N_NODES * BATCH / sdt),
+         workload="headline")
 
-    # supplementary: dense XLA path for the cross-check + speed ratio.
-    # Same degraded-tunnel guard as bigmat: a timeout-kill mid-compile can
-    # take the pipe holding the already-printed headline with it.
     degraded = (sparse_compile_s >= 150
                 and jax.default_backend() == "tpu"
                 and not os.environ.get("USHER_BENCH_FULL"))
-    if degraded:
-        _progress(f"skipping dense cross-check phase (sparse compile took "
-                  f"{sparse_compile_s:.0f}s — degraded tunnel; equality is "
-                  f"enforced in tests/test_placement_pallas.py)")
+
+    # supplementary: dense XLA path for the cross-check + speed ratio
+    # (TPU only: the CPU backend materializes the [B, N, P] intermediate)
+    if degraded or jax.default_backend() != "tpu":
+        _progress(f"skipping dense cross-check (degraded tunnel or CPU "
+                  f"backend; equality is enforced in "
+                  f"tests/test_placement_pallas.py)")
     else:
         args = (jnp.asarray(st), jnp.asarray(parent), jnp.int32(0),
                 jnp.asarray(ref), jnp.asarray(active), jnp.asarray(is_leaf),
@@ -206,79 +378,28 @@ def main():
         for _ in range(iters):
             best = [np.asarray(x) for x in dev.placement_step(*args)]
         dt = (time.time() - t0) / iters
-        dense_rate = BATCH / dt
-        _progress(f"dense: {dt*1e3:.1f} ms/batch -> {dense_rate:.0f} "
-                  f"samples/s (sparse is {dt/sdt:.2f}x)")
+        _aux("dense_cross_check", ms_per_batch=round(dt * 1e3, 1),
+             sparse_speedup=round(dt / sdt, 2))
 
-    if jax.default_backend() == "tpu":
-        # supplementary phase; the remote compile service is bimodal
-        # (5s..20min per program) — when THIS run's sparse compile was slow,
-        # the bigmat compiles will be too, and a timeout-kill mid-phase can
-        # take the whole process group (including the pipe holding the
-        # already-printed headline).  Skip unless the tunnel is fast.
-        elapsed = time.time() - _T0
-        if (sparse_compile_s < 150 and elapsed < 900) \
-                or os.environ.get("USHER_BENCH_FULL"):
-            bench_bigmat(rng)
-        else:
-            _progress(f"skipping bigmat phase (sparse compile took "
-                      f"{sparse_compile_s:.0f}s — degraded tunnel; set "
-                      f"USHER_BENCH_FULL=1 to force)")
-
-
-def bench_bigmat(rng):
-    """Pandemic-scale proof: a 1M-node CSR MAT over 30k sites -- far beyond
-    what the dense [N, P] form can hold -- placed against a 256-sample batch
-    through core/bigmat.py (pointer-doubling column materialization + the
-    same Pallas kernel).  Reported to stderr; correctness of the BigMAT path
-    is established vs the dense kernel in tests/test_bigmat.py."""
-    from usher_tpu.core.bigmat import BigMAT
-
-    N, P, B, K = 1_000_000, 30_000, 256, 24
-    parent = np.zeros(N, dtype=np.int32)
-    parent[1:] = (rng.random(N - 1) * np.arange(1, N)).astype(np.int32)
-    n_mut = 2
-    M = n_mut * (N - 1)
-    mut_ptr = np.zeros(N + 1, dtype=np.int64)
-    mut_ptr[2:] = n_mut * np.arange(1, N, dtype=np.int64)
-    mut_col = rng.integers(0, P, size=M).astype(np.int32)
-    mut_mut = NIBBLES[rng.integers(0, 4, size=M)]
-    ref = NIBBLES[rng.integers(0, 4, size=P)]
-    # synthetic par = ref (recurrent-position collisions along a path are
-    # ~0.2% and irrelevant for throughput measurement)
-    mut_par = ref[mut_col].copy()
-    same = mut_par == mut_mut
-    mut_mut[same] = NIBBLES[(np.searchsorted(NIBBLES, mut_mut[same]) + 1) % 4]
-    positions = np.arange(P, dtype=np.int64)
-
-    t0 = time.time()
-    big = BigMAT(parent, mut_ptr, mut_col, mut_par, mut_mut, positions, ref)
-    _progress(f"bigmat: built 1M-node CSR MAT in {time.time()-t0:.1f}s "
-              f"(depth {big.max_depth}, {M} mutations, "
-              f"{big.mut_col.nbytes + big.mut_mut.nbytes + big.parent.nbytes:,}"
-              f" bytes core arrays)")
-
-    pos = rng.integers(0, P, size=(B, K)).astype(np.int32)
-    gval = NIBBLES[rng.integers(0, 4, size=(B, K))]
-    kmiss = np.zeros((B, K), dtype=bool)
-    pad = np.full((B, 32 - K), P, dtype=np.int32)
-    pos = np.concatenate([pos, pad], axis=1)
-    gval = np.concatenate([gval, np.zeros((B, 32 - K), np.uint8)], axis=1)
-    kmiss = np.concatenate([kmiss, np.zeros((B, 32 - K), bool)], axis=1)
-
-    t0 = time.time()
-    s, n, _ = big.score_batch_T(pos, gval, kmiss, max_cols=2048)
-    first_dt = time.time() - t0
-    _progress(f"bigmat: first batch (compile incl.) {first_dt:.1f}s")
-    t0 = time.time()
-    # adaptive: on a latency-degraded tunnel one steady batch is minutes;
-    # don't burn the run budget on repetitions that only average noise
-    iters = 3 if first_dt < 60 else 1
-    for _ in range(iters):
-        s, n, _ = big.score_batch_T(pos, gval, kmiss, max_cols=2048)
-    dt = (time.time() - t0) / iters
-    _progress(f"bigmat: {dt*1e3:.0f} ms/batch -> {B/dt:.0f} samples/s at "
-              f"1M nodes x 30k sites (all-node exact scoring)")
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and (not degraded or os.environ.get("USHER_BENCH_FULL")):
+        if time.time() - _T0 < 900:
+            # genome-width realistic shape (the scale the reference's
+            # fixtures actually have: ~30k segregating sites)
+            bench_interval(rng, 100_000, 30_000, 1024, 24,
+                           "realistic_100k_x_30k")
+        if time.time() - _T0 < 1200:
+            # pandemic scale: 1M-node CSR MAT (>2M-leaf class,
+            # reference README.md:23)
+            bench_interval(rng, 1_000_000, 30_000, 1024, 24,
+                           "pandemic_1m_x_30k")
+        if time.time() - _T0 < 1500:
+            bench_reference_fixture()
+    elif not on_tpu:
+        bench_reference_fixture()
+    if os.environ.get("USHER_BENCH_MESH", "1") != "0" \
+            and time.time() - _T0 < 1800:
+        bench_mesh_overhead()
 
 
 if __name__ == "__main__":
