@@ -513,3 +513,36 @@ def test_matoptimize_stream_states_identical(tmp_path):
     assert T1.get_parsimony_score() == T2.get_parsimony_score()
     assert write_newick(T1, print_internal=True, print_branch_len=True) == \
         write_newick(T2, print_internal=True, print_branch_len=True)
+
+
+def test_streamed_patch_maintains_csr(monkeypatch, tmp_path):
+    """Streamed incremental-patch iterations must maintain the array-form
+    mutation set (csr_triplets) exactly — asserted against a from-scratch
+    from_tree build on EVERY finder construction (USHER_TPU_CHECK_CSR),
+    across several iterations with applied moves."""
+    import numpy as np
+    from usher_tpu.core.tree import Mutation, Tree
+    from usher_tpu.optimize import OptimizeOptions, optimize_tree
+
+    monkeypatch.setenv("USHER_TPU_CHECK_CSR", "1")
+    rng = np.random.default_rng(9)
+    bases = [1, 2, 4, 8]
+    T = Tree(); T.create_node("root"); nodes = ["root"]
+    for i in range(120):
+        parent = nodes[int(rng.integers(len(nodes)))]
+        nd = T.create_node(f"n{i}", parent)
+        for _ in range(int(rng.integers(1, 3))):
+            p = int(rng.integers(100, 140))
+            nd.add_mutation(Mutation("c", p, 1, 1,
+                                     bases[int(rng.integers(1, 4))]))
+        nodes.append(f"n{i}")
+    T2 = T.copy()
+    sc_stream = optimize_tree(T, OptimizeOptions(
+        radius=3, max_iterations=6, reduce_back_mutations=False,
+        stream_states=True))
+    sc_dense = optimize_tree(T2, OptimizeOptions(
+        radius=3, max_iterations=6, reduce_back_mutations=False))
+    assert sc_stream == sc_dense
+    from usher_tpu.io.newick import write_newick
+    assert write_newick(T, print_internal=True, print_branch_len=True) == \
+        write_newick(T2, print_internal=True, print_branch_len=True)

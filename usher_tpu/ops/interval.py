@@ -166,20 +166,14 @@ def _expand_events(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
     return (u, am, ap, rootm, effm, pair_ok, gv, km)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_pad", "b_pad", "mc", "spr"))
-def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
-                       ref_cols, pos, gval, kmiss,
-                       ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
-                       base_dfs, nc_base_dfs,
-                       num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
-                       num_leaves_dfs, bfs_rank_dfs,
-                       n_pad: int, b_pad: int, mc: int, spr: bool = False):
-    """interval_place with DEVICE-side event expansion from the resident
-    CSC index: per-batch H2D is only the [B, K] entry arrays plus the
-    (small) overlay event streams from incremental appends.  add0 is also
-    computed on device.  Bit-identical to the host-expansion path
-    (tested)."""
+def _dev_score_nc(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+                  ref_cols, pos, gval, kmiss,
+                  ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
+                  base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr,
+                  extra_cols: int = 0, cnt=None):
+    """Shared core of the *_dev entry points: device-side expansion, delta
+    evaluation, scatter (+ optional extra cnt channel folded into the same
+    scan), cumsum, add0.  Returns (score, nc[, cnt_run])."""
     P = ref_cols.shape[0]
     B, K = pos.shape
     (u, am, ap, rootm, effm, pair_ok, gv, km) = _expand_events(
@@ -220,10 +214,10 @@ def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
 
     r = jnp.where(pair_ok, dfs_of[u], n_pad)
     rend = jnp.where(pair_ok, dfs_end_of[u], n_pad)
-    bcast_b = jax.lax.broadcasted_iota(jnp.int32, (B, K, mc), 0)
+    flat_b = jax.lax.broadcasted_iota(jnp.int32, (B, K, mc), 0).reshape(-1)
 
-    flat_b = bcast_b.reshape(-1)
-    diff = jnp.zeros((n_pad + 1, b_pad), jnp.int32)
+    width = b_pad + extra_cols
+    diff = jnp.zeros((n_pad + 1, width), jnp.int32)
     diff = diff.at[r.reshape(-1), flat_b].add(
         (d_range + d_point).reshape(-1))
     diff = diff.at[rend.reshape(-1), flat_b].add((-d_range).reshape(-1))
@@ -232,19 +226,45 @@ def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
     # overlay events from incremental appends (host-expanded, small)
     diff = diff.at[ov_idx, ov_b.astype(jnp.int32)].add(
         ov_val.astype(jnp.int32))
+    if cnt is not None:
+        cnt_idx, cnt_b, cnt_val = cnt
+        diff = diff.at[cnt_idx, b_pad + cnt_b.astype(jnp.int32)].add(
+            cnt_val.astype(jnp.int32))
     run = _scan_rows(diff[:n_pad])
     add0 = jnp.sum(((~kmiss) & valid_e
                     & ((gval.astype(jnp.int32) & rk_e) == 0)),
                    axis=1, dtype=jnp.int32)
     add0 = jnp.pad(add0, (0, b_pad - B))
-    score = base_dfs[:, None] + add0[None, :] + run
+    score = base_dfs[:, None] + add0[None, :] + run[:, :b_pad]
 
     ncd = jnp.zeros((n_pad + 1, b_pad), jnp.int32)
     ncd = ncd.at[r.reshape(-1), flat_b].add(d_nc.reshape(-1))
     ncd = ncd.at[ovn_idx, ovn_b.astype(jnp.int32)].add(
         ovn_val.astype(jnp.int32))
     nc = nc_base_dfs[:, None] + ncd[:n_pad]
+    if cnt is not None:
+        return score, nc, run[:, b_pad:]
+    return score, nc
 
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "b_pad", "mc", "spr"))
+def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+                       ref_cols, pos, gval, kmiss,
+                       ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
+                       base_dfs, nc_base_dfs,
+                       num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
+                       num_leaves_dfs, bfs_rank_dfs,
+                       n_pad: int, b_pad: int, mc: int, spr: bool = False):
+    """interval_place with DEVICE-side event expansion from the resident
+    CSC index: per-batch H2D is only the [B, K] entry arrays plus the
+    (small) overlay event streams from incremental appends.  add0 is also
+    computed on device.  Bit-identical to the host-expansion path
+    (tested)."""
+    score, nc = _dev_score_nc(
+        csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of, ref_cols,
+        pos, gval, kmiss, ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
+        base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr)
     hu = nc < num_mut_dfs[:, None]
     nc_pos = nc > 0
     leaf = is_leaf_dfs[:, None]
@@ -256,6 +276,44 @@ def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
                                            bfs_rank_dfs)
     hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
     return best, best_row, num_best, hu_best
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "b_pad", "mc"))
+def interval_spr_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+                     ref_cols, pos, gval,
+                     cnt_idx, cnt_b, cnt_val,
+                     base_dfs, nc_base_dfs,
+                     num_mut_dfs, is_root_dfs, active_dfs,
+                     num_leaves_dfs, bfs_rank_dfs, level_dfs,
+                     src_level, src_lo, src_hi, src_parent_row, radius,
+                     n_pad: int, b_pad: int, mc: int):
+    """interval_spr with device-side event expansion: the per-chunk H2D is
+    the [B, K] source-deviation arrays + the (tiny) ancestor-interval
+    events, instead of the fully expanded (entry x column-mutation) event
+    streams.  Bit-identical to interval_spr (tested)."""
+    B, K = pos.shape
+    kmiss = jnp.zeros((B, K), dtype=jnp.bool_)
+    z = jnp.zeros(0, jnp.int32)
+    score, nc, cnt = _dev_score_nc(
+        csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of, ref_cols,
+        pos, gval, kmiss, z, z, z, z, z, z,
+        base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr=True,
+        extra_cols=b_pad, cnt=(cnt_idx, cnt_b, cnt_val))
+
+    hu = nc < num_mut_dfs[:, None]
+    nc_pos = nc > 0
+    valid = (is_root_dfs[:, None] | (hu & nc_pos) | (~hu)) \
+        & active_dfs[:, None]
+    lca_lvl = cnt - 1
+    dist = level_dfs[:, None] + src_level[None, :] - 2 * lca_lvl
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    in_sub = (rows >= src_lo[None, :]) & (rows < src_hi[None, :])
+    ok = (dist <= radius) & ~in_sub & (rows != src_parent_row[None, :])
+    valid = valid & ok
+    best, best_row, _ = _tie_reduce(score, valid, num_leaves_dfs,
+                                    bfs_rank_dfs)
+    hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
+    return best, best_row, hu_best
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "b_pad"))

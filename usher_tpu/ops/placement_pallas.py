@@ -228,6 +228,77 @@ def _score_entries_T(st, stp, ref, base, nc_base, pos, gval, kmiss,
     return score_t[:N, :B], nc_t[:N, :B]
 
 
+def _score_entries_3d(st, stp, ref, base, nc_base, pos, gval, kmiss,
+                      k_slots: int, spr: bool = False):
+    """_score_entries_T without the output relayout: returns the kernel's
+    native [bt, n_pad, tb] tiles (plus (N, B, n_pad, b_pad)) so a fused
+    reduction can consume them directly — the [N, B] transpose costs a full
+    HBM round-trip of both matrices at large shapes."""
+    K = k_slots
+    assert TBK % K == 0
+    tb = TBK // K
+    N, P = st.shape
+    B = pos.shape[0]
+
+    sti = st.astype(jnp.int32)
+    stpi = stp.astype(jnp.int32)
+    refi = ref.astype(jnp.int32)[None, :]
+
+    n_pad = -(-N // TN) * TN
+    p_pad = -(-P // TP) * TP
+    b_pad = -(-B // tb) * tb
+
+    packed = (sti | (stpi << 4)).astype(jnp.bfloat16)
+    packed = _pad_to(_pad_to(packed, n_pad, 0), p_pad, 1)
+    base2 = jnp.stack([base, nc_base], axis=1)
+    base2 = _pad_to(base2, n_pad, 0)
+
+    posi = pos.astype(jnp.int32)
+    kvalid = posi < P
+    pos_eff = jnp.where(kvalid, posi, p_pad)
+    refk = refi[0][jnp.clip(posi, 0, P - 1)] * kvalid
+    meta = (gval.astype(jnp.int32)
+            | (kvalid.astype(jnp.int32) << 4)
+            | (kmiss.astype(jnp.int32) << 5)
+            | (refk << 8))
+    meta = _pad_to(meta, b_pad, 0)
+    meta = meta.reshape(b_pad // tb, 1, TBK)
+    pos_eff = _pad_to(pos_eff, b_pad, 0, value=p_pad)
+    onehot = (pos_eff.reshape(-1)[None, :]
+              == jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+              ).astype(jnp.bfloat16)
+
+    nt, bt, pt = n_pad // TN, b_pad // tb, p_pad // TP
+    grid = (bt, nt, pt)
+    score3, nc3 = pl.pallas_call(
+        functools.partial(_kernel, K=K, spr=spr),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, TBK), lambda j, i, k: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 2), lambda j, i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TP), lambda j, i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, TBK), lambda j, i, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TN, tb), lambda j, i, k: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN, tb), lambda j, i, k: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bt, n_pad, tb), jnp.int32),
+            jax.ShapeDtypeStruct((bt, n_pad, tb), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TN, TBK), jnp.float32)],
+        interpret=_interpret(),
+    )(meta, base2, packed, onehot)
+    return score3, nc3, N, B, n_pad, b_pad
+
+
 @functools.partial(jax.jit, static_argnames=("k_slots",))
 def score_sparse_T(st, parent, root_slot, ref, pos, gval, kmiss, k_slots: int):
     """Node-major sparse scoring.
@@ -334,13 +405,55 @@ def placement_step_sparse(st, parent, root_slot, ref, active, is_leaf,
                           pos, gval, kmiss, k_slots: int):
     """Fused sparse equivalent of ops.placement.placement_step: MXU-gathered
     scoring + validity + tie-broken argmin.  Returns
-    (best_score [B], best_slot [B], num_best [B])."""
-    score_t, nc_t, nnm = score_sparse_T(st, parent, root_slot, ref,
-                                        pos, gval, kmiss, k_slots)
-    score_t = jnp.where(active[:, None], score_t, BIG)
-    valid_t, _ = valid_mask_T(score_t, nc_t, nnm, is_root_mask, is_leaf,
-                              active)
-    return reduce_best_T(score_t, valid_t, num_leaves, bfs_rank)
+    (best_score [B], best_slot [B], num_best [B]).
+
+    The reduction consumes the kernel's native [bt, n_pad, tb] tiles
+    directly (node axis = axis 1), skipping the [N, B] relayout — at the
+    bench shape that transpose is a full HBM round-trip of both matrices.
+    """
+    stp = st[parent]
+    stp = stp.at[root_slot].set(st[root_slot])
+    sti = st.astype(jnp.int32)
+    stpi = stp.astype(jnp.int32)
+    refi = ref.astype(jnp.int32)[None, :]
+    matched0 = (refi & sti) != 0
+    bm0 = sti != stpi
+    base = jnp.where(bm0 & ~matched0, stpi != refi,
+                     sti != refi).sum(1, dtype=jnp.int32)
+    nc_base = ((sti != stpi) & ((refi & sti) != 0)).sum(1, dtype=jnp.int32)
+    nnm = (sti != stpi).sum(1, dtype=jnp.int32)
+
+    score3, nc3, N, B, n_pad, b_pad = _score_entries_3d(
+        st, stp, ref, base, nc_base, pos, gval, kmiss, k_slots)
+
+    def padded(a, fill):
+        return _pad_to(a, n_pad, 0, value=fill)[None, :, None]
+
+    act = padded(active, False)
+    hu = nc3 < padded(nnm, 0)
+    nc_pos = nc3 > 0
+    leaf = padded(is_leaf, False)
+    valid = (padded(is_root_mask, False)
+             | (leaf & nc_pos)
+             | (~leaf & hu & nc_pos)
+             | (~leaf & ~hu)) & act
+
+    s = jnp.where(valid, score3, BIG)
+    best = jnp.min(s, axis=1)                       # [bt, tb]
+    is_best = valid & (score3 == best[:, None, :])
+    num_best = is_best.sum(axis=1, dtype=jnp.int32)
+    neg = jnp.int32(-1)
+    nl = padded(num_leaves, neg)
+    lm = jnp.where(is_best, nl, neg)
+    best_leaves = jnp.max(lm, axis=1)
+    is_best2 = is_best & (nl == best_leaves[:, None, :])
+    br = padded(bfs_rank, neg)
+    rm = jnp.where(is_best2, br, neg)
+    best_rank = jnp.max(rm, axis=1)
+    best_row = jnp.argmax((br == best_rank[:, None, :]) & is_best2,
+                          axis=1)                   # [bt, tb]
+    return (best.reshape(-1)[:B], best_row.astype(jnp.int32).reshape(-1)[:B],
+            num_best.reshape(-1)[:B])
 
 
 def sparsify(samples_mutations, pos_index, P, k_slots=None):

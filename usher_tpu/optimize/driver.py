@@ -255,7 +255,9 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                                    mask_devs if stream else masks,
                                    ref_row, engine.bfs,
                                    engine.parent, chunk=source_chunk,
-                                   positions=positions, mesh=mesh)
+                                   positions=positions, mesh=mesh,
+                                   csr=(getattr(mask_devs, "csr_triplets",
+                                                None) if stream else None))
         else:
             finder = MoveFinder(T, states, masks, ref_row, engine.bfs,
                                 engine.parent, chunk=opts.source_chunk,
@@ -315,11 +317,14 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
             cols = sorted(pos_index[p] for p in affected if p in pos_index)
             new_engine = FitchEngine(T, positions, mesh=mesh)
             old_index = {id(nd): i for i, nd in enumerate(engine.bfs)}
+            old_n = engine.n
             src_rows = np.empty(new_engine.n, dtype=np.int64)
+            is_new_row = np.zeros(new_engine.n, dtype=bool)
             ok_remap = True
             for i, nd in enumerate(new_engine.bfs):
                 j = old_index.get(id(nd))
                 if j is None:
+                    is_new_row[i] = True
                     ch = next((c for c in nd.children
                                if id(c) in old_index), None)
                     if ch is None:
@@ -338,8 +343,30 @@ def optimize_tree(T: Tree, opts: OptimizeOptions = OptimizeOptions()) -> int:
                     st_sub, mk_sub = engine.run(lm_sub, ref_row[cols_arr])
                 engine.patch_mutations(st_sub, lm_sub, ref_row[cols_arr],
                                        chrom, positions[cols_arr])
+                old_trips = getattr(mask_devs, "csr_triplets", None)
                 mask_devs = mask_devs.remap_patch(
                     src_rows, cols_arr, mk_sub, ref_row[cols_arr])
+                if old_trips is not None:
+                    # patch the array-form mutation set the same way: keep
+                    # surviving nodes' entries outside the patched columns,
+                    # add the freshly solved entries at them (new nodes have
+                    # no mutations outside the patch by construction)
+                    o2n = np.full(old_n, -1, dtype=np.int64)
+                    ident = ~is_new_row
+                    o2n[src_rows[ident]] = np.nonzero(ident)[0]
+                    tn, tc, tp, tm = old_trips
+                    nn = o2n[tn]
+                    take = np.searchsorted(cols_arr, tc)
+                    inpatch = (take < len(cols_arr)) & (cols_arr[
+                        np.minimum(take, max(len(cols_arr) - 1, 0))] == tc)                         if len(cols_arr) else np.zeros(len(tc), bool)
+                    keep = (nn >= 0) & ~inpatch
+                    ni, si, pv, mv = engine._mutation_arrays(
+                        st_sub, lm_sub, ref_row[cols_arr])
+                    mask_devs.csr_triplets = (
+                        np.concatenate([nn[keep], ni]),
+                        np.concatenate([tc[keep], cols_arr[si]]),
+                        np.concatenate([tp[keep], pv]),
+                        np.concatenate([tm[keep], mv]))
                 new_score = T.get_parsimony_score()
                 if os.environ.get("USHER_TPU_CHECK_STATE_REASSIGN"):
                     chk_engine, chk_devs, chk_score = full_refresh_streamed()

@@ -350,6 +350,7 @@ class FitchEngine:
         devs = MaskDeviations(self.n)
         per_node: list[list] = [[] for _ in range(self.n)]
         total = 0
+        trip_node, trip_col, trip_par, trip_mut = [], [], [], []
         for c0 in range(0, P, self.chunk):
             c1 = min(c0 + self.chunk, P)
             lm = store.materialize(self.bfs, self.is_leaf, c0, c1)
@@ -371,6 +372,11 @@ class FitchEngine:
             st_h = np.asarray(st, dtype=np.int8)[:, :c1 - c0]
             mk_h = np.asarray(mk)[:, :c1 - c0]
             devs.set_chunk(c0, mk_h, ref_row[c0:c1])
+            ni, si, pv, mv = self._mutation_arrays(st_h, lm, ref_row[c0:c1])
+            trip_node.append(ni)
+            trip_col.append(si + c0)
+            trip_par.append(pv)
+            trip_mut.append(mv)
             chunk_nodes, chunk_total = self._mutation_lists(
                 st_h, lm, ref_row[c0:c1], self.positions[c0:c1], chrom)
             total += chunk_total
@@ -379,39 +385,52 @@ class FitchEngine:
                     per_node[i].extend(muts)
         for i, node in enumerate(self.bfs):
             node.mutations = per_node[i]
+        # array form of the whole-tree mutation set, so the SPR finder can
+        # build its CSR snapshot without a per-mutation Python from_tree
+        devs.csr_triplets = (
+            np.concatenate(trip_node) if trip_node else np.zeros(0, np.int64),
+            np.concatenate(trip_col) if trip_col else np.zeros(0, np.int64),
+            np.concatenate(trip_par) if trip_par else np.zeros(0, np.uint8),
+            np.concatenate(trip_mut) if trip_mut else np.zeros(0, np.uint8))
         return total, devs
+
+    def _mutation_arrays(self, states, leaf_masks, ref_row):
+        """Vectorized branch-mutation extraction from FS states: returns
+        (node_idx i64, site_idx i64, par_nib u8, mut_nib u8) over the given
+        position axis — the array form BigMAT consumes directly (no
+        per-mutation Python)."""
+        par_states = states[self.parent]
+        par_states[0] = np.where(
+            ref_row > 0, np.log2(np.maximum(ref_row, 1)).astype(np.int8), 0)
+        leaf_arr = self.is_leaf
+        par_nib = (1 << par_states.astype(np.int32)).astype(np.uint8)
+        self_nib = (1 << states.astype(np.int32)).astype(np.uint8)
+        internal_mut = (~leaf_arr[:, None]) & (self_nib != par_nib)
+        leaf_mut = leaf_arr[:, None] & ((leaf_masks & par_nib) == 0)
+        node_idx, site_idx = np.nonzero(internal_mut | leaf_mut)
+        mut_v = np.where(leaf_arr[node_idx],
+                         leaf_masks[node_idx, site_idx],
+                         self_nib[node_idx, site_idx])
+        keep = mut_v != 0
+        return (node_idx[keep], site_idx[keep],
+                par_nib[node_idx, site_idx][keep], mut_v[keep])
 
     def _mutation_lists(self, states, leaf_masks, ref_row, positions, chrom):
         """Per-node mutation lists implied by FS states over the given
         position axis (width of states/leaf_masks/ref_row).  Returns
         (per_node lists, total count)."""
         n = self.n
-        par_states = states[self.parent]
-        par_states[0] = np.where(
-            ref_row > 0, np.log2(np.maximum(ref_row, 1)).astype(np.int8), 0)
-        total = 0
-        leaf_arr = self.is_leaf
-        par_nib = (1 << par_states.astype(np.int32)).astype(np.uint8)
-        self_nib = (1 << states.astype(np.int32)).astype(np.uint8)
-        internal_mut = (~leaf_arr[:, None]) & (self_nib != par_nib)
-        leaf_mut = leaf_arr[:, None] & ((leaf_masks & par_nib) == 0)
-        is_mut = internal_mut | leaf_mut
-        node_idx, site_idx = np.nonzero(is_mut)
+        node_idx, site_idx, par_v, mut_v = self._mutation_arrays(
+            states, leaf_masks, ref_row)
+        pos_v = np.asarray(positions)[site_idx]
+        ref_v = ref_row[site_idx]
         per_node: list[list[Mutation]] = [[] for _ in range(n)]
-        for ni, si in zip(node_idx.tolist(), site_idx.tolist()):
-            pos = int(positions[si])
-            r = int(ref_row[si])
-            if leaf_arr[ni]:
-                mut_nuc = int(leaf_masks[ni, si])
-                if mut_nuc == 0:
-                    continue
-            else:
-                mut_nuc = int(self_nib[ni, si])
-            per_node[ni].append(Mutation(
-                chrom=chrom, position=pos, ref_nuc=r,
-                par_nuc=int(par_nib[ni, si]), mut_nuc=mut_nuc))
-            total += 1
-        return per_node, total
+        for ni, pos, r, pn, mn in zip(node_idx.tolist(), pos_v.tolist(),
+                                      ref_v.tolist(), par_v.tolist(),
+                                      mut_v.tolist()):
+            per_node[ni].append(Mutation(chrom=chrom, position=pos,
+                                         ref_nuc=r, par_nuc=pn, mut_nuc=mn))
+        return per_node, len(node_idx)
 
     def patch_mutations(self, states: np.ndarray, leaf_masks: np.ndarray,
                         ref_row: np.ndarray, chrom: str,

@@ -31,11 +31,16 @@ class BigMoveFinder(MoveFinder):
 
     def __init__(self, T: Tree, states: np.ndarray, masks: np.ndarray,
                  ref_row: np.ndarray, bfs, parent: np.ndarray,
-                 chunk: int = 128, positions=None, mesh=None):
+                 chunk: int = 128, positions=None, mesh=None, csr=None):
         """mesh: optional 1-D jax Mesh — shards the SOURCE batch axis of the
         interval-engine SPR scorer over devices with the CSR metadata
         replicated (the TPU-native analog of the reference's MPI SPR work
-        distributor, optimize_tree.cpp:165-252)."""
+        distributor, optimize_tree.cpp:165-252).
+
+        csr: optional (node_idx, col, par_nib, mut_nib) arrays (the
+        streamed FS emits them, fitch.py run_rewrite_streamed) — builds the
+        CSR snapshot directly, skipping the O(mutations) Python from_tree
+        walk that dominated per-iteration host time at pandemic scale."""
         # host bookkeeping only — never upload [N, P] state matrices
         self.T = T
         self.bfs = bfs
@@ -62,13 +67,62 @@ class BigMoveFinder(MoveFinder):
 
         if positions is None:
             positions = np.arange(masks.shape[1], dtype=np.int64)
-        self.big = BigMAT.from_tree(T, positions, ref_row)
+        if csr is not None:
+            node_a, col_a, par_a, mut_a = csr
+            order = np.argsort(node_a, kind="stable")
+            counts = np.bincount(node_a, minlength=n).astype(np.int64)
+            mut_ptr = np.zeros(n + 1, dtype=np.int64)
+            mut_ptr[1:] = np.cumsum(counts)
+            self.big = BigMAT(parent.astype(np.int32), mut_ptr,
+                              col_a[order].astype(np.int32),
+                              par_a[order], mut_a[order],
+                              positions, ref_row)
+            self.big._nodes = bfs
+            import os
+            if os.environ.get("USHER_TPU_CHECK_CSR"):
+                # invariant checker: array-maintained triplets must equal a
+                # from-scratch from_tree build (per-node column/allele sets)
+                chk = BigMAT.from_tree(T, positions, ref_row)
+                for i in range(n):
+                    a = sorted(zip(
+                        self.big.mut_col[self.big.mut_ptr[i]:
+                                         self.big.mut_ptr[i + 1]].tolist(),
+                        self.big.mut_par[self.big.mut_ptr[i]:
+                                         self.big.mut_ptr[i + 1]].tolist(),
+                        self.big.mut_mut[self.big.mut_ptr[i]:
+                                         self.big.mut_ptr[i + 1]].tolist()))
+                    b = sorted(zip(
+                        chk.mut_col[chk.mut_ptr[i]:
+                                    chk.mut_ptr[i + 1]].tolist(),
+                        chk.mut_par[chk.mut_ptr[i]:
+                                    chk.mut_ptr[i + 1]].tolist(),
+                        chk.mut_mut[chk.mut_ptr[i]:
+                                    chk.mut_ptr[i + 1]].tolist()))
+                    assert a == b, (
+                        f"CHECK_CSR: node {i} triplets diverge from "
+                        f"from_tree: {a} vs {b}")
+        else:
+            self.big = BigMAT.from_tree(T, positions, ref_row)
         self.big.mesh = mesh
         # BigMAT slots are BFS order == our bfs indexing; verify cheaply
         if not np.array_equal(self.big.parent, parent.astype(np.int32)):
             raise AssertionError("BigMAT BFS order diverged from FitchEngine")
         self._num_leaves_h = np.asarray(self.big.num_leaves)
         self._bfs_rank_h = np.arange(self.n, dtype=np.int32)
+
+    def _mc_for(self, pos):
+        """Column-occupancy bound for device-side expansion (bucketed); None
+        when too wide (host-event fallback)."""
+        big = self.big
+        e = pos < big.P
+        if not e.any():
+            return 32
+        cnts = big.csc_ptr[pos[e] + 1] - big.csc_ptr[pos[e]]
+        mc = 32
+        mx = int(cnts.max())
+        while mc < mx:
+            mc = mc * 3 // 2
+        return mc if mc <= 8192 else None
 
     def _dev_of(self, si):
         """(cols, mask values) where node si's Fitch mask deviates from the
@@ -127,24 +181,30 @@ class BigMoveFinder(MoveFinder):
                 src_hi[b] = dfs_end_of[si]
                 src_parent_row[b] = dfs_of[int(self.parent[si])]
 
-            pos = np.full((B, max_k), big.P, dtype=np.int32)
-            gval = np.zeros((B, max_k), dtype=np.uint8)
+            # bucket the entry-slot axis (a jit dim on the device-
+            # expansion path) so chunk-to-chunk deviation-count drift
+            # doesn't multiply compilations
+            K = 64
+            while K < max_k:
+                K = K * 3 // 2
+            pos = np.full((B, K), big.P, dtype=np.int32)
+            gval = np.zeros((B, K), dtype=np.uint8)
             for b, (cols, vals) in enumerate(devs):
                 pos[b, :len(cols)] = cols
                 gval[b, :len(cols)] = vals
-            kmiss = np.zeros((B, max_k), dtype=bool)
+            kmiss = np.zeros((B, K), dtype=bool)
 
-            *ev, add0 = big._events(pos, gval, kmiss, spr=True)
             ar = np.asarray(anc_rows, dtype=np.int32).reshape(-1, 3)
             cnt_idx = np.concatenate([ar[:, 0], ar[:, 1]])
             cnt_b = np.concatenate([ar[:, 2], ar[:, 2]])
             cnt_val = np.concatenate([np.ones(len(ar), np.int32),
                                       -np.ones(len(ar), np.int32)])
-            add0p = np.zeros(b_pad, np.int32)
-            add0p[:B] = add0
             margs = (meta["num_mut"], meta["is_root"], meta["active"],
                      meta["num_leaves"], meta["bfs_rank"], meta["level"])
             if self.mesh is not None:
+                *ev, add0 = big._events(pos, gval, kmiss, spr=True)
+                add0p = np.zeros(b_pad, np.int32)
+                add0p[:B] = add0
                 nd = self.mesh.size
                 bl = b_pad // nd
                 evp = iv.shard_events(ev[:3], nd, bl, n_pad)
@@ -163,19 +223,41 @@ class BigMoveFinder(MoveFinder):
                     jnp.asarray(src_hi), jnp.asarray(src_parent_row),
                     jnp.int32(eff_radius)))
             else:
-                evp = iv.pad_events(*ev[:3], n_pad)
-                ncp = iv.pad_events(*ev[3:6], n_pad)
                 cntp = iv.pad_events(cnt_idx, cnt_b, cnt_val, n_pad,
                                      bucket=1024)
-                cost, row, hu = (np.asarray(x) for x in iv.interval_spr(
-                    *(jnp.asarray(a) for a in evp),
-                    *(jnp.asarray(a) for a in ncp),
-                    *(jnp.asarray(a) for a in cntp),
-                    meta["base"], meta["nc_base"], jnp.asarray(add0p),
-                    *margs,
-                    jnp.asarray(src_level), jnp.asarray(src_lo),
-                    jnp.asarray(src_hi), jnp.asarray(src_parent_row),
-                    jnp.int32(eff_radius), n_pad, b_pad))
+                mc = self._mc_for(pos)
+                if mc is not None:
+                    # device-side expansion from the resident CSC index:
+                    # per-chunk H2D is the [B, K] deviation arrays, not the
+                    # expanded event streams
+                    pos_p = np.full((b_pad, pos.shape[1]), big.P, np.int32)
+                    pos_p[:B] = pos
+                    gval_p = np.zeros((b_pad, gval.shape[1]), np.uint8)
+                    gval_p[:B] = gval
+                    csc = big._csc_dev()
+                    cost, row, hu = (np.asarray(x)
+                                     for x in iv.interval_spr_dev(
+                        *csc, jnp.asarray(pos_p), jnp.asarray(gval_p),
+                        *(jnp.asarray(a) for a in cntp),
+                        meta["base"], meta["nc_base"], *margs,
+                        jnp.asarray(src_level), jnp.asarray(src_lo),
+                        jnp.asarray(src_hi), jnp.asarray(src_parent_row),
+                        jnp.int32(eff_radius), n_pad, b_pad, mc))
+                else:
+                    *ev, add0 = big._events(pos, gval, kmiss, spr=True)
+                    add0p = np.zeros(b_pad, np.int32)
+                    add0p[:B] = add0
+                    evp = iv.pad_events(*ev[:3], n_pad)
+                    ncp = iv.pad_events(*ev[3:6], n_pad)
+                    cost, row, hu = (np.asarray(x) for x in iv.interval_spr(
+                        *(jnp.asarray(a) for a in evp),
+                        *(jnp.asarray(a) for a in ncp),
+                        *(jnp.asarray(a) for a in cntp),
+                        meta["base"], meta["nc_base"], jnp.asarray(add0p),
+                        *margs,
+                        jnp.asarray(src_level), jnp.asarray(src_lo),
+                        jnp.asarray(src_hi), jnp.asarray(src_parent_row),
+                        jnp.int32(eff_radius), n_pad, b_pad))
 
             slot = big.dfs_order[np.minimum(row[:B], big.N - 1)]
             for b, si in enumerate(idxs):
