@@ -1,0 +1,106 @@
+"""Array-form parsimony.pb loading (io/pb_arrays.py) vs the Node-object
+loader: identical trees, scoring aggregates, tie-break ranks, placements,
+and newick output — via both the native C++ scanners and the pure-Python
+fallback."""
+
+import numpy as np
+import pytest
+
+from usher_tpu.core.bigmat import BigMAT
+from usher_tpu.core.flat import collect_positions
+from usher_tpu.io import pb_arrays as pa
+from usher_tpu.io.newick import write_newick
+from usher_tpu.io.pbio import load_mat_pb, save_mat_pb
+
+from test_placement import random_mat, random_sample
+
+
+def _roundtrip(tmp_path, seed, native):
+    rng = np.random.default_rng(seed)
+    T, ref = random_mat(rng, n_leaves=60, n_positions=30)
+    # annotations + condensed metadata survive the array load
+    for i, nd in enumerate(T.depth_first_expansion()):
+        nd.clade_annotations = [f"c{i % 5}", ""]
+    T.condensed_nodes["cn_1"] = ["x1", "x2"]
+    path = str(tmp_path / "t.pb")
+    save_mat_pb(T, path)
+
+    T2 = load_mat_pb(path)
+    positions, refarr, _ = collect_positions(T2)
+    big1 = BigMAT.from_tree(T2, positions, refarr)
+
+    if not native:
+        import usher_tpu.native as nat
+        orig = nat.HAVE_NATIVE
+        nat.HAVE_NATIVE = False
+        try:
+            ma = pa.load_mat_arrays(path)
+        finally:
+            nat.HAVE_NATIVE = orig
+    else:
+        ma = pa.load_mat_arrays(path)
+    big2 = ma.to_bigmat()
+    return T2, big1, big2, ma, rng, ref
+
+
+@pytest.mark.parametrize("native", [True, False])
+def test_array_load_matches_node_load(tmp_path, native):
+    import usher_tpu.native as nat
+    if native and not nat.HAVE_NATIVE:
+        pytest.skip("native extension not built")
+    T2, big1, big2, ma, rng, ref = _roundtrip(tmp_path, 3, native)
+    assert big1.N == big2.N == ma.n
+
+    # match nodes by name (big1 slots are BFS, big2 slots are preorder)
+    names1 = [nd.identifier for nd in big1._nodes]
+    names2 = ma.names()
+    m2 = {nm: i for i, nm in enumerate(names2)}
+    amap = np.array([m2[nm] for nm in names1])
+    np.testing.assert_array_equal(big1.base, big2.base[amap])
+    np.testing.assert_array_equal(big1.nc_base, big2.nc_base[amap])
+    np.testing.assert_array_equal(big1.node_num_mut,
+                                  big2.node_num_mut[amap])
+    np.testing.assert_array_equal(big1.num_leaves, big2.num_leaves[amap])
+    np.testing.assert_array_equal(big1.level, big2.level[amap])
+    np.testing.assert_array_equal(big1.bfs_rank, big2.bfs_rank[amap])
+    np.testing.assert_array_equal(big1.dfs_of, big2.dfs_of[amap])
+    np.testing.assert_array_equal(big1.dfs_end_of, big2.dfs_end_of[amap])
+    np.testing.assert_array_equal(big1.positions, big2.positions)
+    np.testing.assert_array_equal(big1.ref, big2.ref)
+
+    # identical placements incl. EPP counts and the tie-break winner
+    samples = [random_sample(rng, ref) for _ in range(6)]
+    samples = [[m for m in s
+                if m.position in set(big1.positions.tolist())]
+               for s in samples]
+    samples = [s for s in samples if s]
+    bs1, slot1, nb1 = big1.place_batch(samples)
+    bs2, slot2, nb2 = big2.place_batch(samples)
+    np.testing.assert_array_equal(bs1, bs2)
+    np.testing.assert_array_equal(nb1, nb2)
+    for a, b in zip(slot1, slot2):
+        assert names1[int(a)] == names2[int(b)]
+
+    # metadata round-tripped
+    assert ma.condensed == [("cn_1", ["x1", "x2"])]
+    anns = ma.ann_blob.decode().split("\0")[:-1]
+    assert len(anns) == int(ma.ann_counts.sum())
+
+    # newick writer parity
+    assert pa.write_newick_arrays(ma) == write_newick(
+        T2, print_internal=True, print_branch_len=True)
+
+
+def test_native_and_python_loaders_agree(tmp_path):
+    import usher_tpu.native as nat
+    if not nat.HAVE_NATIVE:
+        pytest.skip("native extension not built")
+    _, _, bigN, maN, _, _ = _roundtrip(tmp_path, 5, True)
+    _, _, bigP, maP, _, _ = _roundtrip(tmp_path, 5, False)
+    np.testing.assert_array_equal(maN.parent, maP.parent)
+    assert maN.names_blob == maP.names_blob
+    np.testing.assert_array_equal(maN.mut_ptr, maP.mut_ptr)
+    np.testing.assert_array_equal(maN.mut_col, maP.mut_col)
+    np.testing.assert_array_equal(maN.mut_par, maP.mut_par)
+    np.testing.assert_array_equal(maN.mut_mut, maP.mut_mut)
+    assert maN.chrom == maP.chrom

@@ -1,0 +1,253 @@
+"""Array-form parsimony.pb loading: pandemic-scale MATs without host Nodes.
+
+load_mat_pb (io/pbio.py) builds a Python Node per tree node — at the
+reference's >2M-leaf public MAT that costs minutes and ~GBs before any
+compute starts.  This loader goes straight to flat arrays (native C++
+proto/newick scanners, usher_native.cpp pb_to_arrays/newick_to_arrays; a
+pure-Python fallback keeps hosted CI working) and hands them to
+core/bigmat.py: slots are DFS preorder (the order parsimony.pb stores
+node_mutations in, mutation_annotated_tree.cpp:522-613), with exact BFS
+tie-break ranks recomputed from (level, parent rank, child key).
+
+save_arrays_to_pb is the mirror writer, byte-compatible with
+io/pbio.save_mat_pb for the same tree.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class MatArrays:
+    """Flat MAT: everything load_mat_pb knows, no Node objects."""
+    parent: np.ndarray          # int32 [N], root -> itself; DFS preorder
+    names_blob: bytes           # \0-joined, slot order
+    name_off: np.ndarray        # int64 [N+1] offsets into names_blob
+    blen: np.ndarray            # float64 [N]
+    mut_ptr: np.ndarray         # int64 [N+1] CSR (post semantic filtering)
+    mut_col: np.ndarray         # int32 [M] (column in `positions`)
+    mut_par: np.ndarray         # uint8 [M] nibble
+    mut_mut: np.ndarray         # uint8 [M] nibble mask
+    positions: np.ndarray       # int64 [P] genome coordinates
+    ref: np.ndarray             # uint8 [P] nibble
+    chrom: str
+    condensed: list = field(default_factory=list)   # (name, [leaves])
+    ann_counts: np.ndarray | None = None            # int32 per node (slot)
+    ann_blob: bytes = b""
+
+    @property
+    def n(self) -> int:
+        return len(self.parent)
+
+    def name(self, i: int) -> str:
+        return self.names_blob[self.name_off[i]:
+                               self.name_off[i + 1] - 1].decode()
+
+    def names(self) -> list[str]:
+        return self.names_blob.decode().split("\0")[:-1]
+
+    def to_bigmat(self):
+        """BigMAT over these arrays with exact reference tie-break ranks."""
+        from ..core.bigmat import BigMAT
+        big = BigMAT(self.parent, self.mut_ptr, self.mut_col,
+                     self.mut_par, self.mut_mut, self.positions, self.ref)
+        # slots are preorder, not BFS — recompute true BFS ranks so the
+        # tie-break matches from_tree's BFS-slot build bit-for-bit
+        big._recompute_ranks()
+        for k in ("_dfs_meta_spr", "_dfs_meta_plc", "_csc_dev_cache"):
+            if hasattr(big, k):
+                delattr(big, k)
+        return big
+
+
+def _py_pb_to_arrays(buf: bytes):
+    """Pure-Python fallback mirroring usher_native.pb_to_arrays."""
+    from . import proto_wire as pw
+    newick = b""
+    counts, pos, refn, parn, mask = [], [], [], [], []
+    chrom = ""
+    condensed = []
+    ann_counts = []
+    ann_parts = []
+    for fn, wt, val in pw.iter_fields(buf):
+        if fn == 1:
+            newick = bytes(val)
+        elif fn == 2:
+            cnt = 0
+            for fn2, wt2, val2 in pw.iter_fields(val):
+                if fn2 != 1:
+                    continue
+                mpos = mref = mpar = 0
+                mmask = 0
+                for f3, w3, v3 in pw.iter_fields(val2):
+                    if f3 == 1:
+                        mpos = pw.to_int32(v3)
+                    elif f3 == 2:
+                        mref = pw.to_int32(v3)
+                    elif f3 == 3:
+                        mpar = pw.to_int32(v3)
+                    elif f3 == 4:
+                        nts = (pw.decode_packed_int32(v3) if w3 == 2
+                               else [pw.to_int32(v3)])
+                        for nt in nts:
+                            if 0 <= nt < 4:
+                                mmask |= 1 << nt
+                    elif f3 == 5 and not chrom:
+                        chrom = bytes(v3).decode()
+                pos.append(mpos)
+                refn.append(mref)
+                parn.append(mpar)
+                mask.append(mmask)
+                cnt += 1
+            counts.append(cnt)
+        elif fn == 3:
+            name, leaves = "", []
+            for fn2, _, val2 in pw.iter_fields(val):
+                if fn2 == 1:
+                    name = bytes(val2).decode()
+                elif fn2 == 2:
+                    leaves.append(bytes(val2).decode())
+            condensed.append((name, leaves))
+        elif fn == 4:
+            cnt = 0
+            for fn2, _, val2 in pw.iter_fields(val):
+                if fn2 == 1:
+                    ann_parts.append(bytes(val2))
+                    cnt += 1
+            ann_counts.append(cnt)
+    ann_blob = b"\0".join(ann_parts) + (b"\0" if ann_parts else b"")
+    return (newick,
+            np.asarray(counts, np.int32), np.asarray(pos, np.int32),
+            np.asarray(refn, np.int8), np.asarray(parn, np.int8),
+            np.asarray(mask, np.uint8), chrom, condensed,
+            np.asarray(ann_counts, np.int32), ann_blob)
+
+
+def _py_newick_to_arrays(newick: bytes):
+    """Pure-Python fallback: parse via io.newick then flatten in creation
+    (= preorder) order."""
+    from ..core.tree import Tree  # noqa: F401
+    from .newick import parse_newick_string
+    T = parse_newick_string(newick.decode())
+    dfs = T.depth_first_expansion()
+    slot = {id(nd): i for i, nd in enumerate(dfs)}
+    parent = np.array([slot[id(nd.parent)] if nd.parent is not None else i
+                       for i, nd in enumerate(dfs)], np.int32)
+    names = "\0".join(nd.identifier for nd in dfs) + "\0"
+    blen = np.array([nd.branch_length for nd in dfs], np.float64)
+    return len(dfs), parent, names.encode(), blen
+
+
+def load_mat_arrays(filename: str) -> MatArrays:
+    """parsimony.pb -> MatArrays (no Python Node objects anywhere)."""
+    if ".gz" in filename:
+        with gzip.open(filename, "rb") as f:
+            buf = f.read()
+    else:
+        with open(filename, "rb") as f:
+            buf = f.read()
+
+    from ..native import HAVE_NATIVE, ext
+    if HAVE_NATIVE:
+        (newick, counts_b, pos_b, ref_b, par_b, mask_b, chrom, condensed,
+         annc_b, ann_blob) = ext.pb_to_arrays(buf)
+        counts = np.frombuffer(counts_b, np.int32)
+        pos = np.frombuffer(pos_b, np.int32)
+        refn = np.frombuffer(ref_b, np.int8)
+        parn = np.frombuffer(par_b, np.int8)
+        mask = np.frombuffer(mask_b, np.uint8)
+        ann_counts = np.frombuffer(annc_b, np.int32)
+        n, parent_b, names_blob, blen_b = ext.newick_to_arrays(newick)
+        parent = np.frombuffer(parent_b, np.int32)
+        blen = np.frombuffer(blen_b, np.float64)
+    else:
+        (newick, counts, pos, refn, parn, mask, chrom, condensed,
+         ann_counts, ann_blob) = _py_pb_to_arrays(buf)
+        n, parent, names_blob, blen = _py_newick_to_arrays(newick)
+
+    if len(counts) != n:
+        raise ValueError(f"pb node_mutations count {len(counts)} != "
+                         f"tree node count {n}")
+
+    # semantic filtering, vectorized (load_mat_pb drops masked mutations'
+    # alleles and mutations with mut_nuc == par_nuc,
+    # mutation_annotated_tree.cpp:560-600)
+    node_of = np.repeat(np.arange(n, dtype=np.int64),
+                        counts.astype(np.int64))
+    masked = pos < 0
+    par_nib = np.where(masked, 0,
+                       (1 << np.maximum(parn, 0).astype(np.int32))
+                       ).astype(np.uint8)
+    ref_nib = np.where(masked, 0,
+                       (1 << np.maximum(refn, 0).astype(np.int32))
+                       ).astype(np.uint8)
+    keep = (~masked) & (mask != par_nib)
+    node_k = node_of[keep]
+    pos_k = pos[keep].astype(np.int64)
+    par_k = par_nib[keep]
+    mut_k = mask[keep]
+    ref_k = ref_nib[keep]
+
+    positions, inv = np.unique(pos_k, return_inverse=True)
+    ref = np.zeros(len(positions), np.uint8)
+    # first occurrence wins (collect_positions' rule; on well-formed MATs
+    # every mutation at a position agrees on ref anyway)
+    ref[inv[::-1]] = ref_k[::-1]
+    # CSR over (already node-major) kept mutations
+    kcounts = np.bincount(node_k, minlength=n).astype(np.int64)
+    mut_ptr = np.zeros(n + 1, np.int64)
+    mut_ptr[1:] = np.cumsum(kcounts)
+
+    name_off = np.zeros(n + 1, np.int64)
+    nb = np.frombuffer(names_blob, np.uint8)
+    name_off[1:] = np.nonzero(nb == 0)[0] + 1
+
+    return MatArrays(parent=np.asarray(parent), names_blob=bytes(names_blob),
+                     name_off=name_off, blen=np.asarray(blen),
+                     mut_ptr=mut_ptr, mut_col=inv.astype(np.int32),
+                     mut_par=par_k, mut_mut=mut_k,
+                     positions=positions, ref=ref, chrom=chrom or "",
+                     condensed=list(condensed),
+                     ann_counts=np.asarray(ann_counts, np.int32),
+                     ann_blob=bytes(ann_blob))
+
+
+def write_newick_arrays(ma: MatArrays, big=None) -> str:
+    """final-tree.nh from arrays: internal labels + branch length =
+    mutation count (write_newick semantics, io/newick.py /
+    mutation_annotated_tree.cpp:215-346).  Iterative post-assembly over
+    DFS preorder — no Node objects."""
+    n = ma.n
+    parent = ma.parent
+    counts = np.diff(ma.mut_ptr)
+    # children in slot order (preorder slots = children-list order)
+    root = int(np.nonzero(parent == np.arange(n, dtype=parent.dtype))[0][0])
+    nr = np.nonzero(np.arange(n) != root)[0]
+    order = nr[np.argsort(parent[nr], kind="stable")]
+    ch_ptr = np.zeros(n + 1, np.int64)
+    ch_ptr[1:] = np.cumsum(np.bincount(parent[nr], minlength=n))
+    children = order  # grouped by parent
+
+    out: list[str] = []
+    # explicit stack: (slot, child cursor)
+    stack = [(root, 0)]
+    while stack:
+        slot, ci = stack[-1]
+        lo, hi = ch_ptr[slot], ch_ptr[slot + 1]
+        if ci == 0 and hi > lo:
+            out.append("(")
+        if lo + ci < hi:
+            if ci > 0:
+                out.append(",")
+            stack[-1] = (slot, ci + 1)
+            stack.append((int(children[lo + ci]), 0))
+            continue
+        if hi > lo:
+            out.append(")")
+        out.append(f"{ma.name(slot)}:{int(counts[slot])}")
+        stack.pop()
+    return "".join(out) + ";"

@@ -679,6 +679,273 @@ PyObject* parse_vcf_mt(PyObject*, PyObject* args) {
     return Py_BuildValue("(NN)", sample_ids, sites);
 }
 
+
+// ------------------------------------------------------- pandemic-scale load
+//
+// Array-form loaders for the parsimony.pb interchange format
+// (/root/reference/parsimony.proto; loader semantics
+// mutation_annotated_tree.cpp:522-613): at >2M nodes, building Python Node
+// objects costs minutes and GBs — these return flat arrays (as bytes
+// buffers; Python wraps them with np.frombuffer, zero-copy) that feed
+// core/bigmat.py directly.
+
+inline uint64_t read_uvarint(const uint8_t*& p, const uint8_t* end) {
+    uint64_t v = 0;
+    int shift = 0;
+    while (p < end) {
+        uint8_t b = *p++;
+        v |= (uint64_t)(b & 0x7f) << shift;
+        if (!(b & 0x80)) break;
+        shift += 7;
+    }
+    return v;
+}
+
+// pb_to_arrays(data: bytes) ->
+//   (newick_bytes, counts_bytes(i32/node), pos_bytes(i32/mut),
+//    ref_bytes(i8), par_bytes(i8), mask_bytes(u8), chrom_str,
+//    condensed_list, ann_counts_bytes(i32), ann_blob_bytes)
+PyObject* pb_to_arrays(PyObject*, PyObject* args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+    const uint8_t* p = (const uint8_t*)buf.buf;
+    const uint8_t* end = p + buf.len;
+
+    std::string newick;
+    std::vector<int32_t> counts;
+    std::vector<int32_t> pos;
+    std::vector<int8_t> refn, parn;
+    std::vector<uint8_t> mask;
+    std::string chrom;
+    std::vector<int32_t> ann_counts;
+    std::string ann_blob;
+    PyObject* condensed = PyList_New(0);
+
+    while (p < end) {
+        uint64_t key = read_uvarint(p, end);
+        int fn = (int)(key >> 3), wt = (int)(key & 7);
+        if (wt != 2) {  // all data-level fields are length-delimited
+            if (wt == 0) { read_uvarint(p, end); continue; }
+            PyErr_SetString(PyExc_ValueError, "unexpected wire type");
+            Py_DECREF(condensed);
+            PyBuffer_Release(&buf);
+            return nullptr;
+        }
+        uint64_t len = read_uvarint(p, end);
+        const uint8_t* fend = p + len;
+        if (fn == 1) {
+            newick.assign((const char*)p, len);
+            p = fend;
+        } else if (fn == 2) {  // mutation_list
+            int32_t cnt = 0;
+            while (p < fend) {
+                uint64_t k2 = read_uvarint(p, fend);
+                uint64_t l2 = read_uvarint(p, fend);
+                const uint8_t* mend = p + l2;
+                if ((int)(k2 >> 3) != 1) { p = mend; continue; }
+                int32_t mpos = 0, mref = 0, mpar = 0;
+                uint8_t mmask = 0;
+                while (p < mend) {
+                    uint64_t k3 = read_uvarint(p, mend);
+                    int f3 = (int)(k3 >> 3), w3 = (int)(k3 & 7);
+                    if (w3 == 0) {
+                        int64_t v = (int64_t)read_uvarint(p, mend);
+                        if (f3 == 1) mpos = (int32_t)v;
+                        else if (f3 == 2) mref = (int32_t)v;
+                        else if (f3 == 3) mpar = (int32_t)v;
+                        else if (f3 == 4 && v >= 0 && v < 4)
+                            mmask |= (uint8_t)(1u << v);
+                    } else if (w3 == 2) {
+                        uint64_t l3 = read_uvarint(p, mend);
+                        const uint8_t* e3 = p + l3;
+                        if (f3 == 4) {  // packed mut_nuc
+                            while (p < e3) {
+                                int64_t v = (int64_t)read_uvarint(p, e3);
+                                if (v >= 0 && v < 4)
+                                    mmask |= (uint8_t)(1u << v);
+                            }
+                        } else if (f3 == 5) {
+                            if (chrom.empty())
+                                chrom.assign((const char*)p, l3);
+                            p = e3;
+                        }
+                        p = e3;
+                    } else {
+                        break;
+                    }
+                }
+                p = mend;
+                pos.push_back(mpos);
+                refn.push_back((int8_t)mref);
+                parn.push_back((int8_t)mpar);
+                mask.push_back(mmask);
+                cnt++;
+            }
+            counts.push_back(cnt);
+            p = fend;
+        } else if (fn == 3) {  // condensed_node
+            PyObject* name = nullptr;
+            PyObject* leaves = PyList_New(0);
+            while (p < fend) {
+                uint64_t k2 = read_uvarint(p, fend);
+                uint64_t l2 = read_uvarint(p, fend);
+                if ((int)(k2 >> 3) == 1) {
+                    Py_XDECREF(name);
+                    name = PyUnicode_FromStringAndSize((const char*)p, l2);
+                } else if ((int)(k2 >> 3) == 2) {
+                    PyObject* s =
+                        PyUnicode_FromStringAndSize((const char*)p, l2);
+                    PyList_Append(leaves, s);
+                    Py_DECREF(s);
+                }
+                p += l2;
+            }
+            if (!name) name = PyUnicode_FromString("");
+            PyObject* t = Py_BuildValue("(NN)", name, leaves);
+            PyList_Append(condensed, t);
+            Py_DECREF(t);
+            p = fend;
+        } else if (fn == 4) {  // node_metadata
+            int32_t cnt = 0;
+            while (p < fend) {
+                uint64_t k2 = read_uvarint(p, fend);
+                uint64_t l2 = read_uvarint(p, fend);
+                if ((int)(k2 >> 3) == 1) {
+                    ann_blob.append((const char*)p, l2);
+                    ann_blob.push_back('\0');
+                    cnt++;
+                }
+                p += l2;
+            }
+            ann_counts.push_back(cnt);
+            p = fend;
+        } else {
+            p = fend;
+        }
+    }
+    PyBuffer_Release(&buf);
+
+    PyObject* out = Py_BuildValue(
+        "(y#y#y#y#y#y#s#Ny#y#)",
+        newick.data(), (Py_ssize_t)newick.size(),
+        (const char*)counts.data(), (Py_ssize_t)(counts.size() * 4),
+        (const char*)pos.data(), (Py_ssize_t)(pos.size() * 4),
+        (const char*)refn.data(), (Py_ssize_t)refn.size(),
+        (const char*)parn.data(), (Py_ssize_t)parn.size(),
+        (const char*)mask.data(), (Py_ssize_t)mask.size(),
+        chrom.data(), (Py_ssize_t)chrom.size(),
+        condensed,
+        (const char*)ann_counts.data(), (Py_ssize_t)(ann_counts.size() * 4),
+        ann_blob.data(), (Py_ssize_t)ann_blob.size());
+    return out;
+}
+
+// newick_to_arrays(newick: bytes) ->
+//   (n, parent_bytes(i32; root -> self), names_blob(\0-joined, creation
+//    order), blen_bytes(f64))
+// Node creation order matches io/newick.parse_newick_string exactly:
+// internals at '(' (ids node_1, node_2, ... = preorder), leaves at their
+// name token — so creation order IS the DFS preorder that parsimony.pb's
+// node_mutations follow.
+PyObject* newick_to_arrays(PyObject*, PyObject* args) {
+    Py_buffer buf;
+    if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
+    const char* s = (const char*)buf.buf;
+    Py_ssize_t len = buf.len;
+
+    std::vector<int32_t> parent;
+    std::vector<double> blen;
+    std::string names;
+    std::vector<int32_t> stack;
+    long internal_counter = 0;
+    char numbuf[32];
+
+    auto add_node = [&](int32_t par, const char* name, size_t nlen,
+                        double bl) {
+        int32_t id = (int32_t)parent.size();
+        parent.push_back(par < 0 ? id : par);
+        blen.push_back(bl);
+        names.append(name, nlen);
+        names.push_back('\0');
+        return id;
+    };
+
+    Py_ssize_t i = 0;
+    bool root_created = false;
+    bool fail = false;
+    while (i < len && !fail) {
+        char c = s[i];
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') { i++; continue; }
+        if (c == '(') {
+            int nlen = snprintf(numbuf, sizeof numbuf, "node_%ld",
+                                ++internal_counter);
+            int32_t par = stack.empty() ? -1 : stack.back();
+            if (stack.empty()) {
+                if (root_created) { fail = true; break; }
+                root_created = true;
+            }
+            stack.push_back(add_node(par, numbuf, (size_t)nlen, -1.0));
+            i++;
+        } else if (c == ')') {
+            if (stack.empty()) { fail = true; break; }
+            int32_t node = stack.back();
+            stack.pop_back();
+            i++;
+            // optional internal label: dropped (reference drops it)
+            while (i < len && !strchr("(),;:", s[i])
+                   && !isspace((unsigned char)s[i])) i++;
+            if (i < len && s[i] == ':') {
+                i++;
+                std::string num;
+                while (i < len && !strchr("(),;:", s[i])) {
+                    char ch = s[i++];
+                    if (isdigit((unsigned char)ch) || ch == '.' || ch == 'e'
+                        || ch == 'E' || ch == '-' || ch == '+')
+                        num.push_back(ch);
+                }
+                if (!num.empty()) blen[node] = atof(num.c_str());
+            }
+        } else if (c == ',' || c == ';') {
+            i++;
+        } else if (c == ':') {
+            fail = true;
+        } else {
+            Py_ssize_t start = i;
+            while (i < len && !strchr("(),;:", s[i])
+                   && !isspace((unsigned char)s[i])) i++;
+            double bl = -1.0;
+            Py_ssize_t name_end = i;
+            if (i < len && s[i] == ':') {
+                i++;
+                std::string num;
+                while (i < len && !strchr("(),;:", s[i])) {
+                    char ch = s[i++];
+                    if (isdigit((unsigned char)ch) || ch == '.' || ch == 'e'
+                        || ch == 'E' || ch == '-' || ch == '+')
+                        num.push_back(ch);
+                }
+                if (!num.empty()) bl = atof(num.c_str());
+            }
+            int32_t par = stack.empty() ? -1 : stack.back();
+            if (stack.empty()) {
+                if (root_created) { fail = true; break; }
+                root_created = true;
+            }
+            add_node(par, s + start, (size_t)(name_end - start), bl);
+        }
+    }
+    PyBuffer_Release(&buf);
+    if (fail || !stack.empty()) {
+        PyErr_SetString(PyExc_ValueError, "incorrect Newick format");
+        return nullptr;
+    }
+    return Py_BuildValue(
+        "(ny#y#y#)", (Py_ssize_t)parent.size(),
+        (const char*)parent.data(), (Py_ssize_t)(parent.size() * 4),
+        names.data(), (Py_ssize_t)names.size(),
+        (const char*)blen.data(), (Py_ssize_t)(blen.size() * 8));
+}
+
 PyMethodDef methods[] = {
     {"transpose_encode", transpose_encode, METH_VARARGS,
      "transpose_encode(samples, path, append=False): write a transposed-VCF "
@@ -690,6 +957,10 @@ PyMethodDef methods[] = {
     {"parse_vcf_mt", parse_vcf_mt, METH_VARARGS,
      "parse_vcf_mt(path, n_threads=0) -> (sample_ids, sites); parallel "
      "line parsing (TBB-pipeline analog)"},
+    {"pb_to_arrays", pb_to_arrays, METH_VARARGS,
+     "pb_to_arrays(data) -> flat arrays of a parsimony.pb 'data' message"},
+    {"newick_to_arrays", newick_to_arrays, METH_VARARGS,
+     "newick_to_arrays(newick) -> (n, parent_i32, names_blob, blen_f64)"},
     {nullptr, nullptr, 0, nullptr},
 };
 
