@@ -104,3 +104,37 @@ def test_native_and_python_loaders_agree(tmp_path):
     np.testing.assert_array_equal(maN.mut_par, maP.mut_par)
     np.testing.assert_array_equal(maN.mut_mut, maP.mut_mut)
     assert maN.chrom == maP.chrom
+
+
+def test_pb_direct_byte_identical_to_bigmat(tmp_path):
+    """usher --pb-direct (no-Tree array driver) must produce byte-identical
+    placement_stats.tsv / final-tree.nh / mutation-paths.txt to the
+    Tree-backed --bigmat engine on the reference smoke fixture."""
+    import os
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+
+    pb = str(tmp_path / "out.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", str(tmp_path / "b"),
+                       "--mesh-devices", "0"]) == 0
+
+    d1 = str(tmp_path / "p1")
+    d2 = str(tmp_path / "p2")
+    assert usher_main(["-i", pb,
+                       "-v", os.path.join(ref_dir, "new_samples.vcf"),
+                       "-o", str(tmp_path / "o1.pb"), "-d", d1,
+                       "--bigmat", "--mesh-devices", "0"]) == 0
+    assert usher_main(["-i", pb,
+                       "-v", os.path.join(ref_dir, "new_samples.vcf"),
+                       "-d", d2, "--pb-direct",
+                       "--mesh-devices", "0"]) == 0
+
+    for fn in ("placement_stats.tsv", "final-tree.nh",
+               "mutation-paths.txt"):
+        with open(os.path.join(d1, fn)) as f1, \
+                open(os.path.join(d2, fn)) as f2:
+            assert f1.read() == f2.read(), fn

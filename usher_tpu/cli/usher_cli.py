@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Initialize jax.distributed for multi-host (DCN) meshes; "
                         "coordinator via USHER_TPU_COORDINATOR/NUM_PROCESSES/"
                         "PROCESS_ID env vars or auto-detection (parallel/distributed.py)")
+    p.add_argument("--pb-direct", action="store_true",
+                   help="No-Tree serving path: load the MAT as flat arrays "
+                        "(io/pb_arrays.py, native scanners) and place "
+                        "entirely over BigMAT — for pandemic-scale MATs "
+                        "where host Node objects cost minutes/GBs. "
+                        "Supports -i/-v/-d/-n/--batch-size/-e/-E; other "
+                        "flags need the Tree drivers")
     p.add_argument("--bigmat", action="store_true",
                    help="Use the CSR BigMAT engine (O(N+M) memory) for "
                         "trees too large for the dense path-state matrix")
@@ -80,6 +87,34 @@ def main(argv=None) -> int:
         maybe_initialize()
 
     t0 = time.time()
+    if getattr(args, "pb_direct", False):
+        if not args.din:
+            print("ERROR: --pb-direct requires -i MAT.pb", file=sys.stderr)
+            return 1
+        unsupported = [f for f, v in [
+            ("--collapse-tree", args.collapse_tree),
+            ("--collapse-output-tree", args.collapse_output_tree),
+            ("-k/--write-subtrees-size", args.write_subtrees_size),
+            ("-K/--write-single-subtree", args.write_single_subtree),
+            ("-p", args.write_parsimony_scores_per_node),
+            ("-M>1", args.multiple_placements > 1),
+            ("-u", args.write_uncondensed_final_tree),
+            ("-o", bool(args.dout)),
+            ("sort", args.sort_before_placement_1
+             or args.sort_before_placement_2
+             or args.sort_before_placement_3),
+        ] if v]
+        if unsupported:
+            print(f"ERROR: --pb-direct does not support "
+                  f"{', '.join(unsupported)} (use the Tree drivers)",
+                  file=sys.stderr)
+            return 1
+        from ..placement.direct import DirectOptions, run_usher_direct
+        return run_usher_direct(args.din, args.vcf, DirectOptions(
+            outdir=args.outdir, batch_size=args.batch_size,
+            max_uncertainty=args.max_uncertainty_per_sample,
+            max_parsimony=args.max_parsimony_per_sample,
+            no_add=args.no_add))
     if args.tree:
         print("Loading input tree.", file=sys.stderr)
         T = parse_newick(args.tree)
