@@ -230,6 +230,85 @@ def bench_reference_fixture():
          samples_per_sec=round(len(batch) / dt, 1))
 
 
+def bench_direct_e2e(rng):
+    """END-TO-END no-Tree serving (usher --pb-direct): generate a 200k-node
+    parsimony.pb + a 256-sample VCF, then load -> place -> write outputs
+    with zero host Node objects (io/pb_arrays.py + placement/direct.py)."""
+    import tempfile
+    from usher_tpu.io import pb_arrays as pa
+    from usher_tpu.placement.direct import DirectOptions, run_usher_direct
+
+    N, P, B, K = 200_000, 30_000, 256, 24
+    parent = np.zeros(N, dtype=np.int32)
+    parent[1:] = (rng.random(N - 1) * np.arange(1, N)).astype(np.int32)
+    n_mut = 2
+    M = n_mut * (N - 1)
+    mut_ptr = np.zeros(N + 1, dtype=np.int64)
+    mut_ptr[2:] = n_mut * np.arange(1, N, dtype=np.int64)
+    mut_col = rng.integers(0, P, size=M).astype(np.int32)
+    mut_mut = NIBBLES[rng.integers(0, 4, size=M)]
+    ref = NIBBLES[rng.integers(0, 4, size=P)]
+    mut_par = ref[mut_col].copy()
+    same = mut_par == mut_mut
+    mut_mut[same] = NIBBLES[(np.searchsorted(NIBBLES, mut_mut[same]) + 1)
+                            % 4]
+    is_leaf = np.ones(N, bool)
+    is_leaf[parent[1:]] = False
+    is_leaf[0] = False
+    names = "\0".join(
+        (f"L{i}" if is_leaf[i] else f"I{i}") for i in range(N)) + "\0"
+    names_b = names.encode()
+    name_off = np.zeros(N + 1, np.int64)
+    name_off[1:] = np.nonzero(np.frombuffer(names_b, np.uint8) == 0)[0] + 1
+    ma = pa.MatArrays(
+        parent=parent, names_blob=names_b, name_off=name_off,
+        blen=np.full(N, -1.0), mut_ptr=mut_ptr, mut_col=mut_col,
+        mut_par=mut_par, mut_mut=mut_mut,
+        positions=np.arange(100, 100 + P, dtype=np.int64), ref=ref,
+        chrom="chr")
+
+    tmpd = tempfile.mkdtemp(prefix="usher_direct_")
+    pb = os.path.join(tmpd, "big.pb")
+    t0 = time.time()
+    pa.save_arrays_to_pb(ma, pb)
+    _progress(f"direct: wrote 200k-node pb in {time.time()-t0:.1f}s")
+
+    # a VCF of B samples x K mutations (rows only for variant positions)
+    bases = {1: "A", 2: "C", 4: "G", 8: "T"}
+    spos = rng.integers(0, P, size=(B, K))
+    salt = NIBBLES[rng.integers(0, 4, size=(B, K))]
+    by_pos = {}
+    for b in range(B):
+        for k in range(K):
+            by_pos.setdefault(int(spos[b, k]), {})[b] = int(salt[b, k])
+    vcf = os.path.join(tmpd, "s.vcf")
+    with open(vcf, "w") as f:
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
+                "FORMAT\t" + "\t".join(f"S{b}" for b in range(B)) + "\n")
+        for pcol in sorted(by_pos):
+            r = int(ref[pcol])
+            alts = sorted({v for v in by_pos[pcol].values() if v != r})
+            if not alts:
+                continue
+            alt_idx = {v: i + 1 for i, v in enumerate(alts)}
+            row = [str(by_pos[pcol].get(b, 0) and
+                       alt_idx.get(by_pos[pcol].get(b), 0)) if b in
+                   by_pos[pcol] else "0" for b in range(B)]
+            row = [str(alt_idx.get(by_pos[pcol][b], 0))
+                   if b in by_pos[pcol] else "0" for b in range(B)]
+            f.write(f"chr\t{100+pcol}\t.\t{bases[r]}\t"
+                    + ",".join(bases[a] for a in alts)
+                    + "\t.\t.\t.\tGT\t" + "\t".join(row) + "\n")
+
+    t0 = time.time()
+    run_usher_direct(pb, vcf, DirectOptions(outdir=os.path.join(tmpd, "o"),
+                                            batch_size=B))
+    total = time.time() - t0
+    _aux("direct_e2e_200k", total_s=round(total, 1), B=B,
+         samples_per_sec=round(B / total, 1),
+         note="pb load + place + outputs, zero host Node objects")
+
+
 def bench_mesh_overhead():
     """Sharded-vs-single wall ratio on the 8-device VIRTUAL CPU mesh, in a
     subprocess with the TPU tunnel disabled (virtual devices share the same
@@ -395,6 +474,8 @@ def main():
                            "pandemic_1m_x_30k")
         if time.time() - _T0 < 1500:
             bench_reference_fixture()
+        if time.time() - _T0 < 1800:
+            bench_direct_e2e(rng)
     elif not on_tpu:
         bench_reference_fixture()
     if os.environ.get("USHER_BENCH_MESH", "1") != "0" \

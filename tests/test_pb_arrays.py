@@ -138,3 +138,28 @@ def test_pb_direct_byte_identical_to_bigmat(tmp_path):
         with open(os.path.join(d1, fn)) as f1, \
                 open(os.path.join(d2, fn)) as f2:
             assert f1.read() == f2.read(), fn
+
+
+def test_save_arrays_roundtrip(tmp_path):
+    """save_arrays_to_pb must be byte-compatible with save_mat_pb for the
+    same tree, and roundtrip through both loaders."""
+    rng = np.random.default_rng(13)
+    T, ref = random_mat(rng, n_leaves=40, n_positions=20)
+    for i, nd in enumerate(T.depth_first_expansion()):
+        nd.clade_annotations = [f"a{i % 3}"]
+    T.condensed_nodes["cn_2"] = ["y1", "y2"]
+    p1 = str(tmp_path / "a.pb")
+    p2 = str(tmp_path / "b.pb")
+    save_mat_pb(T, p1)
+    ma = pa.load_mat_arrays(p1)
+    pa.save_arrays_to_pb(ma, p2)
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
+    ma2 = pa.load_mat_arrays(p2)
+    np.testing.assert_array_equal(ma.parent, ma2.parent)
+    np.testing.assert_array_equal(ma.mut_ptr, ma2.mut_ptr)
+    np.testing.assert_array_equal(ma.mut_col, ma2.mut_col)
+    np.testing.assert_array_equal(ma.mut_mut, ma2.mut_mut)
+    assert ma.names_blob == ma2.names_blob
+    assert ma.condensed == ma2.condensed
+    assert ma.ann_blob == ma2.ann_blob

@@ -155,12 +155,18 @@ def load_mat_arrays(filename: str) -> MatArrays:
     if HAVE_NATIVE:
         (newick, counts_b, pos_b, ref_b, par_b, mask_b, chrom, condensed,
          annc_b, ann_blob) = ext.pb_to_arrays(buf)
-        counts = np.frombuffer(counts_b, np.int32)
-        pos = np.frombuffer(pos_b, np.int32)
-        refn = np.frombuffer(ref_b, np.int8)
-        parn = np.frombuffer(par_b, np.int8)
-        mask = np.frombuffer(mask_b, np.uint8)
-        ann_counts = np.frombuffer(annc_b, np.int32)
+
+        def fb(b, dt):
+            # empty C++ vectors surface as None through y# (null data ptr)
+            return (np.frombuffer(b, dt) if b
+                    else np.zeros(0, dt))
+        counts = fb(counts_b, np.int32)
+        pos = fb(pos_b, np.int32)
+        refn = fb(ref_b, np.int8)
+        parn = fb(par_b, np.int8)
+        mask = fb(mask_b, np.uint8)
+        ann_counts = fb(annc_b, np.int32)
+        ann_blob = ann_blob or b""
         n, parent_b, names_blob, blen_b = ext.newick_to_arrays(newick)
         parent = np.frombuffer(parent_b, np.int32)
         blen = np.frombuffer(blen_b, np.float64)
@@ -251,3 +257,95 @@ def write_newick_arrays(ma: MatArrays, big=None) -> str:
         out.append(f"{ma.name(slot)}:{int(counts[slot])}")
         stack.pop()
     return "".join(out) + ";"
+
+
+def save_arrays_to_pb(ma: MatArrays, filename: str) -> None:
+    """MatArrays -> parsimony.pb, wire-compatible with io/pbio.save_mat_pb
+    (same field layout; newick via write_newick_arrays' leaf-label form).
+    The mirror of load_mat_arrays — pb fixtures at pandemic scale can be
+    produced and re-read without any host Node objects."""
+    from ..core.nuc import nt_from_nuc_id, nt_list_from_nuc_id
+    from . import proto_wire as pw
+
+    out = bytearray()
+    # newick with UNLABELED internals + branch length = mutation count
+    # (save_mat_pb writes print_internal=False)
+    n = ma.n
+    parent = ma.parent
+    counts = np.diff(ma.mut_ptr)
+    root = int(np.nonzero(parent == np.arange(n, dtype=parent.dtype))[0][0])
+    nr = np.nonzero(np.arange(n) != root)[0]
+    order = nr[np.argsort(parent[nr], kind="stable")]
+    ch_ptr = np.zeros(n + 1, np.int64)
+    ch_ptr[1:] = np.cumsum(np.bincount(parent[nr], minlength=n))
+    parts: list[str] = []
+    stack = [(root, 0)]
+    while stack:
+        slot, ci = stack[-1]
+        lo, hi = ch_ptr[slot], ch_ptr[slot + 1]
+        if ci == 0 and hi > lo:
+            parts.append("(")
+        if lo + ci < hi:
+            if ci > 0:
+                parts.append(",")
+            stack[-1] = (slot, ci + 1)
+            stack.append((int(order[lo + ci]), 0))
+            continue
+        if hi > lo:
+            parts.append(f"):{int(counts[slot])}")
+        else:
+            parts.append(f"{ma.name(slot)}:{int(counts[slot])}")
+        stack.pop()
+    pw.write_string_field(1, "".join(parts) + ";", out)
+
+    # node_mutations in DFS preorder.  Slots ARE preorder for arrays built
+    # by load_mat_arrays; recompute generally via the parent structure.
+    pre = np.empty(n, np.int64)
+    k = 0
+    stack2 = [root]
+    while stack2:
+        slot = stack2.pop()
+        pre[k] = slot
+        k += 1
+        stack2.extend(order[ch_ptr[slot]:ch_ptr[slot + 1]][::-1].tolist())
+    for slot in pre.tolist():
+        ml = bytearray()
+        for j in range(int(ma.mut_ptr[slot]), int(ma.mut_ptr[slot + 1])):
+            mb = bytearray()
+            col = int(ma.mut_col[j])
+            pw.write_varint_field(1, int(ma.positions[col]), mb)
+            pw.write_varint_field(2, nt_from_nuc_id(int(ma.ref[col])), mb)
+            pw.write_varint_field(3, nt_from_nuc_id(int(ma.mut_par[j])), mb)
+            pw.write_packed_int32_field(
+                4, nt_list_from_nuc_id(int(ma.mut_mut[j])), mb)
+            if ma.chrom:
+                pw.write_string_field(5, ma.chrom, mb)
+            pw.write_bytes_field(1, bytes(mb), ml)
+        pw.write_bytes_field(2, bytes(ml), out)
+
+    for name, leaves in ma.condensed:
+        cb = bytearray()
+        pw.write_string_field(1, name, cb)
+        for leaf in leaves:
+            pw.write_string_field(2, leaf, cb)
+        pw.write_bytes_field(3, bytes(cb), out)
+
+    if ma.ann_counts is not None and len(ma.ann_counts):
+        anns = ma.ann_blob.decode().split("\0")[:-1]
+        pos = 0
+        for slot in pre.tolist():
+            meta = bytearray()
+            cnt = int(ma.ann_counts[slot]) if slot < len(ma.ann_counts) \
+                else 0
+            for ann in anns[pos:pos + cnt]:
+                pw.write_string_field(1, ann, meta)
+            pos += cnt
+            pw.write_bytes_field(4, bytes(meta), out)
+
+    data = bytes(out)
+    if ".gz" in filename:
+        with gzip.open(filename, "wb") as f:
+            f.write(data)
+    else:
+        with open(filename, "wb") as f:
+            f.write(data)
