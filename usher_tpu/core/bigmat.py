@@ -326,9 +326,15 @@ class BigMAT:
 
     @property
     def n_pad(self) -> int:
-        """DFS row count padded to a 2048 bucket (bounds compile diversity
-        across epochs; padding rows are masked inactive)."""
-        return max(256, -(-self.N // 2048) * 2048)
+        """DFS row count padded to a deterministic x1.25 capacity ladder
+        (2048-aligned).  Incremental appends grow N every batch; a tight
+        bucket would change the jit shapes (= a full recompile, minutes on
+        a tunneled compile service) every ~2048 appends, so trade <=25%
+        padded rows (masked inactive) for shape stability."""
+        cap = 2048
+        while cap < self.N:
+            cap = -(-(cap * 5 // 4) // 2048) * 2048
+        return cap
 
     def _events(self, pos, gval, kmiss, spr: bool, skip_base=False):
         """Difference-array events for a batch (host, fully vectorized).
@@ -917,6 +923,42 @@ class BigMAT:
         best_score, best_slot, num_best, _ = self.place_arrays(pos, gval,
                                                                kmiss)
         return best_score, best_slot, num_best
+
+    def place_one_host(self, pos, gval, kmiss):
+        """Single-sample EXACT placement on the host (numpy mirror of the
+        interval engine): one difference array + cumsum over N rows.  Used
+        for mid-batch staleness re-scores, where a device dispatch plus the
+        post-append metadata re-upload would dominate (the appends
+        invalidate the device-resident epoch arrays).
+        Returns (best_score, best_slot, num_best, hu_best) scalars."""
+        self._flush()
+        *ev, add0 = self._events(pos, gval, kmiss, spr=False)
+        ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val = ev
+        N, n_pad = self.N, self.n_pad
+        diff = np.zeros(n_pad + 1, np.int64)
+        np.add.at(diff, ev_idx, ev_val)
+        run = np.cumsum(diff[:n_pad])
+        score = self.base.astype(np.int64) + int(add0[0]) \
+            + run[self.dfs_of]
+        ncv = np.zeros(n_pad + 1, np.int64)
+        np.add.at(ncv, nc_idx, nc_val)
+        nc = self.nc_base.astype(np.int64) + ncv[self.dfs_of]
+        hu = nc < self.node_num_mut
+        nc_pos = nc > 0
+        leaf = self.is_leaf
+        valid = (self.is_root_mask
+                 | (leaf & nc_pos)
+                 | (~leaf & hu & nc_pos)
+                 | (~leaf & ~hu)) & self.active
+        s = np.where(valid, score, 1 << 30)
+        best = int(s.min())
+        is_best = valid & (score == best)
+        num_best = int(is_best.sum())
+        leaves = np.where(is_best, self.num_leaves, -1)
+        is_best2 = is_best & (self.num_leaves == leaves.max())
+        rank = np.where(is_best2, self.bfs_rank, -1)
+        best_slot = int(np.argmax((self.bfs_rank == rank.max()) & is_best2))
+        return best, best_slot, num_best, bool(hu[best_slot])
 
     def place_arrays(self, pos, gval, kmiss):
         """Device-reduced placement of pre-sparsified samples: returns

@@ -256,22 +256,13 @@ class DirectPlacer:
                 num_best = int(nb[i])
                 hu_best = bool(hu[i])
                 if check_slots:
-                    # earlier applies in this batch may still be queued;
-                    # the oracle views need the flushed arrays
-                    big._flush()
-                    stale = best_slot in check_slots
-                    if not stale:
-                        for cs in check_slots:
-                            d = score_placement(self.node(cs), s.mutations,
-                                                compute_vecs=False)
-                            if d.is_valid and d.set_difference <= best_score:
-                                stale = True
-                                break
-                    if stale or num_best > 1:
-                        p1, g1, k1 = big.sparsify([s.mutations])
-                        b1, s1, n1, h1 = big.place_arrays(p1, g1, k1)
-                        best_score, best_slot = int(b1[0]), int(s1[0])
-                        num_best, hu_best = int(n1[0]), bool(h1[0])
+                    # earlier applies made the batch snapshot stale for
+                    # this sample; re-score EXACTLY on the host (numpy
+                    # interval engine, ~ms) — a device dispatch would
+                    # re-upload the post-append epoch metadata every time
+                    p1, g1, k1 = big.sparsify([s.mutations])
+                    best_score, best_slot, num_best, hu_best = \
+                        big.place_one_host(p1, g1, k1)
 
                 detail = score_placement(self.node(best_slot), s.mutations)
                 if detail.set_difference != best_score:
