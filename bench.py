@@ -402,9 +402,16 @@ def main():
              jnp.asarray(is_root), jnp.asarray(num_leaves),
              jnp.asarray(bfs_rank), jnp.asarray(pos), jnp.asarray(gval),
              jnp.asarray(kmiss))
+    import jax.numpy as _jnp
+
+    def _run_sparse():
+        # ONE packed host transfer: each np.asarray is a full round trip
+        # on a tunneled link (~30 ms each)
+        out = pp.placement_step_sparse(*sargs, pos.shape[1])
+        return np.asarray(_jnp.stack(out))
+
     t0 = time.time()
-    sbest = [np.asarray(x)
-             for x in pp.placement_step_sparse(*sargs, pos.shape[1])]
+    sbest = _run_sparse()
     sparse_compile_s = time.time() - t0
     _progress(f"placement_step_sparse compiled ({sparse_compile_s:.0f}s)")
 
@@ -413,8 +420,7 @@ def main():
     iters = 5 if jax.default_backend() == "tpu" else 1
     t0 = time.time()
     for _ in range(iters):
-        sbest = [np.asarray(x)
-                 for x in pp.placement_step_sparse(*sargs, pos.shape[1])]
+        sbest = _run_sparse()
     sdt = (time.time() - t0) / iters
     sparse_rate = BATCH / sdt
     _progress(f"sparse: {sdt*1e3:.1f} ms/batch -> {sparse_rate:.0f} samples/s")
@@ -451,7 +457,7 @@ def main():
         best = [np.asarray(x) for x in dev.placement_step(*args)]
         _progress("placement_step (dense) compiled")
         for a, b in zip(best, sbest):
-            np.testing.assert_array_equal(a, b)
+            np.testing.assert_array_equal(a, np.asarray(b))
         _progress("sparse == dense on the bench workload")
         t0 = time.time()
         for _ in range(iters):

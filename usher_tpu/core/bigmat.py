@@ -1001,14 +1001,18 @@ class BigMAT:
                 ovp = iv.pad_events(*oev[:3], self.n_pad, bucket=256)
                 ovn = iv.pad_events(*oev[3:6], self.n_pad, bucket=256)
                 csc = self._csc_dev()
-                best, best_row, num_best, hu = (
-                    np.asarray(x) for x in iv.interval_place_dev(
-                        *csc, jnp.asarray(pos.astype(np.int32)),
-                        jnp.asarray(gval), jnp.asarray(kmiss),
-                        *(jnp.asarray(a) for a in ovp),
-                        *(jnp.asarray(a) for a in ovn),
-                        meta["base"], meta["nc_base"], *margs,
-                        self.n_pad, b_pad, mc))
+                out = iv.interval_place_dev(
+                    *csc, jnp.asarray(pos.astype(np.int32)),
+                    jnp.asarray(gval), jnp.asarray(kmiss),
+                    *(jnp.asarray(a) for a in ovp),
+                    *(jnp.asarray(a) for a in ovn),
+                    meta["base"], meta["nc_base"], *margs,
+                    self.n_pad, b_pad, mc)
+                # ONE host transfer: each np.asarray is a full round trip
+                # on a tunneled link (~30 ms each)
+                packed4 = np.asarray(jnp.stack(
+                    [out[0], out[1], out[2], out[3].astype(jnp.int32)]))
+                best, best_row, num_best, hu = packed4
                 best_slot = self.dfs_order[np.minimum(best_row[:B],
                                                       self.N - 1)]
                 return (best[:B].astype(np.int32),
@@ -1022,17 +1026,19 @@ class BigMAT:
         if self.mesh is not None:
             fn = iv._place_sharded_fn(self.mesh, self.mesh.axis_names[0],
                                       self.n_pad, b_pad // self.mesh.size)
-            best, best_row, num_best, hu = (np.asarray(x) for x in fn(
-                *(jnp.asarray(a) for a in evp),
-                *(jnp.asarray(a) for a in ncp),
-                meta["base"], meta["nc_base"], jnp.asarray(add0p), *margs))
+            out = fn(*(jnp.asarray(a) for a in evp),
+                     *(jnp.asarray(a) for a in ncp),
+                     meta["base"], meta["nc_base"], jnp.asarray(add0p),
+                     *margs)
         else:
-            best, best_row, num_best, hu = (np.asarray(x)
-                                            for x in iv.interval_place(
+            out = iv.interval_place(
                 *(jnp.asarray(a) for a in evp),
                 *(jnp.asarray(a) for a in ncp),
                 meta["base"], meta["nc_base"], jnp.asarray(add0p), *margs,
-                self.n_pad, b_pad))
+                self.n_pad, b_pad)
+        packed4 = np.asarray(jnp.stack(
+            [out[0], out[1], out[2], out[3].astype(jnp.int32)]))
+        best, best_row, num_best, hu = packed4
         best_slot = self.dfs_order[np.minimum(best_row[:B], self.N - 1)]
         return (best[:B].astype(np.int32), best_slot.astype(np.int32),
                 num_best[:B].astype(np.int32), hu[:B].astype(bool))

@@ -61,6 +61,118 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _corr_tiles(v, w, spr: bool):
+    """Per-(node, slot) correction terms from the gathered packed states v
+    [TN, TBK] and the per-slot meta words w [1, TBK] (the shared epilogue
+    math of both kernel variants; see _kernel for the case analysis)."""
+    st_k = v & 0xF
+    stp_k = v >> 4
+    gv = w & 0xF
+    kvalid = (w >> 4) & 1
+    kmiss = (w >> 5) & 1
+    rk = (w >> 8) & 0xF
+
+    bm = st_k != stp_k
+    matched = (gv & st_k) != 0
+    matched_r = (rk & st_k) != 0
+    a = jnp.where(bm & ~matched, stp_k, st_k)
+    term1 = jnp.where((kmiss == 0) & ((gv & a) == 0), 1, 0)
+    # what this position contributed to base[n] (the g == ref value), to be
+    # replaced by term1.  Two base semantics exist:
+    #  - placement (spr=False): no-entry term (A_r != ref)
+    #  - SPR (spr=True): E=1-everywhere term ((ref & A_r) == 0)
+    #    (optimize/spr.py _score_moves; differs when A_r is a multi-bit
+    #    ambiguity mask containing ref)
+    if spr:
+        a_r = jnp.where(bm & ~matched_r, stp_k, st_k)
+        sub = jnp.where((rk & a_r) == 0, 1, 0)
+    else:
+        sub = jnp.where(bm & ~matched_r,
+                        jnp.where(stp_k != rk, 1, 0),
+                        jnp.where(st_k != rk, 1, 0))
+    corr = kvalid * (term1 - sub)                # [TN, TBK]
+
+    nca = jnp.where(bm & matched, 1, 0)
+    ncb = jnp.where(bm & ((rk & st_k) != 0), 1, 0)
+    corr_nc = kvalid * (nca - ncb)
+    return corr, corr_nc
+
+
+def _segsum(corr, corr_nc, K: int):
+    """Per-sample segment sums of the K entry slots as block-diagonal
+    matmuls.  bf16 operands when exact (|corr| <= 1, sums <= K <= 256: bf16
+    integers are exact to 256) — the f32-HIGHEST dot here was ~2x of the
+    whole kernel's runtime (multi-pass f32 emulation on the MXU)."""
+    TBK = corr.shape[1]
+    tb = TBK // K
+    row = jax.lax.broadcasted_iota(jnp.int32, (TBK, tb), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (TBK, tb), 1)
+    dt = jnp.bfloat16 if K <= 256 else jnp.float32
+    seg = ((row // K) == col).astype(dt)
+    cs = jnp.dot(corr.astype(dt), seg,
+                 preferred_element_type=jnp.float32).astype(jnp.int32)
+    ns = jnp.dot(corr_nc.astype(dt), seg,
+                 preferred_element_type=jnp.float32).astype(jnp.int32)
+    return cs, ns
+
+
+def _kernel_reduce(meta_ref, base_ref, nodemeta_ref, packed_ref, o_ref,
+                   best_ref, cnt_ref, p1_ref, p2_ref, acc_ref, *, K: int):
+    """The fused-placement kernel variant: computes validity and a per-tile
+    PARTIAL tie-break reduction in-register, so the [N, B] score/nc
+    matrices never touch HBM.  Partials merge exactly across node tiles:
+      best  min valid score          cnt  #rows at best
+      p1    max leaves among best    p2   max (rank*2 | hu) among
+                                          (best & leaves == p1)
+    (p2's LSB carries the winner's has_unique bit; bfs_rank is unique per
+    node so the packing never perturbs the rank order.)
+
+    nodemeta_ref [TN, 8] int32: 0=num_leaves, 1=bfs_rank, 2=node_num_mut,
+    3=flags (active | is_leaf<<1 | is_root<<2).
+    """
+    kp = pl.program_id(2)
+    part = jnp.dot(packed_ref[:], o_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(kp == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(kp > 0)
+    def _():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(kp == pl.num_programs(2) - 1)
+    def _():
+        v = acc_ref[:].astype(jnp.int32)
+        corr, corr_nc = _corr_tiles(v, meta_ref[0], spr=False)
+        cs, ns = _segsum(corr, corr_nc, K)
+        score = base_ref[:, 0:1] + cs                # [TN, tb]
+        nc = base_ref[:, 1:2] + ns
+        nnm = nodemeta_ref[:, 2:3]
+        flags = nodemeta_ref[:, 3:4]
+        active = (flags & 1) == 1
+        leaf = ((flags >> 1) & 1) == 1
+        root = ((flags >> 2) & 1) == 1
+        hu = nc < nnm
+        nc_pos = nc > 0
+        valid = (root | (leaf & nc_pos) | (~leaf & hu & nc_pos)
+                 | (~leaf & ~hu)) & active
+        s = jnp.where(valid, score, BIG)
+        best = jnp.min(s, axis=0)
+        is_best = valid & (score == best[None, :])
+        cnt = jnp.sum(is_best.astype(jnp.int32), axis=0)
+        neg = jnp.int32(-1)
+        nl = nodemeta_ref[:, 0:1]
+        p1 = jnp.max(jnp.where(is_best, nl, neg), axis=0)
+        rank2 = nodemeta_ref[:, 1:2] * 2 + hu.astype(jnp.int32)
+        p2 = jnp.max(jnp.where(is_best & (nl == p1[None, :]), rank2, neg),
+                     axis=0)
+        best_ref[0, 0, 0] = best
+        cnt_ref[0, 0, 0] = cnt
+        p1_ref[0, 0, 0] = p1
+        p2_ref[0, 0, 0] = p2
+
+
 def _kernel(meta_ref, base_ref, packed_ref, o_ref, score_ref, nc_ref,
             acc_ref, *, K: int, spr: bool = False):
     """Grid (Nt, Bt, Pt); Pt innermost accumulates the one-hot contraction.
@@ -87,51 +199,8 @@ def _kernel(meta_ref, base_ref, packed_ref, o_ref, score_ref, nc_ref,
     @pl.when(kp == pl.num_programs(2) - 1)
     def _():
         v = acc_ref[:].astype(jnp.int32)            # [TN, TBK]
-        st_k = v & 0xF
-        stp_k = v >> 4
-        w = meta_ref[0]                              # [1, TBK]
-        gv = w & 0xF
-        kvalid = (w >> 4) & 1
-        kmiss = (w >> 5) & 1
-        rk = (w >> 8) & 0xF
-
-        bm = st_k != stp_k
-        matched = (gv & st_k) != 0
-        matched_r = (rk & st_k) != 0
-        a = jnp.where(bm & ~matched, stp_k, st_k)
-        term1 = jnp.where((kmiss == 0) & ((gv & a) == 0), 1, 0)
-        # what this position contributed to base[n] (the g == ref value),
-        # to be replaced by term1.  Two base semantics exist:
-        #  - placement (spr=False): no-entry term (A_r != ref)
-        #  - SPR (spr=True): E=1-everywhere term ((ref & A_r) == 0)
-        #    (optimize/spr.py _score_moves; differs when A_r is a multi-bit
-        #    ambiguity mask containing ref)
-        if spr:
-            a_r = jnp.where(bm & ~matched_r, stp_k, st_k)
-            sub = jnp.where((rk & a_r) == 0, 1, 0)
-        else:
-            sub = jnp.where(bm & ~matched_r,
-                            jnp.where(stp_k != rk, 1, 0),
-                            jnp.where(st_k != rk, 1, 0))
-        corr = kvalid * (term1 - sub)                # [TN, TBK]
-
-        nca = jnp.where(bm & matched, 1, 0)
-        ncb = jnp.where(bm & ((rk & st_k) != 0), 1, 0)
-        corr_nc = kvalid * (nca - ncb)
-
-        tb = TBK // K
-        row = jax.lax.broadcasted_iota(jnp.int32, (TBK, tb), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (TBK, tb), 1)
-        # per-sample segment sums as a block-diagonal matmul.  bf16 operands
-        # when exact (|corr| <= 1, segment sums <= K <= 256: bf16 integers
-        # are exact to 256) — the f32-HIGHEST dot here was ~2x of the whole
-        # kernel's runtime (multi-pass f32 emulation on the MXU).
-        dt = jnp.bfloat16 if K <= 256 else jnp.float32
-        seg = ((row // K) == col).astype(dt)
-        cs = jnp.dot(corr.astype(dt), seg,
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
-        ns = jnp.dot(corr_nc.astype(dt), seg,
-                     preferred_element_type=jnp.float32).astype(jnp.int32)
+        corr, corr_nc = _corr_tiles(v, meta_ref[0], spr)
+        cs, ns = _segsum(corr, corr_nc, K)
         score_ref[0] = base_ref[:, 0:1] + cs
         nc_ref[0] = base_ref[:, 1:2] + ns
 
@@ -407,9 +476,9 @@ def placement_step_sparse(st, parent, root_slot, ref, active, is_leaf,
     scoring + validity + tie-broken argmin.  Returns
     (best_score [B], best_slot [B], num_best [B]).
 
-    The reduction consumes the kernel's native [bt, n_pad, tb] tiles
-    directly (node axis = axis 1), skipping the [N, B] relayout — at the
-    bench shape that transpose is a full HBM round-trip of both matrices.
+    Validity and a PARTIAL tie-break reduction run inside the kernel
+    (_kernel_reduce), so the [N, B] score/nc matrices never touch HBM;
+    only tiny [bt, nt, tb] partials come out, merged here exactly.
     """
     stp = st[parent]
     stp = stp.at[root_slot].set(st[root_slot])
@@ -423,36 +492,81 @@ def placement_step_sparse(st, parent, root_slot, ref, active, is_leaf,
     nc_base = ((sti != stpi) & ((refi & sti) != 0)).sum(1, dtype=jnp.int32)
     nnm = (sti != stpi).sum(1, dtype=jnp.int32)
 
-    score3, nc3, N, B, n_pad, b_pad = _score_entries_3d(
-        st, stp, ref, base, nc_base, pos, gval, kmiss, k_slots)
+    K = k_slots
+    assert TBK % K == 0
+    tb = TBK // K
+    N, P = st.shape
+    B = pos.shape[0]
+    n_pad = -(-N // TN) * TN
+    p_pad = -(-P // TP) * TP
+    b_pad = -(-B // tb) * tb
 
-    def padded(a, fill):
-        return _pad_to(a, n_pad, 0, value=fill)[None, :, None]
+    packed = (sti | (stpi << 4)).astype(jnp.bfloat16)
+    packed = _pad_to(_pad_to(packed, n_pad, 0), p_pad, 1)
+    base2 = _pad_to(jnp.stack([base, nc_base], axis=1), n_pad, 0)
+    flags = (active.astype(jnp.int32)
+             | (is_leaf.astype(jnp.int32) << 1)
+             | (is_root_mask.astype(jnp.int32) << 2))
+    nodemeta = jnp.stack(
+        [num_leaves.astype(jnp.int32), bfs_rank.astype(jnp.int32),
+         nnm, flags] + [jnp.zeros(N, jnp.int32)] * 4, axis=1)
+    nodemeta = _pad_to(nodemeta, n_pad, 0)  # padded rows: active == 0
 
-    act = padded(active, False)
-    hu = nc3 < padded(nnm, 0)
-    nc_pos = nc3 > 0
-    leaf = padded(is_leaf, False)
-    valid = (padded(is_root_mask, False)
-             | (leaf & nc_pos)
-             | (~leaf & hu & nc_pos)
-             | (~leaf & ~hu)) & act
+    posi = pos.astype(jnp.int32)
+    kvalid = posi < P
+    pos_eff = jnp.where(kvalid, posi, p_pad)
+    refk = refi[0][jnp.clip(posi, 0, P - 1)] * kvalid
+    meta = (gval.astype(jnp.int32)
+            | (kvalid.astype(jnp.int32) << 4)
+            | (kmiss.astype(jnp.int32) << 5)
+            | (refk << 8))
+    meta = _pad_to(meta, b_pad, 0).reshape(b_pad // tb, 1, TBK)
+    pos_eff = _pad_to(pos_eff, b_pad, 0, value=p_pad)
+    onehot = (pos_eff.reshape(-1)[None, :]
+              == jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+              ).astype(jnp.bfloat16)
 
-    s = jnp.where(valid, score3, BIG)
-    best = jnp.min(s, axis=1)                       # [bt, tb]
-    is_best = valid & (score3 == best[:, None, :])
-    num_best = is_best.sum(axis=1, dtype=jnp.int32)
+    nt, bt, pt = n_pad // TN, b_pad // tb, p_pad // TP
+    # partials are [bt, nt, 1, tb] so the (1, tb) trailing block dims are
+    # full-array (TPU block-shape divisibility rule)
+    part_spec = pl.BlockSpec((1, 1, 1, tb), lambda j, i, k: (j, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    part_shape = jax.ShapeDtypeStruct((bt, nt, 1, tb), jnp.int32)
+    pbest, pcnt, p1, p2 = pl.pallas_call(
+        functools.partial(_kernel_reduce, K=K),
+        grid=(bt, nt, pt),
+        in_specs=[
+            pl.BlockSpec((1, 1, TBK), lambda j, i, k: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 2), lambda j, i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 8), lambda j, i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TP), lambda j, i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TP, TBK), lambda j, i, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[part_spec] * 4,
+        out_shape=[part_shape] * 4,
+        scratch_shapes=[pltpu.VMEM((TN, TBK), jnp.float32)],
+        interpret=_interpret(),
+    )(meta, base2, nodemeta, packed, onehot)
+    pbest, pcnt, p1, p2 = (x[:, :, 0, :] for x in (pbest, pcnt, p1, p2))
+
+    # exact cross-tile merge of the partials
+    gbest = jnp.min(pbest, axis=1)                   # [bt, tb]
+    m = pbest == gbest[:, None, :]
+    num_best = jnp.sum(jnp.where(m, pcnt, 0), axis=1)
     neg = jnp.int32(-1)
-    nl = padded(num_leaves, neg)
-    lm = jnp.where(is_best, nl, neg)
-    best_leaves = jnp.max(lm, axis=1)
-    is_best2 = is_best & (nl == best_leaves[:, None, :])
-    br = padded(bfs_rank, neg)
-    rm = jnp.where(is_best2, br, neg)
-    best_rank = jnp.max(rm, axis=1)
-    best_row = jnp.argmax((br == best_rank[:, None, :]) & is_best2,
-                          axis=1)                   # [bt, tb]
-    return (best.reshape(-1)[:B], best_row.astype(jnp.int32).reshape(-1)[:B],
+    g1 = jnp.max(jnp.where(m, p1, neg), axis=1)
+    g2 = jnp.max(jnp.where(m & (p1 == g1[:, None, :]), p2, neg), axis=1)
+    rank = jnp.maximum(g2 >> 1, 0)
+    # winner row via the inverse rank permutation (bfs_rank is unique)
+    row_of_rank = jnp.zeros(N, jnp.int32).at[bfs_rank].set(
+        jnp.arange(N, dtype=jnp.int32))
+    best_row = row_of_rank[jnp.minimum(rank.reshape(-1), N - 1)]
+    return (gbest.reshape(-1)[:B], best_row[:B],
             num_best.reshape(-1)[:B])
 
 

@@ -25,6 +25,16 @@ from ..core.tree import Tree
 from .spr import Move, MoveFinder, collapse_bonus
 
 
+def _fetch3(out):
+    """ONE host transfer for the three per-chunk result vectors (each
+    np.asarray is a full round trip on a tunneled link)."""
+    packed = np.asarray(jnp.stack([out[0].astype(jnp.int32),
+                                   out[1].astype(jnp.int32),
+                                   out[2].astype(jnp.int32)]))
+    return packed[0], packed[1], packed[2]
+
+
+
 class BigMoveFinder(MoveFinder):
     """MoveFinder drop-in whose scoring path never materializes [N, P]
     state matrices on device."""
@@ -213,7 +223,7 @@ class BigMoveFinder(MoveFinder):
                                        n_pad, bucket=1024)
                 fn = iv._spr_sharded_fn(self.mesh, self.mesh.axis_names[0],
                                         n_pad, bl)
-                cost, row, hu = (np.asarray(x) for x in fn(
+                cost, row, hu = _fetch3(fn(
                     *(jnp.asarray(a) for a in evp),
                     *(jnp.asarray(a) for a in ncp),
                     *(jnp.asarray(a) for a in cntp),
@@ -235,8 +245,7 @@ class BigMoveFinder(MoveFinder):
                     gval_p = np.zeros((b_pad, gval.shape[1]), np.uint8)
                     gval_p[:B] = gval
                     csc = big._csc_dev()
-                    cost, row, hu = (np.asarray(x)
-                                     for x in iv.interval_spr_dev(
+                    cost, row, hu = _fetch3(iv.interval_spr_dev(
                         *csc, jnp.asarray(pos_p), jnp.asarray(gval_p),
                         *(jnp.asarray(a) for a in cntp),
                         meta["base"], meta["nc_base"], *margs,
@@ -249,7 +258,7 @@ class BigMoveFinder(MoveFinder):
                     add0p[:B] = add0
                     evp = iv.pad_events(*ev[:3], n_pad)
                     ncp = iv.pad_events(*ev[3:6], n_pad)
-                    cost, row, hu = (np.asarray(x) for x in iv.interval_spr(
+                    cost, row, hu = _fetch3(iv.interval_spr(
                         *(jnp.asarray(a) for a in evp),
                         *(jnp.asarray(a) for a in ncp),
                         *(jnp.asarray(a) for a in cntp),
