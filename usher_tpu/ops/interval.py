@@ -425,7 +425,7 @@ def shard_events(ev, nd, bl, n_pad, bucket: int = 4096):
 
 @functools.lru_cache(maxsize=None)
 def _place_sharded_fn(mesh, axis, n_pad: int, bl: int):
-    from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: F401
+    from jax.sharding import PartitionSpec as P
     ev_spec = P(axis, None)
     rep = P()
 

@@ -24,13 +24,13 @@ from __future__ import annotations
 
 import os
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..core.nuc import N as NUC_N
 from ..core.tree import Mutation, MissingSample
-from ..io.pb_arrays import MatArrays, load_mat_arrays
+from ..io.pb_arrays import load_mat_arrays
 from ..io.vcf import read_vcf_sites
 from .mapper import score_placement
 
@@ -73,12 +73,6 @@ class DirectOptions:
     max_uncertainty: int = 1_000_000
     max_parsimony: int = 1_000_000
     no_add: bool = False
-
-
-@dataclass
-class _Sample:
-    name: str
-    mutations: list = field(default_factory=list)
 
 
 class DirectPlacer:
