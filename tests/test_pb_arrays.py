@@ -163,3 +163,55 @@ def test_save_arrays_roundtrip(tmp_path):
     assert ma.names_blob == ma2.names_blob
     assert ma.condensed == ma2.condensed
     assert ma.ann_blob == ma2.ann_blob
+
+
+@pytest.mark.parametrize("extra", [["-n"], ["-E", "0"], ["-e", "1"]])
+def test_pb_direct_flag_parity(tmp_path, extra):
+    """--pb-direct must match --bigmat under no-add and threshold flags
+    too (stats tsv + final tree byte-equal)."""
+    import os
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+
+    pb = str(tmp_path / "out.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", str(tmp_path / "b"),
+                       "--mesh-devices", "0"]) == 0
+    d1, d2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    base = ["-i", pb, "-v", os.path.join(ref_dir, "new_samples.vcf"),
+            "--mesh-devices", "0"]
+    assert usher_main(base + ["-d", d1, "--bigmat"] + extra) == 0
+    assert usher_main(base + ["-d", d2, "--pb-direct"] + extra) == 0
+    for fn in ("placement_stats.tsv", "final-tree.nh"):
+        with open(os.path.join(d1, fn)) as f1, \
+                open(os.path.join(d2, fn)) as f2:
+            assert f1.read() == f2.read(), (fn, extra)
+
+
+def test_pb_direct_mesh_identical(tmp_path):
+    """--pb-direct --mesh-devices 8 (batch shard_map) must be byte-equal
+    to single-device direct placement."""
+    import os
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+
+    pb = str(tmp_path / "out.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", str(tmp_path / "b"),
+                       "--mesh-devices", "0"]) == 0
+    d1, d2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    base = ["-i", pb, "-v", os.path.join(ref_dir, "new_samples.vcf"),
+            "--pb-direct"]
+    assert usher_main(base + ["-d", d1, "--mesh-devices", "0"]) == 0
+    assert usher_main(base + ["-d", d2, "--mesh-devices", "8"]) == 0
+    for fn in ("placement_stats.tsv", "final-tree.nh",
+               "mutation-paths.txt"):
+        with open(os.path.join(d1, fn)) as f1, \
+                open(os.path.join(d2, fn)) as f2:
+            assert f1.read() == f2.read(), fn

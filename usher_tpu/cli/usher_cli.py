@@ -110,11 +110,25 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
         from ..placement.direct import DirectOptions, run_usher_direct
+        mesh = None
+        want = args.mesh_devices
+        if want == -1:
+            import jax
+            nd = len(jax.devices())
+            want = nd if (nd > 1
+                          and jax.default_backend() == "tpu") else 0
+        if want > 1:
+            import jax
+            import numpy as _np
+            from jax.sharding import Mesh
+            mesh = Mesh(_np.array(jax.devices()[:want]), ("batch",))
+            print(f"Sharding direct placement over {want} devices.",
+                  file=sys.stderr)
         return run_usher_direct(args.din, args.vcf, DirectOptions(
             outdir=args.outdir, batch_size=args.batch_size,
             max_uncertainty=args.max_uncertainty_per_sample,
             max_parsimony=args.max_parsimony_per_sample,
-            no_add=args.no_add))
+            no_add=args.no_add), mesh=mesh)
     if args.tree:
         print("Loading input tree.", file=sys.stderr)
         T = parse_newick(args.tree)

@@ -76,7 +76,11 @@ class DirectOptions:
 
 
 class DirectPlacer:
-    def __init__(self, pb_path: str, vcf_path: str | None = None):
+    def __init__(self, pb_path: str, vcf_path: str | None = None,
+                 mesh=None):
+        """mesh: optional jax Mesh (flattened to 1-D) — batch-axis
+        shard_map composition for the device scoring calls
+        (ops/interval.py; CSR metadata replicated per device)."""
         ma = load_mat_arrays(pb_path)
         self.ma = ma
         self.chrom = ma.chrom
@@ -111,6 +115,10 @@ class DirectPlacer:
             self.big._recompute_ranks()
         else:
             self.big = ma.to_bigmat()
+        if mesh is not None and len(mesh.axis_names) > 1:
+            from jax.sharding import Mesh
+            mesh = Mesh(np.asarray(mesh.devices).reshape(-1), ("batch",))
+        self.big.mesh = mesh
         # internal-node counter continues the parser's numbering: one
         # node_<k> per '(' (= one per internal node; condensed LEAF names
         # may also start with node_ and must not count)
@@ -375,7 +383,7 @@ class DirectPlacer:
 
 
 def run_usher_direct(pb_path: str, vcf_path: str,
-                     opts: DirectOptions) -> int:
-    placer = DirectPlacer(pb_path, vcf_path)
+                     opts: DirectOptions, mesh=None) -> int:
+    placer = DirectPlacer(pb_path, vcf_path, mesh=mesh)
     placer.place_all(opts)
     return 0
