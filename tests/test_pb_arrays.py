@@ -3,6 +3,7 @@ loader: identical trees, scoring aggregates, tie-break ranks, placements,
 and newick output — via both the native C++ scanners and the pure-Python
 fallback."""
 
+import os
 import numpy as np
 import pytest
 
@@ -215,3 +216,27 @@ def test_pb_direct_mesh_identical(tmp_path):
         with open(os.path.join(d1, fn)) as f1, \
                 open(os.path.join(d2, fn)) as f2:
             assert f1.read() == f2.read(), fn
+
+
+def test_pb_direct_duplicate_sample_skipped(tmp_path):
+    """A sample appearing twice in the VCF is placed once and warned about
+    on the second occurrence (run_usher's mid-loop T.get_node check)."""
+    rng = np.random.default_rng(21)
+    T, ref = random_mat(rng, n_leaves=25, n_positions=15)
+    pb = str(tmp_path / "t.pb")
+    save_mat_pb(T, pb)
+    positions = sorted(ref)
+    bases = {1: "A", 2: "C", 4: "G", 8: "T"}
+    vcf = str(tmp_path / "s.vcf")
+    with open(vcf, "w") as f:
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                "DUP\tDUP\n")
+        p0 = positions[0]
+        r = ref[p0]
+        alt = 1 if r != 1 else 2
+        f.write(f"c\t{p0}\t.\t{bases[r]}\t{bases[alt]}\t.\t.\t.\tGT\t1\t1\n")
+    from usher_tpu.placement.direct import DirectOptions, run_usher_direct
+    out = str(tmp_path / "o")
+    assert run_usher_direct(pb, vcf, DirectOptions(outdir=out)) == 0
+    tree = open(os.path.join(out, "final-tree.nh")).read()
+    assert tree.count("DUP") == 1

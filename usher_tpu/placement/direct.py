@@ -126,6 +126,7 @@ class DirectPlacer:
         # per-node mutation-list deltas (split/appended nodes); everything
         # else reads the CSR directly
         self._mut_delta: dict[int, list] = {}
+        self._placed: set[str] = set()
 
     # --- node views ---------------------------------------------------------
 
@@ -253,6 +254,12 @@ class DirectPlacer:
             bs, slot, nb, hu = big.place_arrays(pos, gval, kmiss)
             check_slots: set[int] = set()
             for i, s in enumerate(batch):
+                if s.name in self._placed:
+                    # duplicate within the VCF: the Tree driver's mid-loop
+                    # T.get_node check skips it the same way
+                    _err(f"WARNING: Sample {s.name} already in the tree! "
+                         f"Ignoring.\n")
+                    continue
                 best_score = int(bs[i])
                 best_slot = int(slot[i])
                 num_best = int(nb[i])
@@ -302,6 +309,7 @@ class DirectPlacer:
                         changed = self.apply_placement(
                             s.name, best_slot, hu_best, detail.excess)
                         check_slots.update(changed)
+                        self._placed.add(s.name)
                     if detail.imputed:
                         from ..placement.driver import _nuc_char
                         imp = ";".join(
