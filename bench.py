@@ -291,9 +291,6 @@ def bench_direct_e2e(rng):
             if not alts:
                 continue
             alt_idx = {v: i + 1 for i, v in enumerate(alts)}
-            row = [str(by_pos[pcol].get(b, 0) and
-                       alt_idx.get(by_pos[pcol].get(b), 0)) if b in
-                   by_pos[pcol] else "0" for b in range(B)]
             row = [str(alt_idx.get(by_pos[pcol][b], 0))
                    if b in by_pos[pcol] else "0" for b in range(B)]
             f.write(f"chr\t{100+pcol}\t.\t{bases[r]}\t"

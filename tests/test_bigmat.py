@@ -359,3 +359,41 @@ def test_place_arrays_dev_expansion_with_overlay():
     bs, slot, nb, hu = big.place_arrays(pos, gval, kmiss)
     np.testing.assert_array_equal(bs, exp_best)
     np.testing.assert_array_equal(nb, exp_nb)
+
+
+def test_spr_scoring_after_incremental_appends():
+    """base_spr / score_spr_T must be exact AFTER incremental appends
+    (sibling split + child insert): compared against a from-scratch
+    rebuild of the evolved tree (regression: the spr aggregates were
+    derived from stale precompute-time snapshots)."""
+    from usher_tpu.core.bigmat import BigMAT
+    from usher_tpu.placement.big_engine import BigPlacementEngine
+    from usher_tpu.placement.mapper import score_placement
+
+    rng = np.random.default_rng(55)
+    T, ref = random_mat(rng, n_leaves=30, n_positions=18)
+    samples = [(f"S{i}", random_sample(rng, ref)) for i in range(6)]
+    eng = BigPlacementEngine(
+        T, extra_mutations=[m for _, s in samples for m in s])
+    for name, muts in samples:
+        muts.sort(key=lambda m: m.position)
+        r = eng.score_samples([muts])[0]
+        d = score_placement(r.best_node, muts)
+        eng.apply_placement(name, r, d.excess)
+    big = eng._ensure()
+    assert big._appended or big._pending
+    big._flush()  # materialize queued appends before mapping nodes
+
+    fresh = BigMAT.from_tree(T, eng.positions, eng.ref)
+    b_slot = {id(n): i for i, n in enumerate(fresh._nodes)}
+    amap = np.array([b_slot[id(n)] for n in big._nodes])
+    np.testing.assert_array_equal(big.base_spr, fresh.base_spr[amap])
+
+    K = 6
+    pos = rng.integers(0, big.P, size=(4, K)).astype(np.int32)
+    gval = np.array([1, 2, 4, 8], np.uint8)[
+        rng.integers(0, 4, size=(4, K))]
+    s1, n1, _ = big.score_spr_T(pos, gval)
+    s2, n2, _ = fresh.score_spr_T(pos, gval)
+    np.testing.assert_array_equal(s1, s2[amap])
+    np.testing.assert_array_equal(n1, n2[amap])

@@ -191,6 +191,7 @@ class BigMAT:
 
         # inverted mutation index (CSC by column) for on-demand columns
         csc_order = np.argsort(self.mut_col, kind="stable")
+        self._csc_order = csc_order
         self.csc_node = mut_node[csc_order].astype(np.int32)
         self.csc_mut = self.mut_mut[csc_order]
         self.csc_par = self.mut_par[csc_order]
@@ -262,25 +263,52 @@ class BigMAT:
         like the placement F recurrence; n's own branch positions swap in the
         bm-aware term.  nc_base is IDENTICAL between the two modes."""
         if self._base_spr is None:
-            refm = self.ref[self.mut_col].astype(np.int32)
-            mi = self.mut_mut.astype(np.int32)
-            pi = self.mut_par.astype(np.int32)
-            eff = mi != pi
-            matched = (refm & mi) != 0
-            miss_mi = ((refm & mi) == 0).astype(np.int64)
-            miss_pi = ((refm & pi) == 0).astype(np.int64)
+            self._flush()
+            N = self.N
+            # mutation set: base CSR minus tombstones, plus the overlay
+            # from incremental appends (the precompute-time _mut_node /
+            # level snapshots go stale after _flush, so everything here is
+            # derived from CURRENT state)
+            mut_node = np.repeat(
+                np.arange(len(self.mut_ptr) - 1, dtype=np.int64),
+                np.diff(self.mut_ptr).astype(np.int64))
+            col = self.mut_col.astype(np.int64)
+            par = self.mut_par.astype(np.int32)
+            mut = self.mut_mut.astype(np.int32)
+            rootm = self.is_root_mask[mut_node]
+            if self.csc_dead is not None:
+                dead_csr = np.zeros(len(mut_node), bool)
+                dead_csr[self._csc_order[self.csc_dead]] = True
+                keep = ~dead_csr
+                mut_node, col = mut_node[keep], col[keep]
+                par, mut, rootm = par[keep], mut[keep], rootm[keep]
+            if self._ov is not None:
+                mut_node = np.concatenate([mut_node,
+                                           self._ov[0].astype(np.int64)])
+                col = np.concatenate([col, self._ov[1].astype(np.int64)])
+                par = np.concatenate([par, self._ov[2].astype(np.int32)])
+                mut = np.concatenate([mut, self._ov[3].astype(np.int32)])
+                rootm = np.concatenate(
+                    [rootm, np.zeros(len(self._ov[0]), bool)])
+            refm = self.ref[col].astype(np.int32)
+            eff = mut != par
+            matched = (refm & mut) != 0
+            miss_mi = ((refm & mut) == 0).astype(np.int64)
+            miss_pi = ((refm & par) == 0).astype(np.int64)
             g_delta_m = np.where(eff, miss_mi - miss_pi, 0)
             own_corr_m = np.where(eff & ~matched, miss_pi - miss_mi, 0)
-            own_corr_m = np.where(self._root_mut, 0, own_corr_m)
-            N = self.N
-            g_delta = np.bincount(self._mut_node, weights=g_delta_m,
+            own_corr_m = np.where(rootm, 0, own_corr_m)
+            g_delta = np.bincount(mut_node, weights=g_delta_m,
                                   minlength=N).astype(np.int64)
-            own_corr = np.bincount(self._mut_node, weights=own_corr_m,
+            own_corr = np.bincount(mut_node, weights=own_corr_m,
                                    minlength=N).astype(np.int64)
+            level = self.level
+            order = np.argsort(level, kind="stable")
+            bounds = np.searchsorted(level[order],
+                                     np.arange(int(level.max()) + 2))
             G = np.zeros(N, dtype=np.int64)
-            order, bounds = self._level_order, self._level_bounds
             parent = self.parent
-            for li in range(self.max_depth):
+            for li in range(len(bounds) - 1):
                 idx = order[bounds[li]:bounds[li + 1]]
                 if li == 0:
                     G[idx] = g_delta[idx]

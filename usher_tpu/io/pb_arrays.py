@@ -332,14 +332,16 @@ def save_arrays_to_pb(ma: MatArrays, filename: str) -> None:
 
     if ma.ann_counts is not None and len(ma.ann_counts):
         anns = ma.ann_blob.decode().split("\0")[:-1]
-        pos = 0
+        # ann_blob is stored in SLOT order — index by per-slot offsets, not
+        # a cursor advancing in the (recomputed) preorder
+        acounts = np.zeros(n, np.int64)
+        acounts[:len(ma.ann_counts)] = ma.ann_counts
+        astarts = np.cumsum(acounts) - acounts
         for slot in pre.tolist():
             meta = bytearray()
-            cnt = int(ma.ann_counts[slot]) if slot < len(ma.ann_counts) \
-                else 0
-            for ann in anns[pos:pos + cnt]:
+            lo = int(astarts[slot])
+            for ann in anns[lo:lo + int(acounts[slot])]:
                 pw.write_string_field(1, ann, meta)
-            pos += cnt
             pw.write_bytes_field(4, bytes(meta), out)
 
     data = bytes(out)

@@ -236,6 +236,12 @@ class BigMoveFinder(MoveFinder):
                 cntp = iv.pad_events(cnt_idx, cnt_b, cnt_val, n_pad,
                                      bucket=1024)
                 mc = self._mc_for(pos)
+                # the expansion materializes [b_pad, K, mc] intermediates;
+                # one exceedingly deviant source (near-root subtree mask)
+                # can inflate K unboundedly — fall back to host events
+                # (linear in actual deviations) past a memory budget
+                if mc is not None and b_pad * pos.shape[1] * mc > (1 << 25):
+                    mc = None
                 if mc is not None:
                     # device-side expansion from the resident CSC index:
                     # per-chunk H2D is the [B, K] deviation arrays, not the
