@@ -49,6 +49,22 @@ class BigMAT:
     be FS-canonicalized first (FitchEngine.rewrite_mutations).
     """
 
+    _ranks_dirty = False
+
+    @property
+    def bfs_rank(self):
+        """Exact BFS tie-break ranks; recomputed lazily after incremental
+        appends (the full vectorized sweep is the dominant per-flush cost
+        at pandemic scale, and most flush consumers never read ranks)."""
+        if self._ranks_dirty:
+            self._recompute_ranks()
+        return self._bfs_rank
+
+    @bfs_rank.setter
+    def bfs_rank(self, v):
+        self._bfs_rank = v
+        self._ranks_dirty = False
+
     def __init__(self, parent, mut_ptr, mut_col, mut_par, mut_mut,
                  positions, ref, num_leaves=None, bfs_rank=None):
         self.parent = np.asarray(parent, dtype=np.int32)
@@ -779,7 +795,7 @@ class BigMAT:
                 mut_a = np.concatenate([self._ov[3], mut_a])
             o = np.argsort(col_a, kind="stable")
             self._ov = (node_a[o], col_a[o], par_a[o], mut_a[o])
-        self._recompute_ranks()
+        self._ranks_dirty = True
         self._base_spr = None
         for k in ("_dfs_meta_spr", "_dfs_meta_plc", "_csc_dev_cache"):
             if hasattr(self, k):
@@ -861,7 +877,8 @@ class BigMAT:
                                  rank[self.parent[idx]]))
                 rank[idx[o2]] = start + np.arange(len(idx))
             start += len(idx)
-        self.bfs_rank = rank.astype(np.int32)
+        self._bfs_rank = rank.astype(np.int32)
+        self._ranks_dirty = False
 
     # --- sample encoding ----------------------------------------------------
 
@@ -984,9 +1001,33 @@ class BigMAT:
         num_best = int(is_best.sum())
         leaves = np.where(is_best, self.num_leaves, -1)
         is_best2 = is_best & (self.num_leaves == leaves.max())
-        rank = np.where(is_best2, self.bfs_rank, -1)
-        best_slot = int(np.argmax((self.bfs_rank == rank.max()) & is_best2))
+        cand = np.nonzero(is_best2)[0]
+        if len(cand) == 1:
+            best_slot = int(cand[0])
+        elif self._ranks_dirty and len(cand) <= 512:
+            # max BFS rank without the global rank sweep: BFS order is
+            # (level, root-path chain of child keys) lexicographic
+            best_slot = int(max(cand.tolist(), key=self._bfs_chain_key))
+        else:
+            rank = np.where(is_best2, self.bfs_rank, -1)
+            best_slot = int(np.argmax(
+                (self.bfs_rank == rank.max()) & is_best2))
         return best, best_slot, num_best, bool(hu[best_slot])
+
+    def _bfs_chain_key(self, slot: int):
+        """Sort key equal to BFS order: (level, child-key chain from the
+        root).  Within a level, BFS sorts by (parent's BFS order, child
+        key); inductively that is the lexicographic chain order."""
+        chain = []
+        s = int(slot)
+        while True:
+            p = int(self.parent[s])
+            if p == s:
+                break
+            chain.append(int(self.child_key[s]))
+            s = p
+        chain.reverse()
+        return (int(self.level[slot]), tuple(chain))
 
     def place_arrays(self, pos, gval, kmiss):
         """Device-reduced placement of pre-sparsified samples: returns
