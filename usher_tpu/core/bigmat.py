@@ -345,8 +345,15 @@ class BigMAT:
 
     def score_spr_T_cols(self, pos, gval, max_cols: int = 2048):
         """Legacy column-materialization SPR path (cross-check / fallback)."""
-        B, K = pos.shape
-        kmiss = np.zeros((B, K), dtype=bool)
+        kmiss = np.zeros(pos.shape, dtype=bool)
+        s, n = self._score_cols_chunked(pos, gval, kmiss, max_cols,
+                                        spr=True)
+        return s, n, self.node_num_mut
+
+    def _score_cols_chunked(self, pos, gval, kmiss, max_cols, spr):
+        """Greedy column-budgeted chunking over the batch (shared by both
+        legacy cols paths)."""
+        B = pos.shape[0]
         score_T = np.empty((self.N, B), dtype=np.int32)
         nc_T = np.empty((self.N, B), dtype=np.int32)
         start = 0
@@ -360,11 +367,11 @@ class BigMAT:
                 cols = cand
                 end += 1
             s, n = self._score_chunk(pos[start:end], gval[start:end],
-                                     kmiss[start:end], cols, spr=True)
+                                     kmiss[start:end], cols, spr=spr)
             score_T[:, start:end] = s
             nc_T[:, start:end] = n
             start = end
-        return score_T, nc_T, self.node_num_mut
+        return score_T, nc_T
 
     # --- interval engine ----------------------------------------------------
 
@@ -498,11 +505,20 @@ class BigMAT:
                   | (eff.astype(np.int32) << 9))
         if self.csc_dead is not None:
             meta32 = meta32 | (self.csc_dead.astype(np.int32) << 10)
+        # dfs arrays padded to the n_pad capacity ladder: their raw [N]
+        # shape grows on every flush and would retrigger a full recompile
+        # of the *_dev programs per append batch (pad rows are never
+        # indexed — csc_node only holds real slots)
+        n_pad = self.n_pad
+        dfs_p = np.full(n_pad, n_pad, np.int32)
+        dfs_p[:self.N] = self.dfs_of
+        dfe_p = np.full(n_pad, n_pad, np.int32)
+        dfe_p[:self.N] = self.dfs_end_of
         cache = (jnp.asarray(self.csc_ptr.astype(np.int32)),
                  jnp.asarray(self.csc_node),
                  jnp.asarray(meta32),
-                 jnp.asarray(self.dfs_of),
-                 jnp.asarray(self.dfs_end_of),
+                 jnp.asarray(dfs_p),
+                 jnp.asarray(dfe_p),
                  jnp.asarray(self.ref))
         self._csc_dev_cache = cache
         return cache
@@ -632,6 +648,10 @@ class BigMAT:
         """Split the branch above u_slot: new internal X takes `common`
         (removed from u's list), the new sample leaf under X takes `l2`.
         Returns (x_slot, s_slot)."""
+        if u_slot >= self.N:
+            self._flush()  # splitting a still-queued slot: materialize it
+        if int(self.parent[u_slot]) == int(u_slot):
+            raise ValueError("cannot sibling-split the root")
         base = self.N + sum(1 if p[0] == "child" else 2
                             for p in self._pending)
         self._pending.append(("split", u_slot, common, l2, x_node, s_node))
@@ -905,25 +925,9 @@ class BigMAT:
         """Legacy column-materialization path (pointer-doubling ancestor
         gathers over the batch's unique columns).  Kept as a cross-check /
         fallback for the interval engine."""
-        B, K = pos.shape
-        score_T = np.empty((self.N, B), dtype=np.int32)
-        nc_T = np.empty((self.N, B), dtype=np.int32)
-        start = 0
-        while start < B:
-            end = start + 1
-            cols = np.unique(pos[start][pos[start] < self.P])
-            while end < B:
-                cand = np.union1d(cols, pos[end][pos[end] < self.P])
-                if len(cand) > max_cols:
-                    break
-                cols = cand
-                end += 1
-            s, n = self._score_chunk(pos[start:end], gval[start:end],
-                                     kmiss[start:end], cols)
-            score_T[:, start:end] = s
-            nc_T[:, start:end] = n
-            start = end
-        return score_T, nc_T, self.node_num_mut
+        s, n = self._score_cols_chunked(pos, gval, kmiss, max_cols,
+                                        spr=False)
+        return s, n, self.node_num_mut
 
     def _score_chunk(self, pos, gval, kmiss, cols, spr: bool = False):
         if self._cols_stale:

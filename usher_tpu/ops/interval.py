@@ -108,17 +108,11 @@ def _tie_reduce(score, valid, num_leaves, bfs_rank):
     return best, best_row.astype(jnp.int32), num_best
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "b_pad"))
-def interval_place(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
-                   base_dfs, nc_base_dfs, add0,
-                   num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
-                   num_leaves_dfs, bfs_rank_dfs,
-                   n_pad: int, b_pad: int):
-    """Fused: interval scoring + placement validity + tie-broken argmin.
-    Returns (best_score [B], best_dfs_row [B], num_best [B], hu_best [B])
-    — only O(B) crosses the device boundary."""
-    score, nc = interval_scores(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
-                                base_dfs, nc_base_dfs, add0, n_pad, b_pad)
+def _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
+                  active_dfs, num_leaves_dfs, bfs_rank_dfs):
+    """Placement validity + tie-broken argmin + winner hu (the reference
+    validity cases, usher_mapper.cpp:452-455) — shared by the host- and
+    device-expansion entry points."""
     hu = nc < num_mut_dfs[:, None]
     nc_pos = nc > 0
     leaf = is_leaf_dfs[:, None]
@@ -130,6 +124,45 @@ def interval_place(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
                                            bfs_rank_dfs)
     hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
     return best, best_row, num_best, hu_best
+
+
+def _finish_spr(score, nc, cnt, num_mut_dfs, is_root_dfs, active_dfs,
+                num_leaves_dfs, bfs_rank_dfs, level_dfs,
+                src_level, src_lo, src_hi, src_parent_row, radius,
+                n_pad: int):
+    """SPR validity + device radius mask (lca level from the nested
+    ancestor-interval count) + reduction — shared by the host- and
+    device-expansion entry points."""
+    hu = nc < num_mut_dfs[:, None]
+    nc_pos = nc > 0
+    # dest leaves get sibling-split via has_unique (optimize/spr.py:70-75)
+    valid = (is_root_dfs[:, None] | (hu & nc_pos) | (~hu)) \
+        & active_dfs[:, None]
+    lca_lvl = cnt - 1
+    dist = level_dfs[:, None] + src_level[None, :] - 2 * lca_lvl
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    in_sub = (rows >= src_lo[None, :]) & (rows < src_hi[None, :])
+    ok = (dist <= radius) & ~in_sub & (rows != src_parent_row[None, :])
+    valid = valid & ok
+    best, best_row, _ = _tie_reduce(score, valid, num_leaves_dfs,
+                                    bfs_rank_dfs)
+    hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
+    return best, best_row, hu_best
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "b_pad"))
+def interval_place(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
+                   base_dfs, nc_base_dfs, add0,
+                   num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
+                   num_leaves_dfs, bfs_rank_dfs,
+                   n_pad: int, b_pad: int):
+    """Fused: interval scoring + placement validity + tie-broken argmin.
+    Returns (best_score [B], best_dfs_row [B], num_best [B], hu_best [B])
+    — only O(B) crosses the device boundary."""
+    score, nc = interval_scores(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
+                                base_dfs, nc_base_dfs, add0, n_pad, b_pad)
+    return _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
+                         active_dfs, num_leaves_dfs, bfs_rank_dfs)
 
 
 def _expand_events(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
@@ -265,17 +298,8 @@ def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
         csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of, ref_cols,
         pos, gval, kmiss, ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
         base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr)
-    hu = nc < num_mut_dfs[:, None]
-    nc_pos = nc > 0
-    leaf = is_leaf_dfs[:, None]
-    valid = (is_root_dfs[:, None]
-             | (leaf & nc_pos)
-             | (~leaf & hu & nc_pos)
-             | (~leaf & ~hu)) & active_dfs[:, None]
-    best, best_row, num_best = _tie_reduce(score, valid, num_leaves_dfs,
-                                           bfs_rank_dfs)
-    hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
-    return best, best_row, num_best, hu_best
+    return _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
+                         active_dfs, num_leaves_dfs, bfs_rank_dfs)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "b_pad", "mc"))
@@ -300,20 +324,10 @@ def interval_spr_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
         base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr=True,
         extra_cols=b_pad, cnt=(cnt_idx, cnt_b, cnt_val))
 
-    hu = nc < num_mut_dfs[:, None]
-    nc_pos = nc > 0
-    valid = (is_root_dfs[:, None] | (hu & nc_pos) | (~hu)) \
-        & active_dfs[:, None]
-    lca_lvl = cnt - 1
-    dist = level_dfs[:, None] + src_level[None, :] - 2 * lca_lvl
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-    in_sub = (rows >= src_lo[None, :]) & (rows < src_hi[None, :])
-    ok = (dist <= radius) & ~in_sub & (rows != src_parent_row[None, :])
-    valid = valid & ok
-    best, best_row, _ = _tie_reduce(score, valid, num_leaves_dfs,
-                                    bfs_rank_dfs)
-    hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
-    return best, best_row, hu_best
+    return _finish_spr(score, nc, cnt, num_mut_dfs, is_root_dfs,
+                       active_dfs, num_leaves_dfs, bfs_rank_dfs, level_dfs,
+                       src_level, src_lo, src_hi, src_parent_row, radius,
+                       n_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "b_pad"))
@@ -349,24 +363,10 @@ def interval_spr(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
     ncd = ncd.at[nc_idx, nc_b.astype(jnp.int32)].add(
         nc_val.astype(jnp.int32))
     nc = nc_base_dfs[:, None] + ncd[:n_pad]
-
-    hu = nc < num_mut_dfs[:, None]
-    nc_pos = nc > 0
-    # dest leaves get sibling-split via has_unique (optimize/spr.py:70-75)
-    valid = (is_root_dfs[:, None] | (hu & nc_pos) | (~hu)) \
-        & active_dfs[:, None]
-
-    lca_lvl = cnt - 1
-    dist = level_dfs[:, None] + src_level[None, :] - 2 * lca_lvl
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
-    in_sub = (rows >= src_lo[None, :]) & (rows < src_hi[None, :])
-    ok = (dist <= radius) & ~in_sub & (rows != src_parent_row[None, :])
-    valid = valid & ok
-
-    best, best_row, _ = _tie_reduce(score, valid, num_leaves_dfs,
-                                    bfs_rank_dfs)
-    hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
-    return best, best_row, hu_best
+    return _finish_spr(score, nc, cnt, num_mut_dfs, is_root_dfs,
+                       active_dfs, num_leaves_dfs, bfs_rank_dfs, level_dfs,
+                       src_level, src_lo, src_hi, src_parent_row, radius,
+                       n_pad)
 
 
 def pad_events(idx, b, val, n_pad, bucket: int = 4096):
