@@ -397,3 +397,31 @@ def test_spr_scoring_after_incremental_appends():
     s2, n2, _ = fresh.score_spr_T(pos, gval)
     np.testing.assert_array_equal(s1, s2[amap])
     np.testing.assert_array_equal(n1, n2[amap])
+
+
+def test_no_recompile_across_append_batches():
+    """The device-expansion program must NOT recompile as incremental
+    appends grow N (regression: raw [N]-shaped dfs arrays in the resident
+    CSC cache changed the jit signature every flush; recompiles cost
+    minutes on a tunneled compile service)."""
+    from usher_tpu.ops import interval as iv
+    from usher_tpu.placement.big_engine import BigPlacementEngine
+    from usher_tpu.placement.mapper import score_placement
+
+    rng = np.random.default_rng(3)
+    T, ref = random_mat(rng, n_leaves=40, n_positions=25)
+    samples = [(f"S{i}", random_sample(rng, ref)) for i in range(8)]
+    eng = BigPlacementEngine(
+        T, extra_mutations=[m for _, s in samples for m in s])
+    sizes = []
+    for name, muts in samples:
+        muts.sort(key=lambda m: m.position)
+        big = eng._ensure()
+        pos, gval, kmiss = big.sparsify([muts])
+        big.place_arrays(pos, gval, kmiss)
+        r = eng.score_samples([muts])[0]
+        d = score_placement(r.best_node, muts)
+        eng.apply_placement(name, r, d.excess)
+        sizes.append(iv.interval_place_dev._cache_size())
+    # shapes settle after the first call; appends must not grow the cache
+    assert sizes[-1] == sizes[1], sizes
