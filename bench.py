@@ -424,13 +424,14 @@ def main():
 
     # headline metric immediately — everything below is supplementary and
     # must not cost the metric if the run is time-capped
-    print(json.dumps({
+    headline = {
         "metric": "samples_placed_per_sec",
         "value": round(sparse_rate, 2),
         "unit": "samples/s (B=%d, %d-node MAT, %d sites, 1 chip)" % (
             BATCH, N_NODES, P_SITES),
         "vs_baseline": round(sparse_rate / cpu_rate_64t, 3),
-    }), flush=True)
+    }
+    print(json.dumps(headline), flush=True)
     _aux("node_score_evals_per_sec",
          value=round(N_NODES * BATCH / sdt),
          workload="headline")
@@ -464,26 +465,33 @@ def main():
              sparse_speedup=round(dt / sdt, 2))
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and (not degraded or os.environ.get("USHER_BENCH_FULL")):
-        if time.time() - _T0 < 900:
-            # genome-width realistic shape (the scale the reference's
-            # fixtures actually have: ~30k segregating sites)
-            bench_interval(rng, 100_000, 30_000, 1024, 24,
-                           "realistic_100k_x_30k")
-        if time.time() - _T0 < 1200:
-            # pandemic scale: 1M-node CSR MAT (>2M-leaf class,
-            # reference README.md:23)
-            bench_interval(rng, 1_000_000, 30_000, 1024, 24,
-                           "pandemic_1m_x_30k")
-        if time.time() - _T0 < 1500:
+    try:
+        if on_tpu and (not degraded or os.environ.get("USHER_BENCH_FULL")):
+            if time.time() - _T0 < 900:
+                # genome-width realistic shape (the scale the reference's
+                # fixtures actually have: ~30k segregating sites)
+                bench_interval(rng, 100_000, 30_000, 1024, 24,
+                               "realistic_100k_x_30k")
+            if time.time() - _T0 < 1200:
+                # pandemic scale: 1M-node CSR MAT (>2M-leaf class,
+                # reference README.md:23)
+                bench_interval(rng, 1_000_000, 30_000, 1024, 24,
+                               "pandemic_1m_x_30k")
+            if time.time() - _T0 < 1500:
+                bench_reference_fixture()
+            if time.time() - _T0 < 1800:
+                bench_direct_e2e(rng)
+        elif not on_tpu:
             bench_reference_fixture()
-        if time.time() - _T0 < 1800:
-            bench_direct_e2e(rng)
-    elif not on_tpu:
-        bench_reference_fixture()
-    if os.environ.get("USHER_BENCH_MESH", "1") != "0" \
-            and time.time() - _T0 < 1800:
-        bench_mesh_overhead()
+        if os.environ.get("USHER_BENCH_MESH", "1") != "0" \
+                and time.time() - _T0 < 1800:
+            bench_mesh_overhead()
+    finally:
+        # the driver records the LAST JSON-looking line it sees: re-emit the
+        # headline so a supplementary phase's labeled JSON (stderr) can never
+        # displace it in the captured artifact (BENCH_r03 recorded
+        # mesh8_overhead_ratio for exactly this reason)
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
