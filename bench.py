@@ -232,13 +232,15 @@ def bench_reference_fixture():
 
 def bench_direct_e2e(rng):
     """END-TO-END no-Tree serving (usher --pb-direct): generate a 200k-node
-    parsimony.pb + a 256-sample VCF, then load -> place -> write outputs
-    with zero host Node objects (io/pb_arrays.py + placement/direct.py)."""
+    parsimony.pb + a 4096-sample VCF, then load -> place -> write outputs
+    with zero host Node objects (io/pb_arrays.py + placement/direct.py).
+    Placement is exact-sequential (classic usher semantics) via the
+    batched snapshot-correction engine (placement/direct._BatchState)."""
     import tempfile
     from usher_tpu.io import pb_arrays as pa
     from usher_tpu.placement.direct import DirectOptions, run_usher_direct
 
-    N, P, B, K = 200_000, 30_000, 256, 24
+    N, P, B, K = 200_000, 30_000, 4096, 24
     parent = np.zeros(N, dtype=np.int32)
     parent[1:] = (rng.random(N - 1) * np.arange(1, N)).astype(np.int32)
     n_mut = 2
@@ -273,37 +275,58 @@ def bench_direct_e2e(rng):
     pa.save_arrays_to_pb(ma, pb)
     _progress(f"direct: wrote 200k-node pb in {time.time()-t0:.1f}s")
 
-    # a VCF of B samples x K mutations (rows only for variant positions)
+    # a VCF of B samples x K mutations (rows only for variant positions);
+    # fully vectorized generation — the naive per-cell loop is minutes at
+    # B=4096 and generation is not part of the measured phase
     bases = {1: "A", 2: "C", 4: "G", 8: "T"}
     spos = rng.integers(0, P, size=(B, K))
     salt = NIBBLES[rng.integers(0, 4, size=(B, K))]
-    by_pos = {}
-    for b in range(B):
-        for k in range(K):
-            by_pos.setdefault(int(spos[b, k]), {})[b] = int(salt[b, k])
+    fp = spos.ravel()
+    fv = salt.ravel().astype(np.int64)
+    fb = np.repeat(np.arange(B), K)
+    keep = fv != ref[fp]
+    fp, fv, fb = fp[keep], fv[keep], fb[keep]
+    cols, col_inv = np.unique(fp, return_inverse=True)
+    # per-column alt index: rank of the allele among the column's distinct
+    # non-ref alleles (sorted), 1-based
+    order = np.lexsort((fv, col_inv))
+    ci, vi = col_inv[order], fv[order]
+    newv = np.r_[True, (ci[1:] != ci[:-1]) | (vi[1:] != vi[:-1])]
+    newc = np.r_[True, ci[1:] != ci[:-1]]
+    rankv = np.cumsum(newv)
+    alt_idx = np.zeros(len(fp), np.int64)
+    alt_idx[order] = rankv - np.maximum.accumulate(
+        np.where(newc, rankv, 0)) + 1
+    R = len(cols)
+    G = np.zeros((R, B), np.uint8)
+    G[col_inv, fb] = alt_idx.astype(np.uint8)
+    # alts string per column (distinct alleles only, sorted)
+    alt_strs = [""] * R
+    for r_i, v_i, is_newc in zip(ci[newv], vi[newv], newc[newv]):
+        alt_strs[r_i] = (bases[int(v_i)] if is_newc
+                         else alt_strs[r_i] + "," + bases[int(v_i)])
+    cells = np.empty((R, 2 * B), np.uint8)
+    cells[:, 0::2] = G + ord("0")
+    cells[:, 1::2] = ord("\t")
     vcf = os.path.join(tmpd, "s.vcf")
-    with open(vcf, "w") as f:
-        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
-                "FORMAT\t" + "\t".join(f"S{b}" for b in range(B)) + "\n")
-        for pcol in sorted(by_pos):
-            r = int(ref[pcol])
-            alts = sorted({v for v in by_pos[pcol].values() if v != r})
-            if not alts:
-                continue
-            alt_idx = {v: i + 1 for i, v in enumerate(alts)}
-            row = [str(alt_idx.get(by_pos[pcol][b], 0))
-                   if b in by_pos[pcol] else "0" for b in range(B)]
-            f.write(f"chr\t{100+pcol}\t.\t{bases[r]}\t"
-                    + ",".join(bases[a] for a in alts)
-                    + "\t.\t.\t.\tGT\t" + "\t".join(row) + "\n")
+    with open(vcf, "wb") as f:
+        f.write(("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\t"
+                 "FORMAT\t" + "\t".join(f"S{b}" for b in range(B))
+                 + "\n").encode())
+        for r_i in range(R):
+            pre = (f"chr\t{100 + int(cols[r_i])}\t.\t"
+                   f"{bases[int(ref[cols[r_i]])]}\t{alt_strs[r_i]}"
+                   f"\t.\t.\t.\tGT\t")
+            f.write(pre.encode() + cells[r_i, :-1].tobytes() + b"\n")
 
     t0 = time.time()
     run_usher_direct(pb, vcf, DirectOptions(outdir=os.path.join(tmpd, "o"),
-                                            batch_size=B))
+                                            batch_size=512))
     total = time.time() - t0
     _aux("direct_e2e_200k", total_s=round(total, 1), B=B,
          samples_per_sec=round(B / total, 1),
-         note="pb load + place + outputs, zero host Node objects")
+         note="pb load + exact-sequential place + outputs, "
+              "zero host Node objects")
 
 
 def bench_mesh_overhead():

@@ -1,0 +1,173 @@
+"""Exact-sequential equivalence of the batched direct driver.
+
+The --pb-direct driver resolves each sample against the tree WITH all
+previous samples applied (reference classic-usher semantics,
+usher_common.cpp:310).  The batched fast path (_BatchState) must be
+byte-equivalent to the literal per-sample loop (USHER_TPU_DIRECT_SEQ=1
+forces a full host re-score for every post-apply sample).  Workloads are
+adversarial: near-duplicate samples that pile onto the same nodes, exact
+mutation-set duplicates (ties + splits of fresh nodes), ambiguous and
+missing entries.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from usher_tpu.core.tree import Mutation, MissingSample
+from usher_tpu.io import pb_arrays as pa
+from usher_tpu.placement.direct import DirectOptions, DirectPlacer
+
+NIBBLES = np.array([1, 2, 4, 8], dtype=np.uint8)
+
+
+def consistent_mat(rng, N, P, n_mut=2):
+    """Chain-consistent random MatArrays (mut_par == path state above)."""
+    ref = NIBBLES[rng.integers(0, 4, size=P)]
+    parent = np.zeros(N, dtype=np.int32)
+    parent[1:] = (rng.random(N - 1) * np.arange(1, N)).astype(np.int32)
+    state = np.tile(ref, (N, 1))
+    rows_col, rows_par, rows_mut, ptr = [], [], [], [0]
+    for i in range(N):
+        if i == 0:
+            ptr.append(0)
+            continue
+        state[i] = state[parent[i]]
+        cols = rng.choice(P, size=n_mut, replace=False)
+        for c in sorted(cols.tolist()):
+            par = int(state[i, c])
+            alts = [int(x) for x in NIBBLES if int(x) != par]
+            mut = alts[int(rng.integers(0, 3))]
+            state[i, c] = mut
+            rows_col.append(c)
+            rows_par.append(par)
+            rows_mut.append(mut)
+        ptr.append(len(rows_col))
+    is_leaf = np.ones(N, bool)
+    is_leaf[parent[1:]] = False
+    is_leaf[0] = False
+    names = "\0".join((f"L{i}" if is_leaf[i] else f"I{i}")
+                      for i in range(N)) + "\0"
+    names_b = names.encode()
+    name_off = np.zeros(N + 1, np.int64)
+    name_off[1:] = np.nonzero(np.frombuffer(names_b, np.uint8) == 0)[0] + 1
+    ma = pa.MatArrays(
+        parent=parent, names_blob=names_b, name_off=name_off,
+        blen=np.full(N, -1.0),
+        mut_ptr=np.array(ptr, np.int64),
+        mut_col=np.array(rows_col, np.int32),
+        mut_par=np.array(rows_par, np.uint8),
+        mut_mut=np.array(rows_mut, np.uint8),
+        positions=np.arange(100, 100 + P, dtype=np.int64),
+        ref=ref, chrom="chr")
+    return ma, state, is_leaf
+
+
+def adversarial_samples(rng, ma, state, is_leaf, n_samples):
+    """Sample list engineered for batch-interaction: leaf-copies with few
+    extra mutations (pile-ups, splits, retries), exact duplicates (ties),
+    ambiguity + missing entries."""
+    N, P = state.shape
+    positions = ma.positions
+    ref = ma.ref
+    leaves = np.nonzero(is_leaf)[0]
+    # the pb roundtrip keeps only positions that appear in mutations; the
+    # no-VCF test path has no site-union step, so draw only from those
+    used = np.unique(ma.mut_col)
+    samples = []
+    for si in range(n_samples):
+        kind = int(rng.integers(0, 4))
+        muts = {}
+        if kind in (0, 1):
+            # near-duplicate of a leaf: its deviations from ref + extras
+            leaf = int(leaves[rng.integers(0, len(leaves))])
+            dev = np.nonzero(state[leaf] != ref)[0]
+            for c in dev.tolist():
+                muts[c] = int(state[leaf, c])
+            for _ in range(int(rng.integers(0, 3))):
+                c = int(used[rng.integers(0, len(used))])
+                muts[c] = int(NIBBLES[rng.integers(0, 4)])
+        elif kind == 2 and samples:
+            # exact mutation-set duplicate of an earlier sample
+            prev = samples[int(rng.integers(0, len(samples)))]
+            for m in prev.mutations:
+                muts[int(np.searchsorted(positions, m.position))] = \
+                    int(m.mut_nuc)
+        else:
+            for _ in range(int(rng.integers(1, 8))):
+                c = int(used[rng.integers(0, len(used))])
+                muts[c] = int(NIBBLES[rng.integers(0, 4)])
+        # sprinkle ambiguity codes and missing entries
+        for c in list(muts):
+            r = rng.random()
+            if r < 0.08:
+                muts[c] = muts[c] | int(NIBBLES[rng.integers(0, 4)])
+            elif r < 0.14:
+                muts[c] = 0xF
+        s = MissingSample(f"S{si}")
+        for c in sorted(muts):
+            v = muts[c]
+            if v == int(ref[c]):
+                continue
+            m = Mutation("chr", int(positions[c]), int(ref[c]),
+                         int(ref[c]), v)
+            if v == 0xF:
+                m.is_missing = True
+            s.mutations.append(m)
+        samples.append(s)
+    return samples
+
+
+def run_mode(tmp_path, pb, samples, outname, seq: bool, batch_size: int):
+    outdir = tmp_path / outname
+    old = os.environ.pop("USHER_TPU_DIRECT_SEQ", None)
+    try:
+        if seq:
+            os.environ["USHER_TPU_DIRECT_SEQ"] = "1"
+        placer = DirectPlacer(str(pb))
+        placer.missing = [_copy_sample(s) for s in samples]
+        placer.place_all(DirectOptions(outdir=str(outdir),
+                                       batch_size=batch_size))
+    finally:
+        if old is not None:
+            os.environ["USHER_TPU_DIRECT_SEQ"] = old
+        else:
+            os.environ.pop("USHER_TPU_DIRECT_SEQ", None)
+    return {f: (outdir / f).read_text()
+            for f in ("placement_stats.tsv", "final-tree.nh",
+                      "mutation-paths.txt")}
+
+
+def _copy_sample(s):
+    c = MissingSample(s.name)
+    c.mutations = [m.copy() for m in s.mutations]
+    c.num_ambiguous = s.num_ambiguous
+    return c
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_batched_equals_sequential(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    ma, state, is_leaf = consistent_mat(rng, N=300, P=150)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=48)
+    a = run_mode(tmp_path, pb, samples, f"batched{seed}", seq=False,
+                 batch_size=48)
+    b = run_mode(tmp_path, pb, samples, f"seq{seed}", seq=True,
+                 batch_size=48)
+    for f in a:
+        assert a[f] == b[f], f"{f} differs (seed {seed})"
+
+
+def test_batched_equals_sequential_multi_batch(tmp_path):
+    rng = np.random.default_rng(7)
+    ma, state, is_leaf = consistent_mat(rng, N=400, P=200)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=60)
+    a = run_mode(tmp_path, pb, samples, "batched", seq=False, batch_size=16)
+    b = run_mode(tmp_path, pb, samples, "seq", seq=True, batch_size=16)
+    for f in a:
+        assert a[f] == b[f]

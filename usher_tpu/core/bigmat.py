@@ -1033,15 +1033,22 @@ class BigMAT:
         chain.reverse()
         return (int(self.level[slot]), tuple(chain))
 
-    def place_arrays(self, pos, gval, kmiss):
+    def place_arrays(self, pos, gval, kmiss, with_second: bool = False):
         """Device-reduced placement of pre-sparsified samples: returns
-        (best_score [B], best_slot [B], num_best [B], hu_best [B])."""
+        (best_score [B], best_slot [B], num_best [B], hu_best [B]).
+
+        with_second=True returns instead a pair of 4-tuples: the winner
+        and the winner-row-masked runner-up (used by the exact-sequential
+        serving driver; not composed with the mesh path)."""
         self._flush()
         from ..ops import interval as iv
         B = pos.shape[0]
         meta = self._dfs_meta(spr=False)
         margs = (meta["num_mut"], meta["is_leaf"], meta["is_root"],
                  meta["active"], meta["num_leaves"], meta["bfs_rank"])
+        if with_second and self.mesh is not None:
+            raise ValueError("with_second is not composed with the mesh "
+                             "sharded path")
         if self.mesh is None:
             # device-expansion fast path: the CSC index is resident on the
             # device, so per-batch H2D is just the [B, K] entry arrays
@@ -1080,18 +1087,12 @@ class BigMAT:
                     *(jnp.asarray(a) for a in ovp),
                     *(jnp.asarray(a) for a in ovn),
                     meta["base"], meta["nc_base"], *margs,
-                    self.n_pad, b_pad, mc)
+                    self.n_pad, b_pad, mc, second=with_second)
                 # ONE host transfer: each np.asarray is a full round trip
                 # on a tunneled link (~30 ms each)
-                packed4 = np.asarray(jnp.stack(
-                    [out[0], out[1], out[2], out[3].astype(jnp.int32)]))
-                best, best_row, num_best, hu = packed4
-                best_slot = self.dfs_order[np.minimum(best_row[:B],
-                                                      self.N - 1)]
-                return (best[:B].astype(np.int32),
-                        best_slot.astype(np.int32),
-                        num_best[:B].astype(np.int32),
-                        hu[:B].astype(bool))
+                packed = np.asarray(jnp.stack(
+                    [o.astype(jnp.int32) for o in out]))
+                return self._unpack_place(packed, B, with_second)
         *ev, add0 = self._events(pos, gval, kmiss, spr=False)
         b_pad, evp, ncp = self._batch_shapes(B, ev[:3], ev[3:6])
         add0p = np.zeros(b_pad, np.int32)
@@ -1108,13 +1109,21 @@ class BigMAT:
                 *(jnp.asarray(a) for a in evp),
                 *(jnp.asarray(a) for a in ncp),
                 meta["base"], meta["nc_base"], jnp.asarray(add0p), *margs,
-                self.n_pad, b_pad)
-        packed4 = np.asarray(jnp.stack(
-            [out[0], out[1], out[2], out[3].astype(jnp.int32)]))
-        best, best_row, num_best, hu = packed4
-        best_slot = self.dfs_order[np.minimum(best_row[:B], self.N - 1)]
-        return (best[:B].astype(np.int32), best_slot.astype(np.int32),
-                num_best[:B].astype(np.int32), hu[:B].astype(bool))
+                self.n_pad, b_pad, second=with_second)
+        packed = np.asarray(jnp.stack(
+            [o.astype(jnp.int32) for o in out]))
+        return self._unpack_place(packed, B, with_second)
+
+    def _unpack_place(self, packed, B, with_second):
+        def four(rows):
+            best, best_row, num_best, hu = rows
+            best_slot = self.dfs_order[np.minimum(best_row[:B],
+                                                  self.N - 1)]
+            return (best[:B].astype(np.int32), best_slot.astype(np.int32),
+                    num_best[:B].astype(np.int32), hu[:B].astype(bool))
+        if not with_second:
+            return four(packed[:4])
+        return four(packed[:4]), four(packed[4:8])
 
 
 def _ranges(counts):

@@ -109,10 +109,16 @@ def _tie_reduce(score, valid, num_leaves, bfs_rank):
 
 
 def _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
-                  active_dfs, num_leaves_dfs, bfs_rank_dfs):
+                  active_dfs, num_leaves_dfs, bfs_rank_dfs,
+                  second: bool = False):
     """Placement validity + tie-broken argmin + winner hu (the reference
     validity cases, usher_mapper.cpp:452-455) — shared by the host- and
-    device-expansion entry points."""
+    device-expansion entry points.
+
+    second=True additionally reruns the reduction with the winner's row
+    masked out — the runner-up result the incremental serving driver
+    (placement/direct._BatchState) falls back on when the snapshot winner
+    was modified by an earlier apply in the same batch."""
     hu = nc < num_mut_dfs[:, None]
     nc_pos = nc > 0
     leaf = is_leaf_dfs[:, None]
@@ -123,7 +129,15 @@ def _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
     best, best_row, num_best = _tie_reduce(score, valid, num_leaves_dfs,
                                            bfs_rank_dfs)
     hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
-    return best, best_row, num_best, hu_best
+    if not second:
+        return best, best_row, num_best, hu_best
+    rows = jax.lax.broadcasted_iota(jnp.int32, (score.shape[0], 1), 0)
+    valid2 = valid & (rows != best_row[None, :])
+    best2, best_row2, num_best2 = _tie_reduce(score, valid2,
+                                              num_leaves_dfs, bfs_rank_dfs)
+    hu2 = jnp.take_along_axis(hu, best_row2[None, :], axis=0)[0]
+    return (best, best_row, num_best, hu_best,
+            best2, best_row2, num_best2, hu2)
 
 
 def _finish_spr(score, nc, cnt, num_mut_dfs, is_root_dfs, active_dfs,
@@ -150,19 +164,21 @@ def _finish_spr(score, nc, cnt, num_mut_dfs, is_root_dfs, active_dfs,
     return best, best_row, hu_best
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "b_pad"))
+@functools.partial(jax.jit, static_argnames=("n_pad", "b_pad", "second"))
 def interval_place(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
                    base_dfs, nc_base_dfs, add0,
                    num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
                    num_leaves_dfs, bfs_rank_dfs,
-                   n_pad: int, b_pad: int):
+                   n_pad: int, b_pad: int, second: bool = False):
     """Fused: interval scoring + placement validity + tie-broken argmin.
     Returns (best_score [B], best_dfs_row [B], num_best [B], hu_best [B])
-    — only O(B) crosses the device boundary."""
+    — only O(B) crosses the device boundary.  second=True appends the
+    winner-row-masked runner-up 4-tuple (see _finish_place)."""
     score, nc = interval_scores(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
                                 base_dfs, nc_base_dfs, add0, n_pad, b_pad)
     return _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
-                         active_dfs, num_leaves_dfs, bfs_rank_dfs)
+                         active_dfs, num_leaves_dfs, bfs_rank_dfs,
+                         second=second)
 
 
 def _expand_events(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
@@ -281,25 +297,28 @@ def _dev_score_nc(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_pad", "b_pad", "mc", "spr"))
+                   static_argnames=("n_pad", "b_pad", "mc", "spr",
+                                    "second"))
 def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
                        ref_cols, pos, gval, kmiss,
                        ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
                        base_dfs, nc_base_dfs,
                        num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
                        num_leaves_dfs, bfs_rank_dfs,
-                       n_pad: int, b_pad: int, mc: int, spr: bool = False):
+                       n_pad: int, b_pad: int, mc: int, spr: bool = False,
+                       second: bool = False):
     """interval_place with DEVICE-side event expansion from the resident
     CSC index: per-batch H2D is only the [B, K] entry arrays plus the
     (small) overlay event streams from incremental appends.  add0 is also
     computed on device.  Bit-identical to the host-expansion path
-    (tested)."""
+    (tested).  second=True appends the runner-up 4-tuple."""
     score, nc = _dev_score_nc(
         csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of, ref_cols,
         pos, gval, kmiss, ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
         base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr)
     return _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
-                         active_dfs, num_leaves_dfs, bfs_rank_dfs)
+                         active_dfs, num_leaves_dfs, bfs_rank_dfs,
+                         second=second)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "b_pad", "mc"))

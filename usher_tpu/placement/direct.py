@@ -9,6 +9,21 @@ O(delta) incremental appends, the host oracle + surgery semantics applied
 through lightweight array-backed node views, and array-native writers for
 placement_stats.tsv / final-tree.nh / mutation-paths.txt.
 
+Placement is EXACT SEQUENTIAL (the reference classic-usher semantics:
+every sample scored against the tree with all previous samples applied,
+usher_common.cpp:310).  One device call scores the whole batch against
+the frozen batch snapshot; per-sample results are then corrected on the
+host in O(depth * K) by _BatchState: scores of pre-existing nodes are
+invariant under placement surgery, so only the batch's new/modified nodes
+(exact score rows via the telescoped base/F aggregate chains), validity
+flips on split nodes, and num_leaves tie-break boosts on insertion
+ancestors can change the outcome.  The provably-ambiguous cases (winner
+was itself split earlier in the batch; multi-way snapshot tie after a
+split re-leveled BFS ranks) fall back to an exact full host re-score
+(BigMAT.place_one_host).  USHER_TPU_DIRECT_SEQ=1 forces the fallback for
+every post-apply sample (the reference's literal per-sample loop) — the
+two modes are asserted byte-identical in tests.
+
 Byte-identical outputs to `usher --bigmat` on the same inputs (tested on
 the reference smoke fixture).  Scope: the serving core (-i/-v/-d/-n,
 thresholds, batching); flags needing host-Tree machinery (collapse,
@@ -41,7 +56,8 @@ def _err(*a):
 
 class ArrayNode:
     """The minimal Node surface score_placement and the surgery logic touch,
-    backed by BigMAT arrays + the driver's per-node deltas."""
+    backed by BigMAT arrays + the driver's per-node deltas (including the
+    current batch's not-yet-flushed appends)."""
 
     __slots__ = ("d", "slot")
 
@@ -51,7 +67,7 @@ class ArrayNode:
 
     @property
     def parent(self):
-        p = int(self.d.big.parent[self.slot])
+        p = self.d.parent_slot_of(self.slot)
         return None if p == self.slot else ArrayNode(self.d, p)
 
     @property
@@ -59,11 +75,609 @@ class ArrayNode:
         return self.d.mutations_of(self.slot)
 
     def is_leaf(self) -> bool:
-        return bool(self.d.big.is_leaf[self.slot])
+        return self.d.is_leaf_of(self.slot)
 
     @property
     def identifier(self) -> str:
         return self.d.name_of(self.slot)
+
+
+class _BatchState:
+    """Exact-sequential correction of device batch scores.
+
+    The device scored every sample against the frozen snapshot S0.  Under
+    placement surgery, every node of S0 keeps its exact score for every
+    sample (surgery never changes an existing node's root-path state), so
+    the tree-at-apply-time result differs from the snapshot result only
+    through
+      (a) nodes CREATED by earlier applies in the batch (new leaves, split
+          internals) — exact score rows computed from the parent's score
+          via the telescoped base/F aggregate chain (bigmat._precompute
+          derivation) plus the per-entry correction terms of
+          bigmat._events,
+      (b) split nodes whose OWN mutation list shrank (validity / num_best
+          flips; score unchanged),
+      (c) num_leaves growth on insertion ancestors (tie-break only), and
+      (d) BFS-rank re-leveling of nodes inside split subtrees (tie-break
+          only; unidentifiable from the snapshot winner alone).
+    (a)-(c) are handled exactly here; a sample is sent to the full host
+    re-score fallback when the snapshot winner was itself split (its
+    replacement region is unknown) or when (d) may apply (snapshot
+    num_best > 1 after a split).  Mirrors the stale-retry discipline of
+    the reference leader (place_sample.cpp:479-520) but with an exactness
+    guarantee instead of tolerated divergence.
+    """
+
+    INF = np.int64(1) << 40
+
+    def __init__(self, placer: "DirectPlacer", pos, gval, kmiss):
+        big = placer.big
+        self.placer = placer
+        self.big = big
+        self.N0 = big.N
+        # frozen snapshot refs: _flush replaces (grows) every array, so
+        # these keep pointing at the batch-scoring-time state even if a
+        # fallback flushes mid-batch
+        self.parent0 = big.parent
+        self.base0 = big.base
+        self.dfs_of0 = big.dfs_of
+        self.dfs_end_of0 = big.dfs_end_of
+        self.nc_base0 = big.nc_base
+        self.num_mut0 = big.node_num_mut
+        self.num_leaves0 = big.num_leaves
+        self.is_leaf0 = big.is_leaf
+        self.child_key0 = big.child_key
+        self.child_count0 = big.child_count
+        self.mut_ptr0 = big.mut_ptr
+        self.mut_col0 = big.mut_col
+        self.mut_par0 = big.mut_par
+        self.mut_mut0 = big.mut_mut
+        # nodes created/split by PREVIOUS batches live in the driver's
+        # _mut_delta overlay, not the base CSR; snapshot it (shallow copy —
+        # applies replace, never mutate, the per-slot lists)
+        self.mut_delta0 = dict(placer._mut_delta)
+        self.ref = big.ref
+        self.root_slot = big.root_slot
+
+        B = pos.shape[0]
+        self.B = B
+        e = pos < big.P
+        eb, ek = np.nonzero(e)
+        cols = pos[eb, ek].astype(np.int64)
+        order = np.argsort(cols, kind="stable")
+        self._ecol = cols[order]
+        self._eb = eb[order].astype(np.int64)
+        self._egv = gval[eb, ek][order].astype(np.int64)
+        self._ekm = kmiss[eb, ek][order]
+        gv, km = gval[eb, ek].astype(np.int64), kmiss[eb, ek]
+        self.add0 = np.bincount(
+            eb, weights=((~km) & ((gv & big.ref[cols]) == 0)
+                         ).astype(np.int64),
+            minlength=B).astype(np.int64)
+        self._col_cache: dict[int, tuple] = {}
+
+        # batch-local overlays (slot-keyed; survive mid-batch flushes)
+        self.probes: dict[int, tuple] = {}   # old slot -> (srow, ncrow, V)
+        self.mod: dict[int, int] = {}        # split-u slot -> candidate idx
+        self.recs: dict[int, dict] = {}      # new slot -> record
+        self.parent_over: dict[int, int] = {}
+        self.childkey_over: dict[int, int] = {}
+        self.childcount: dict[int, int] = {}
+        self.leaf_boost: dict[int, int] = {}
+        self.mod_muts: dict[int, list] = {}   # split-u -> current l1
+        self.splits = False
+        # leaf-count bounds of split subtrees holding UNPROBED old nodes
+        # (re-leveled by the split => BFS tie-break no longer certifiable
+        # against them unless the finalists out-leaf the bound)
+        self.opaque: list[int] = []
+        self.applies = 0
+        self.fallbacks = 0
+
+        capc = 3 * B + 8   # a split adds up to 3 rows (x, s, Mod-u)
+        self.cS = np.empty((capc, B), np.int64)
+        self.cNC = np.empty((capc, B), np.int64)
+        self.cslot = np.empty(capc, np.int64)
+        self.cleaf = np.empty(capc, bool)
+        self.cnum_mut = np.empty(capc, np.int64)
+        self.cmod = np.zeros(capc, bool)
+        self.cvalid0 = np.zeros((capc, B), bool)
+        self.ncand = 0
+
+    # --- entry lookups ------------------------------------------------------
+
+    def _col_entries(self, col: int):
+        """Samples with an entry at `col`: (sample_idx, gval, kmiss)."""
+        got = self._col_cache.get(col)
+        if got is None:
+            lo = np.searchsorted(self._ecol, col)
+            hi = np.searchsorted(self._ecol, col, side="right")
+            got = (self._eb[lo:hi], self._egv[lo:hi], self._ekm[lo:hi])
+            self._col_cache[col] = got
+        return got
+
+    # --- per-mutation correction terms (bigmat._events, spr=False) ----------
+
+    def _d_range(self, col, ap, am):
+        idx, gv, km = self._col_entries(col)
+        if len(idx) == 0:
+            return idx, None
+        rk = int(self.ref[col])
+        t1_am = ((~km) & ((gv & am) == 0)).astype(np.int64)
+        t1_ap = ((~km) & ((gv & ap) == 0)).astype(np.int64)
+        return idx, (t1_am - int(am != rk)) - (t1_ap - int(ap != rk))
+
+    def _d_point(self, col, ap, am):
+        idx, gv, km = self._col_entries(col)
+        if len(idx) == 0:
+            return idx, None
+        rk = int(self.ref[col])
+        matched = (gv & am) != 0
+        a_eff = np.where(matched, am, ap)
+        t1_bm = ((~km) & ((gv & a_eff) == 0)).astype(np.int64)
+        t1_am = ((~km) & ((gv & am) == 0)).astype(np.int64)
+        sub_bm = int(am != rk) if (rk & am) else int(ap != rk)
+        return idx, (t1_bm - sub_bm) - (t1_am - int(am != rk))
+
+    def _own_full(self, col, ap, am):
+        """d_range + d_point: a branch mutation's contribution at the node
+        carrying it, relative to the parent state."""
+        idx, gv, km = self._col_entries(col)
+        if len(idx) == 0:
+            return idx, None
+        rk = int(self.ref[col])
+        matched = (gv & am) != 0
+        a_eff = np.where(matched, am, ap)
+        t1_bm = ((~km) & ((gv & a_eff) == 0)).astype(np.int64)
+        t1_ap = ((~km) & ((gv & ap) == 0)).astype(np.int64)
+        sub_bm = int(am != rk) if (rk & am) else int(ap != rk)
+        return idx, (t1_bm - sub_bm) - (t1_ap - int(ap != rk))
+
+    def _nc_row(self, triplets):
+        """(num_common row [B], num_mut) over a node's own mutations."""
+        nc = np.zeros(self.B, np.int64)
+        nm = 0
+        for (c, ap, am) in triplets:
+            if am == ap:
+                continue
+            nm += 1
+            base = 1 if (int(self.ref[c]) & am) else 0
+            nc += base
+            idx, gv, _km = self._col_entries(c)
+            if len(idx):
+                nc[idx] += ((gv & am) != 0).astype(np.int64) - base
+        return nc, nm
+
+    # --- snapshot probes ----------------------------------------------------
+
+    def _snap_muts(self, slot: int):
+        """SNAPSHOT own-branch mutation triplets of an S0 slot: the
+        batch-start _mut_delta overlay where present (nodes touched by
+        previous batches), else the raw base CSR."""
+        delta = self.mut_delta0.get(slot)
+        if delta is not None:
+            return self.placer._triplets(delta)
+        lo, hi = int(self.mut_ptr0[slot]), int(self.mut_ptr0[slot + 1])
+        return [(int(self.mut_col0[k]), int(self.mut_par0[k]),
+                 int(self.mut_mut0[k])) for k in range(lo, hi)]
+
+    def probe_path(self, u: int) -> None:
+        """Exact snapshot (score, num_common) rows for u and every S0
+        ancestor, all B samples at once.  V accumulates the range-part of
+        the entry corrections down the root path (the same telescoping the
+        device cumsum performs over DFS order)."""
+        path = []
+        s = int(u)
+        while s not in self.probes:
+            path.append(s)
+            p = int(self.parent0[s])
+            if p == s:
+                s = -1
+                break
+            s = p
+        V = (self.probes[s][2].copy() if s >= 0
+             else np.zeros(self.B, np.int64))
+        for slot in reversed(path):
+            own = self._snap_muts(slot)
+            is_root = int(self.parent0[slot]) == slot
+            for (c, ap, am) in own:
+                idx, vals = self._d_range(c, ap, am)
+                if vals is not None:
+                    V[idx] += vals
+            srow = self.base0[slot] + self.add0 + V
+            nc = np.zeros(self.B, np.int64)
+            if not is_root:
+                for (c, ap, am) in own:
+                    idx, pvals = self._d_point(c, ap, am)
+                    if pvals is not None:
+                        srow[idx] += pvals
+                nc, _ = self._nc_row(own)
+            self.probes[slot] = (srow, nc, V.copy())
+
+    # --- current-view accessors ---------------------------------------------
+
+    def parent_view(self, slot: int) -> int:
+        p = self.parent_over.get(slot)
+        if p is not None:
+            return p
+        return int(self.parent0[slot])
+
+    def leaves_view(self, slot: int) -> int:
+        rec = self.recs.get(slot)
+        if rec is not None:
+            return rec["leaves"]
+        return int(self.num_leaves0[slot]) + self.leaf_boost.get(slot, 0)
+
+    def chain_key(self, slot: int):
+        """BFS-order key under the CURRENT tree: (level, root-path chain of
+        child keys) — lexicographically identical to breadth-first rank
+        (bigmat._bfs_chain_key, over the batch view)."""
+        chain = []
+        s = int(slot)
+        while True:
+            p = self.parent_view(s)
+            if p == s:
+                break
+            ck = self.childkey_over.get(s)
+            if ck is None:
+                ck = int(self.child_key0[s])
+            chain.append(ck)
+            s = p
+        chain.reverse()
+        return (len(chain), tuple(chain))
+
+    def _childkey_next(self, parent_slot: int) -> int:
+        got = self.childcount.get(parent_slot)
+        if got is None:
+            if parent_slot < self.N0:
+                got = int(self.child_count0[parent_slot])
+            else:
+                got = self.recs[parent_slot]["nchild"]
+        self.childcount[parent_slot] = got + 1
+        return got
+
+    def _srow_of(self, slot: int):
+        rec = self.recs.get(slot)
+        if rec is not None:
+            return rec["srow"]
+        j = self.mod.get(slot)
+        if j is not None:
+            return self.cS[j]   # split-adjusted (see note_split)
+        return self.probes[slot][0]
+
+    def _cur_trips(self, slot: int):
+        """CURRENT own-branch mutation triplets of any slot."""
+        rec = self.recs.get(slot)
+        if rec is not None:
+            return rec["muts"]
+        got = self.mod_muts.get(slot)
+        if got is not None:
+            return got
+        return self._snap_muts(slot)
+
+    def _detach_row(self, slot: int):
+        """own_corr + OwnPoint of a node's current own mutations — the
+        node-specific share of its score row (the bm-rule discount), which
+        children do NOT inherit when chaining scores down a branch."""
+        if slot == self.root_slot:
+            return np.zeros(self.B, np.int64)
+        out = np.zeros(self.B, np.int64)
+        oc = 0
+        for (c, ap, am) in self._cur_trips(slot):
+            if am == ap:
+                continue
+            rk = int(self.ref[c])
+            if (rk & am) == 0:
+                oc += int(ap != rk) - int(am != rk)
+            idx, pvals = self._d_point(c, ap, am)
+            if pvals is not None:
+                out[idx] += pvals
+        return out + oc
+
+    # --- apply bookkeeping --------------------------------------------------
+
+    def _mut_sums(self, triplets):
+        """(sum f_delta, sum own_corr, num eff) — bigmat._mut_terms."""
+        fd = oc = nm = 0
+        for (c, ap, am) in triplets:
+            if am == ap:
+                continue
+            nm += 1
+            rk = int(self.ref[c])
+            fd += int(am != rk) - int(ap != rk)
+            if (rk & am) == 0:
+                oc += int(ap != rk) - int(am != rk)
+        return fd, oc, nm
+
+    def _add_cand(self, slot, srow, ncrow, leaf, num_mut,
+                  is_mod=False, valid0=None) -> int:
+        j = self.ncand
+        if j == len(self.cS):
+            for name in ("cS", "cNC", "cslot", "cleaf", "cnum_mut",
+                         "cmod", "cvalid0"):
+                a = getattr(self, name)
+                setattr(self, name, np.concatenate([a, np.zeros_like(a)]))
+        self.cS[j] = srow
+        self.cNC[j] = ncrow
+        self.cslot[j] = slot
+        self.cleaf[j] = leaf
+        self.cnum_mut[j] = num_mut
+        self.cmod[j] = is_mod
+        if valid0 is not None:
+            self.cvalid0[j] = valid0
+        self.ncand = j + 1
+        return j
+
+    def _new_rec(self, slot, parent_slot, triplets, leaf, leaves) -> None:
+        """Score/nc rows for a batch-created node:
+        score(child) = score(parent) - detach(parent)
+                     + fd(child) + oc(child) + sum_own(d_range + d_point)
+        (the telescoped F/base chain of bigmat._precompute, with the
+        parent's node-specific bm-discount removed)."""
+        fd, oc, _nm = self._mut_sums(triplets)
+        srow = (self._srow_of(parent_slot)
+                - self._detach_row(parent_slot) + (fd + oc))
+        for (c, ap, am) in triplets:
+            idx, vals = self._own_full(c, ap, am)
+            if vals is not None:
+                srow[idx] += vals
+        ncrow, num_mut = self._nc_row(triplets)
+        j = self._add_cand(slot, srow, ncrow, leaf, num_mut)
+        self.recs[slot] = {
+            "parent": parent_slot, "muts": list(triplets), "srow": srow,
+            "ncrow": ncrow, "num_mut": num_mut, "leaf": leaf,
+            "leaves": leaves, "nchild": 0, "cand": j, "anchor": None,
+        }
+
+    def _boost_walk(self, start: int) -> None:
+        """+1 leaf on start and every current-view ancestor."""
+        t = int(start)
+        while True:
+            rec = self.recs.get(t)
+            if rec is not None:
+                rec["leaves"] += 1
+            else:
+                self.leaf_boost[t] = self.leaf_boost.get(t, 0) + 1
+            p = self.parent_view(t)
+            if p == t:
+                break
+            t = p
+
+    def note_child_insert(self, u: int, s_slot: int, l2_trip) -> None:
+        if u < self.N0 and u not in self.probes:
+            self.probe_path(u)
+        self._new_rec(s_slot, u, l2_trip, leaf=True, leaves=1)
+        self.parent_over[s_slot] = u
+        self.childkey_over[s_slot] = self._childkey_next(u)
+        self._boost_walk(u)
+        self.applies += 1
+
+    def note_split(self, u: int, x_slot: int, s_slot: int,
+                   common_trip, l2_trip, l1_trip) -> None:
+        if u < self.N0 and u not in self.probes:
+            self.probe_path(u)
+        pold = self.parent_view(u)
+        if pold < self.N0 and pold not in self.probes:
+            self.probe_path(pold)
+
+        # u: mutation list shrinks to l1.  Moving `common` up to x keeps
+        # every DESCENDANT's score exact (the range part of the correction
+        # survives on x) but u ITSELF loses the own-branch treatment of
+        # those mutations: the no-entry own_corr discount leaves base, and
+        # the per-entry d_point leaves u's row —
+        #   score_after(u) = score_before(u) - sum_common(own_corr + d_point)
+        nc_new, nm_new = self._nc_row(l1_trip)
+        mod_delta = np.zeros(self.B, np.int64)
+        oc_common = 0
+        for (c, ap, am) in common_trip:
+            if am == ap:
+                continue
+            rk = int(self.ref[c])
+            if (rk & am) == 0:
+                oc_common += int(ap != rk) - int(am != rk)
+            idx, pvals = self._d_point(c, ap, am)
+            if pvals is not None:
+                mod_delta[idx] += pvals
+        srow_u = self._srow_of(u) - oc_common - mod_delta
+        if u in self.recs:
+            # u was created THIS batch: it already has a (non-Mod)
+            # candidate row — update it in place; it was never part of the
+            # device num_best, so it keeps counting via the new-node path
+            rec = self.recs[u]
+            j = rec["cand"]
+            rec["srow"] = srow_u
+            rec["muts"] = list(l1_trip)
+            self.cS[j] = srow_u
+            self.cNC[j] = nc_new
+            self.cnum_mut[j] = nm_new
+            rec["ncrow"], rec["num_mut"] = nc_new, nm_new
+        else:
+            leaf_u = bool(self.is_leaf0[u])
+            j = self.mod.get(u)
+            if j is None:
+                nc0 = self.probes[u][1]
+                nm0 = int(self.num_mut0[u])
+                hu0 = nc0 < nm0
+                if leaf_u:
+                    valid0 = nc0 > 0
+                else:
+                    valid0 = (hu0 & (nc0 > 0)) | ~hu0
+                j = self._add_cand(u, srow_u, nc_new, leaf_u, nm_new,
+                                   is_mod=True, valid0=valid0)
+                self.mod[u] = j
+            else:
+                self.cS[j] = srow_u
+                self.cNC[j] = nc_new
+                self.cnum_mut[j] = nm_new
+            self.mod_muts[u] = list(l1_trip)
+
+        leaves_u = self.leaves_view(u)
+        self._new_rec(x_slot, pold, common_trip, leaf=False,
+                      leaves=leaves_u + 1)
+        # the old node whose snapshot subtree this split re-levels: the
+        # subtree's interior (minus the tracked anchor itself) is the only
+        # place an unprobed tied node's BFS rank can change
+        anchor = u if u < self.N0 else self.recs[u]["anchor"]
+        self.recs[x_slot]["anchor"] = anchor
+        if anchor is not None and (int(self.dfs_end_of0[anchor])
+                                   - int(self.dfs_of0[anchor])) > 1:
+            self.opaque.append(int(self.num_leaves0[anchor]))
+        self.recs[x_slot]["nchild"] = 2
+        self.parent_over[x_slot] = pold
+        self.childkey_over[x_slot] = self._childkey_next(pold)
+        self.parent_over[u] = x_slot
+        self.childkey_over[u] = 1
+        self._new_rec(s_slot, x_slot, l2_trip, leaf=True, leaves=1)
+        self.parent_over[s_slot] = x_slot
+        self.childkey_over[s_slot] = 0
+        self.childcount[x_slot] = 2
+        self.splits = True
+        self._boost_walk(pold)
+        self.applies += 1
+
+    # --- per-sample resolution ----------------------------------------------
+
+    def _old_valid(self, slot: int, i: int):
+        """(score, valid, hu) of an UNMODIFIED S0 node from its probe row
+        (validity is snapshot validity — unchanged for unmodified nodes)."""
+        srow, ncrow, _ = self.probes[slot]
+        sc = int(srow[i])
+        nc = int(ncrow[i])
+        nm = int(self.num_mut0[slot])
+        hu = nc < nm
+        if slot == self.root_slot:
+            valid = True
+        elif self.is_leaf0[slot]:
+            valid = nc > 0
+        else:
+            valid = (hu and nc > 0) or not hu
+        return sc, valid, hu
+
+    def resolve(self, i: int, best0: int, w0: int, nb0: int, hu0: bool,
+                second=None):
+        """Exact tree-at-apply-time result for sample i, or None when only
+        the full host re-score can certify it.  `second` is the device's
+        winner-row-masked runner-up (b2, w2, nb2, hu2) arrays — consulted
+        when the snapshot winner was modified by an earlier apply."""
+        if self.applies == 0:
+            return best0, w0, nb0, hu0
+        r = self._resolve_core(i, best0, w0, nb0, hu0, exclude=None)
+        if r is not self._NEED_SECOND:
+            return r
+        if second is None:
+            return None
+        b2, w2, nb2, hu2 = (int(second[0][i]), int(second[1][i]),
+                            int(second[2][i]), bool(second[3][i]))
+        if nb2 == 0 or b2 >= (1 << 30):
+            # no second-place among pre-existing nodes: only this batch's
+            # candidates remain — the bestc<best0 machinery covers it with
+            # an infinite old-best
+            b2, w2, hu2 = int(self.INF), -1, False
+        r = self._resolve_core(i, b2, w2, nb2, hu2, exclude=w0)
+        return None if r is self._NEED_SECOND else r
+
+    _NEED_SECOND = object()
+
+    def _resolve_core(self, i: int, best0: int, w0: int, nb0: int,
+                      hu0: bool, exclude):
+        """One resolution pass against a device (best, winner, count, hu)
+        where `exclude` names a slot masked out of that device count."""
+        n = self.ncand
+        if n:
+            colS = self.cS[:n, i]
+            colNC = self.cNC[:n, i]
+            hu_c = colNC < self.cnum_mut[:n]
+            valid_c = np.where(self.cleaf[:n], colNC > 0,
+                               (hu_c & (colNC > 0)) | ~hu_c)
+            sc = np.where(valid_c, colS, self.INF)
+            bestc = int(sc.min())
+        else:
+            sc = np.zeros(0, np.int64)
+            bestc = int(self.INF)
+
+        jw0 = self.mod.get(w0) if w0 >= 0 else None
+        if jw0 is not None and int(sc[jw0]) != best0:
+            # the device winner was split and no longer attains its score:
+            # the next-in-line among pre-existing nodes is needed
+            return self._NEED_SECOND
+
+        if w0 < 0:
+            # old nodes exhausted: winner must come from the candidates
+            if bestc >= int(self.INF):
+                return self._NEED_SECOND
+            ties = np.nonzero(sc == bestc)[0]
+            jw = max(ties, key=lambda j: (self.leaves_view(
+                int(self.cslot[j])), self.chain_key(int(self.cslot[j]))))
+            return (bestc, int(self.cslot[jw]), len(ties), bool(hu_c[jw]))
+
+        if bestc < best0:
+            ties = np.nonzero(sc == bestc)[0]
+            nb = len(ties)
+            jw = max(ties, key=lambda j: (self.leaves_view(
+                int(self.cslot[j])), self.chain_key(int(self.cslot[j]))))
+            return (bestc, int(self.cslot[jw]), nb, bool(hu_c[jw]))
+
+        # Mod re-accounting at the snapshot best score: a split node left
+        # the device count if its score/validity moved, joins it if it now
+        # attains best0 validly (`exclude` was row-masked in this pass's
+        # device count, so it was never part of it)
+        adj = 0
+        if n:
+            for j in np.nonzero(self.cmod[:n])[0]:
+                slot = int(self.cslot[j])
+                s0 = int(self.probes[slot][0][i])
+                was = (slot != exclude and s0 == best0
+                       and bool(self.cvalid0[j, i]))
+                now = (int(colS[j]) == best0) and bool(valid_c[j])
+                adj += int(now) - int(was)
+
+        cand_ties = (np.nonzero(sc == best0)[0] if bestc == best0
+                     else np.zeros(0, np.int64))
+        new_ties = [int(j) for j in cand_ties if not self.cmod[j]]
+
+        chal: list[int] = []
+        if nb0 > 1:
+            for slot in self.leaf_boost:
+                if slot >= self.N0 or slot in self.mod or slot == w0:
+                    continue
+                pr = self.probes.get(slot)
+                if pr is None:
+                    continue
+                sc_s, valid_s, _hu_s = self._old_valid(slot, i)
+                if sc_s == best0 and valid_s:
+                    chal.append(slot)
+            if self.opaque:
+                # a split re-leveled the interior of an old subtree: an
+                # unprobed tied node in there could now out-rank the
+                # finalists — but only if its leaf count (bounded by the
+                # subtree root's) reaches the finalists' max
+                bar = self.leaves_view(w0)
+                for j in cand_ties:
+                    bar = max(bar, self.leaves_view(int(self.cslot[j])))
+                for slot in chal:
+                    bar = max(bar, self.leaves_view(slot))
+                if any(b >= bar for b in self.opaque):
+                    return None
+
+        nb = nb0 + adj + len(new_ties)
+        fin: dict[int, int | None] = {w0: jw0}      # slot -> cand idx
+        for j in cand_ties:
+            fin[int(self.cslot[j])] = int(j)
+        for slot in chal:
+            fin.setdefault(slot, None)
+        if len(fin) == 1:
+            j_w = fin[w0]
+            hu_w = (bool(self.cNC[j_w, i] < self.cnum_mut[j_w])
+                    if j_w is not None else hu0)
+            return best0, w0, nb, hu_w
+        slot_w, j_w = max(fin.items(), key=lambda kv: (
+            self.leaves_view(kv[0]), self.chain_key(kv[0])))
+        if j_w is not None:
+            return best0, slot_w, nb, bool(
+                self.cNC[j_w, i] < self.cnum_mut[j_w])
+        if slot_w == w0:
+            return best0, w0, nb, hu0
+        _sc, _valid, hu_w = self._old_valid(slot_w, i)
+        return best0, slot_w, nb, hu_w
 
 
 @dataclass
@@ -127,6 +741,9 @@ class DirectPlacer:
         # else reads the CSR directly
         self._mut_delta: dict[int, list] = {}
         self._placed: set[str] = set()
+        self._bs: _BatchState | None = None   # current batch's overlay
+        # extra per-new-slot views for not-yet-flushed appends
+        self._leaf_over: dict[int, bool] = {}
 
     # --- node views ---------------------------------------------------------
 
@@ -134,6 +751,23 @@ class DirectPlacer:
         if slot < len(self._names):
             return self._names[slot]
         return self._extra_names[slot - len(self._names)]
+
+    def parent_slot_of(self, slot: int) -> int:
+        """CURRENT-view parent (includes this batch's queued surgery)."""
+        bs = self._bs
+        if bs is not None:
+            p = bs.parent_over.get(slot)
+            if p is not None:
+                return p
+        if slot < self.big.N:
+            return int(self.big.parent[slot])
+        raise IndexError(f"unknown slot {slot}")
+
+    def is_leaf_of(self, slot: int) -> bool:
+        got = self._leaf_over.get(slot)
+        if got is not None:
+            return got
+        return bool(self.big.is_leaf[slot])
 
     def mutations_of(self, slot: int):
         delta = self._mut_delta.get(slot)
@@ -197,7 +831,7 @@ class DirectPlacer:
                         hu_best: bool, excess) -> list[int]:
         big = self.big
         changed = []
-        if bool(big.is_leaf[best_slot]) or hu_best:
+        if self.is_leaf_of(best_slot) or hu_best:
             self._internal_counter += 1
             nid = f"node_{self._internal_counter}"
             curr_l1 = [m.copy() for m in self.mutations_of(best_slot)]
@@ -213,8 +847,9 @@ class DirectPlacer:
                               and m1.mut_nuc == m2.mut_nuc
                               for m2 in curr_l1)
                 (common if matched else l2).append(m1.copy())
-            x_slot, s_slot = big.queue_sibling_split(
-                best_slot, self._triplets(common), self._triplets(l2))
+            ct, l2t = self._triplets(common), self._triplets(l2)
+            l1t = self._triplets(l1)
+            x_slot, s_slot = big.queue_sibling_split(best_slot, ct, l2t)
             self._extra_names.append(nid)
             self._extra_names.append(sample_name)
             self._mut_delta[best_slot] = sorted(
@@ -222,6 +857,10 @@ class DirectPlacer:
             self._mut_delta[x_slot] = sorted(
                 common, key=lambda m: m.position)
             self._mut_delta[s_slot] = sorted(l2, key=lambda m: m.position)
+            self._leaf_over[x_slot] = False
+            self._leaf_over[s_slot] = True
+            if self._bs is not None:
+                self._bs.note_split(best_slot, x_slot, s_slot, ct, l2t, l1t)
             changed = [s_slot, x_slot, best_slot]
         else:
             curr_l1 = self.mutations_of(best_slot)
@@ -230,9 +869,13 @@ class DirectPlacer:
                              and m1.position == m2.position
                              and m1.mut_nuc == m2.mut_nuc
                              for m2 in curr_l1)]
-            s_slot = big.queue_child_insert(best_slot, self._triplets(l2))
+            l2t = self._triplets(l2)
+            s_slot = big.queue_child_insert(best_slot, l2t)
             self._extra_names.append(sample_name)
             self._mut_delta[s_slot] = sorted(l2, key=lambda m: m.position)
+            self._leaf_over[s_slot] = True
+            if self._bs is not None:
+                self._bs.note_child_insert(best_slot, s_slot, l2t)
             changed = [s_slot]
         return changed
 
@@ -246,13 +889,21 @@ class DirectPlacer:
         stats_f = open(os.path.join(outdir, "placement_stats.tsv"), "w")
 
         bsz = max(1, opts.batch_size)
+        seq_mode = bool(os.environ.get("USHER_TPU_DIRECT_SEQ"))
         for b0 in range(0, len(self.missing), bsz):
             batch = self.missing[b0:b0 + bsz]
             for s in batch:
                 s.mutations.sort(key=lambda m: m.position)
             pos, gval, kmiss = big.sparsify([s.mutations for s in batch])
-            bs, slot, nb, hu = big.place_arrays(pos, gval, kmiss)
-            check_slots: set[int] = set()
+            with_second = big.mesh is None
+            if with_second:
+                (bs, slot, nb, hu), second = big.place_arrays(
+                    pos, gval, kmiss, with_second=True)
+            else:
+                bs, slot, nb, hu = big.place_arrays(pos, gval, kmiss)
+                second = None
+            st = _BatchState(self, pos, gval, kmiss)
+            self._bs = st
             for i, s in enumerate(batch):
                 if s.name in self._placed:
                     # duplicate within the VCF: the Tree driver's mid-loop
@@ -260,18 +911,24 @@ class DirectPlacer:
                     _err(f"WARNING: Sample {s.name} already in the tree! "
                          f"Ignoring.\n")
                     continue
-                best_score = int(bs[i])
-                best_slot = int(slot[i])
-                num_best = int(nb[i])
-                hu_best = bool(hu[i])
-                if check_slots:
-                    # earlier applies made the batch snapshot stale for
-                    # this sample; re-score EXACTLY on the host (numpy
-                    # interval engine, ~ms) — a device dispatch would
-                    # re-upload the post-append epoch metadata every time
+                if seq_mode and st.applies:
+                    r = None   # the reference's literal per-sample loop
+                else:
+                    r = st.resolve(i, int(bs[i]), int(slot[i]),
+                                   int(nb[i]), bool(hu[i]), second=second)
+                if r is None:
+                    # uncertifiable from the snapshot: exact full host
+                    # re-score against the current tree (numpy interval
+                    # engine — a device dispatch would re-upload the
+                    # post-append epoch metadata every time)
+                    st.fallbacks += 1
                     p1, g1, k1 = big.sparsify([s.mutations])
                     best_score, best_slot, num_best, hu_best = \
                         big.place_one_host(p1, g1, k1)
+                else:
+                    best_score, best_slot, num_best, hu_best = r
+                    best_score, best_slot = int(best_score), int(best_slot)
+                    num_best, hu_best = int(num_best), bool(hu_best)
 
                 detail = score_placement(self.node(best_slot), s.mutations)
                 if detail.set_difference != best_score:
@@ -306,9 +963,8 @@ class DirectPlacer:
                 if (num_best <= opts.max_uncertainty
                         and best_score <= opts.max_parsimony):
                     if not opts.no_add:
-                        changed = self.apply_placement(
+                        self.apply_placement(
                             s.name, best_slot, hu_best, detail.excess)
-                        check_slots.update(changed)
                         self._placed.add(s.name)
                     if detail.imputed:
                         from ..placement.driver import _nuc_char
@@ -335,41 +991,40 @@ class DirectPlacer:
 
     def write_newick(self) -> str:
         """final-tree.nh: internal labels, branch length = mutation count
-        (write_newick semantics over the appended arrays)."""
+        (write_newick semantics over the appended arrays).
+
+        Vectorized fragment-sort construction: each node contributes an
+        open "(" at its DFS rank (internal only), a close/label at its DFS
+        end, and a "," when a next sibling follows; fragments sort by
+        (coordinate, close<comma<open, deeper-closes-first).  At a shared
+        end coordinate the closing nodes form a descendant chain, of which
+        only the top can have a next sibling — so one comma per coordinate,
+        after all closes, is exact."""
         big = self.big
         big._flush()
-        order = big.dfs_order
-        counts = np.zeros(big.N, np.int64)
+        N = big.N
+        counts = np.zeros(N, np.int64)
         nbase = self.ma.n
         counts[:nbase] = np.diff(self.ma.mut_ptr)
         for slot, muts in self._mut_delta.items():
             counts[slot] = len(muts)
-        out: list[str] = []
-        # iterative: first child of u is rank r+1; next sibling of c is
-        # rank dfs_end_of[c]
-        dfs_of, dfs_end = big.dfs_of, big.dfs_end_of
-        stack = [(int(order[0]), -1)]
-        while stack:
-            slot, child_rank = stack[-1]
-            r, e = int(dfs_of[slot]), int(dfs_end[slot])
-            if child_rank == -1:
-                if e > r + 1:
-                    out.append("(")
-                    # cursor = first child's END (the next sibling's rank)
-                    stack[-1] = (slot, int(dfs_end[order[r + 1]]))
-                    stack.append((int(order[r + 1]), -1))
-                    continue
-                child_rank = e  # leaf: fall through to emit
-            if child_rank < e:
-                out.append(",")
-                stack[-1] = (slot, int(dfs_end[order[child_rank]]))
-                stack.append((int(order[child_rank]), -1))
-                continue
-            if e > r + 1:
-                out.append(")")
-            out.append(f"{self.name_of(slot)}:{int(counts[slot])}")
-            stack.pop()
-        return "".join(out) + ";"
+        r = big.dfs_of.astype(np.int64)
+        e = big.dfs_end_of.astype(np.int64)
+        internal = e > r + 1
+        has_next = e < e[big.parent]
+        nh, ni = int(has_next.sum()), int(internal.sum())
+        frags = [(")" if internal[i] else "")
+                 + f"{self.name_of(i)}:{int(counts[i])}" for i in range(N)]
+        frags.extend([","] * nh)
+        frags.extend(["("] * ni)
+        pos = np.concatenate([e, e[has_next], r[internal]])
+        kind = np.concatenate([np.zeros(N, np.int8),
+                               np.ones(nh, np.int8),
+                               np.full(ni, 2, np.int8)])
+        lvl = np.concatenate([-big.level.astype(np.int64),
+                              np.zeros(nh + ni, np.int64)])
+        order = np.lexsort((lvl, kind, pos))
+        return "".join([frags[i] for i in order]) + ";"
 
     def _mutation_path(self, sample_name: str) -> str:
         try:
