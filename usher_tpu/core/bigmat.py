@@ -588,9 +588,10 @@ class BigMAT:
         add0p = np.zeros(b_pad, np.int32)
         add0p[:B] = add0
         if self.mesh is not None:
+            from ..parallel.distributed import fetch
             fn = iv._scores_sharded_fn(self.mesh, self.mesh.axis_names[0],
                                        self.n_pad, b_pad // self.mesh.size)
-            score_dfs, nc_dfs = (np.asarray(x) for x in fn(
+            score_dfs, nc_dfs = (fetch(x) for x in fn(
                 *(jnp.asarray(a) for a in evp),
                 *(jnp.asarray(a) for a in ncp),
                 meta["base"], meta["nc_base"], jnp.asarray(add0p)))
@@ -709,7 +710,22 @@ class BigMAT:
 
         ov_new: list[tuple] = []   # (node, col, par, mut)
         slot = N0
-        for p in pend:
+        i = 0
+        while i < len(pend):
+            # maximal run of child inserts: ONE vectorized multi-insert
+            # instead of per-pending O(N) shift passes (a serving batch
+            # flushes hundreds of appends at once)
+            j = i
+            while j < len(pend) and pend[j][0] == "child":
+                j += 1
+            if j - i >= 2:
+                run = pend[i:j]
+                self._apply_child_run(run, slot, ov_new, nodes)
+                slot += len(run)
+                i = j
+                continue
+            p = pend[i]
+            i += 1
             if p[0] == "child":
                 _, u, s_muts, s_node = p
                 s = slot
@@ -820,6 +836,64 @@ class BigMAT:
         for k in ("_dfs_meta_spr", "_dfs_meta_plc", "_csc_dev_cache"):
             if hasattr(self, k):
                 delattr(self, k)
+
+    def _apply_child_run(self, run, slot0: int, ov_new, nodes) -> None:
+        """Vectorized multi-insert: materialize a run of k child appends
+        with ONE set of O(N) passes instead of k.
+
+        Works in run-start coordinates.  Each insert lands at the end of
+        its target's interval; the FINAL left-to-right order of the new
+        rows is by (boundary c, deeper target first, queue order) — two
+        same-boundary inserts at nested targets always end up deeper-first
+        regardless of queue order (the deeper target's boundary is not
+        extended by the shallower insert), matching the sequential path.
+        Old-row shifts become dominance counts over the sorted insert
+        keys: dfs_of += #(c_j <= dfs_of), and dfs_end_of += #(c_j < end
+        OR (c_j == end AND target_dfs >= dfs_of)) — the tie case keeps
+        last-child chains unextended while ancestors sharing the boundary
+        grow, exactly the sequential anc_mask rule.  Subtree-leaf gains
+        fall out as (end shifts - of shifts)."""
+        k = len(run)
+        us = np.array([p[1] for p in run], np.int64)
+        if (us >= slot0).any():
+            raise AssertionError("child-run target queued in the same run")
+        c = self.dfs_end_of[us].astype(np.int64)
+        du = self.dfs_of[us].astype(np.int64)
+        M = np.int64(1) << 31
+
+        of_old = self.dfs_of.astype(np.int64)
+        end_old = self.dfs_end_of.astype(np.int64)
+        sc = np.sort(c)
+        ofc = np.searchsorted(sc, of_old, side="right")
+        kk = np.sort(c * M + (M - 1 - du))
+        endc = np.searchsorted(kk, end_old * M + (M - 1 - of_old),
+                               side="right")
+        self.dfs_of += ofc.astype(self.dfs_of.dtype)
+        self.dfs_end_of += endc.astype(self.dfs_end_of.dtype)
+        self.num_leaves += (endc - ofc).astype(self.num_leaves.dtype)
+
+        # final row of insert j = c_j + (#inserts ordered before it)
+        ordk = np.lexsort((np.arange(k), -du, c))
+        rank = np.empty(k, np.int64)
+        rank[ordk] = np.arange(k)
+        slots = slot0 + np.arange(k)
+        self.dfs_of[slots] = (c + rank).astype(self.dfs_of.dtype)
+        self.dfs_end_of[slots] = (c + rank + 1).astype(
+            self.dfs_end_of.dtype)
+        self.parent[slots] = us
+        self.level[slots] = self.level[us] + 1
+        self.num_leaves[slots] = 1
+        # child keys: same-target inserts append in queue order
+        o2 = np.lexsort((np.arange(k), us))
+        seq = np.arange(k, dtype=np.int64)
+        grp_start = np.r_[True, us[o2][1:] != us[o2][:-1]]
+        seq -= np.maximum.accumulate(np.where(grp_start, seq, 0))
+        self.child_key[slots[o2]] = self.child_count[us[o2]] + seq
+        np.add.at(self.child_count, us, 1)
+        for j, p in enumerate(run):
+            self._init_new_node(int(slots[j]), int(us[j]), p[2], ov_new)
+            if nodes is not None:
+                nodes.append(p[3])
 
     def _init_new_node(self, slot, parent_slot, muts, ov_new) -> None:
         """Aggregates for a new node from the F-prefix chain + its own
@@ -984,14 +1058,13 @@ class BigMAT:
         *ev, add0 = self._events(pos, gval, kmiss, spr=False)
         ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val = ev
         N, n_pad = self.N, self.n_pad
-        diff = np.zeros(n_pad + 1, np.int64)
+        diff = np.zeros(n_pad + 1, np.int32)
         np.add.at(diff, ev_idx, ev_val)
-        run = np.cumsum(diff[:n_pad])
-        score = self.base.astype(np.int64) + int(add0[0]) \
-            + run[self.dfs_of]
-        ncv = np.zeros(n_pad + 1, np.int64)
+        run = np.cumsum(diff[:n_pad], dtype=np.int32)
+        score = self.base + np.int32(add0[0]) + run[self.dfs_of]
+        ncv = np.zeros(n_pad + 1, np.int32)
         np.add.at(ncv, nc_idx, nc_val)
-        nc = self.nc_base.astype(np.int64) + ncv[self.dfs_of]
+        nc = self.nc_base + ncv[self.dfs_of]
         hu = nc < self.node_num_mut
         nc_pos = nc > 0
         leaf = self.is_leaf
@@ -1051,11 +1124,13 @@ class BigMAT:
                              "sharded path")
         if self.mesh is None:
             # device-expansion fast path: the CSC index is resident on the
-            # device, so per-batch H2D is just the [B, K] entry arrays
-            e = pos < self.P
-            cnts = self.csc_ptr[pos[e] + 1] - self.csc_ptr[pos[e]]
+            # device, so per-batch H2D is just the [B, K] entry arrays.
+            # mc comes from the GLOBAL max column occupancy (not this
+            # batch's) so consecutive batches share ONE compiled program —
+            # per-batch shape drift means a recompile (or a cached-
+            # executable reload over the tunnel) every batch.
             mc = 32
-            mx = int(cnts.max()) if cnts.size else 0
+            mx = int(np.diff(self.csc_ptr).max()) if self.P else 0
             while mc < mx:
                 mc = mc * 3 // 2
             if mc <= 8192:
@@ -1078,8 +1153,10 @@ class BigMAT:
                 else:
                     z = (np.zeros(0, np.int32),) * 3
                     oev = [*z, *z]
-                ovp = iv.pad_events(*oev[:3], self.n_pad, bucket=256)
-                ovn = iv.pad_events(*oev[3:6], self.n_pad, bucket=256)
+                # large bucket: the overlay grows every batch in a serving
+                # loop, and each bucket crossing is a new jit shape
+                ovp = iv.pad_events(*oev[:3], self.n_pad, bucket=4096)
+                ovn = iv.pad_events(*oev[3:6], self.n_pad, bucket=4096)
                 csc = self._csc_dev()
                 out = iv.interval_place_dev(
                     *csc, jnp.asarray(pos.astype(np.int32)),
@@ -1104,6 +1181,13 @@ class BigMAT:
                      *(jnp.asarray(a) for a in ncp),
                      meta["base"], meta["nc_base"], jnp.asarray(add0p),
                      *margs)
+            if not all(getattr(o, "is_fully_addressable", True)
+                       for o in out):
+                # multi-process mesh: one allgather per output (eager
+                # jnp.stack cannot pack non-addressable global arrays)
+                from ..parallel.distributed import fetch
+                packed = np.stack([fetch(o).astype(np.int32) for o in out])
+                return self._unpack_place(packed, B, with_second)
         else:
             out = iv.interval_place(
                 *(jnp.asarray(a) for a in evp),

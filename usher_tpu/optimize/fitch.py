@@ -26,6 +26,8 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+
+from ..parallel.distributed import fetch as _fetch
 import jax
 import jax.numpy as jnp
 
@@ -317,8 +319,8 @@ class FitchEngine:
             st, mk = fn(lm_dev, is_leaf_dev, psl,
                         lp, ll, up, ul, parent_dev, rn_dev,
                         n_levels=self.n_levels, max_u=self.max_u)
-            states[:, c0:c1] = np.asarray(st, dtype=np.int8)[:, :c1 - c0]
-            masks[:, c0:c1] = np.asarray(mk)[:, :c1 - c0]
+            states[:, c0:c1] = _fetch(st).astype(np.int8)[:, :c1 - c0]
+            masks[:, c0:c1] = _fetch(mk)[:, :c1 - c0]
         return states, masks
 
     def run_rewrite_streamed(self, store, ref_row: np.ndarray, chrom: str,
@@ -369,8 +371,8 @@ class FitchEngine:
             st, mk = fn(lm_dev, is_leaf_dev, psl,
                         lp, ll, up, ul, parent_dev, rn_dev,
                         n_levels=self.n_levels, max_u=self.max_u)
-            st_h = np.asarray(st, dtype=np.int8)[:, :c1 - c0]
-            mk_h = np.asarray(mk)[:, :c1 - c0]
+            st_h = _fetch(st).astype(np.int8)[:, :c1 - c0]
+            mk_h = _fetch(mk)[:, :c1 - c0]
             devs.set_chunk(c0, mk_h, ref_row[c0:c1])
             ni, si, pv, mv = self._mutation_arrays(st_h, lm, ref_row[c0:c1])
             trip_node.append(ni)

@@ -34,6 +34,8 @@ import sys
 from dataclasses import dataclass
 
 import numpy as np
+
+from ..parallel.distributed import fetch as _fetch
 import jax
 import jax.numpy as jnp
 
@@ -260,7 +262,7 @@ class MoveFinder:
                 bat = lambda a: put_batch(self.mesh, a, 0)  # noqa: E731
             else:
                 bat = jnp.asarray
-            cost, slot, hu = (np.asarray(x) for x in _score_moves(
+            cost, slot, hu = (_fetch(x) for x in _score_moves(
                 self.st, self.stp, self.ref, self.active, bat(g),
                 self.num_leaves, self.bfs_rank,
                 self.dfs_idx_dev, self.level_dev,

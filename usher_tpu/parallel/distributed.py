@@ -91,3 +91,21 @@ def is_leader() -> bool:
     leader discipline)."""
     import jax
     return (not _initialized) or jax.process_index() == 0
+
+
+def fetch(x):
+    """np.asarray for device arrays that may span processes.
+
+    Single-process (and host numpy) inputs take the plain fast path; a
+    multi-process global array that is not fully addressable is gathered
+    with one collective (the moral equivalent of the reference's
+    rank-0 result gathers, e.g. FS_gather_mut utils.cpp:354) so every
+    process holds the full result — the replicated-host execution model
+    all drivers here assume."""
+    import numpy as np
+    if isinstance(x, np.ndarray):
+        return x
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -260,6 +260,18 @@ class _BatchState:
         return [(int(self.mut_col0[k]), int(self.mut_par0[k]),
                  int(self.mut_mut0[k])) for k in range(lo, hi)]
 
+    def _max_child_leaves(self):
+        """max snapshot leaf count among each node's children (0 for
+        leaves) — one vectorized pass, computed on first split."""
+        got = getattr(self, "_mcl", None)
+        if got is None:
+            got = np.zeros(self.N0, np.int64)
+            nonroot = np.arange(self.N0) != self.parent0[:self.N0]
+            np.maximum.at(got, self.parent0[:self.N0][nonroot],
+                          self.num_leaves0[:self.N0][nonroot])
+            self._mcl = got
+        return got
+
     def probe_path(self, u: int) -> None:
         """Exact snapshot (score, num_common) rows for u and every S0
         ancestor, all B samples at once.  V accumulates the range-part of
@@ -520,7 +532,10 @@ class _BatchState:
         self.recs[x_slot]["anchor"] = anchor
         if anchor is not None and (int(self.dfs_end_of0[anchor])
                                    - int(self.dfs_of0[anchor])) > 1:
-            self.opaque.append(int(self.num_leaves0[anchor]))
+            # the unknown re-leveled ties are STRICT descendants of the
+            # anchor (the anchor itself is a tracked Mod candidate), so
+            # their leaf counts are bounded by the anchor's largest child
+            self.opaque.append(int(self._max_child_leaves()[anchor]))
         self.recs[x_slot]["nchild"] = 2
         self.parent_over[x_slot] = pold
         self.childkey_over[x_slot] = self._childkey_next(pold)

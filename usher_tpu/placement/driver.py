@@ -21,6 +21,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+from ..parallel.distributed import fetch as _fetch
+
 from ..core.flat import FlatMAT, collect_positions
 from ..core.tree import Mutation, MissingSample, Tree
 from ..io.newick import write_newick
@@ -236,9 +238,9 @@ class PlacementEngine:
                 jax.device_put(pos, batch_sh),
                 jax.device_put(gval, batch_sh),
                 jax.device_put(kmiss, batch_sh))
-            score_t = np.asarray(score_t)
-            return (score_t.T[:B], np.asarray(nc_t).T[:B],
-                    np.asarray(nnm))
+            score_t = _fetch(score_t)
+            return (score_t.T[:B], _fetch(nc_t).T[:B],
+                    _fetch(nnm))
         if self._mesh_score is None:
             self._mesh_score = pmesh.sharded_score_fn(self.mesh)
         g, E, miss = flat.encode_samples(samples_mutations)
@@ -255,7 +257,7 @@ class PlacementEngine:
                                     NamedSharding(self.mesh, P("model")))
         score, nc, nnm = self._mesh_score(st_dev, stp_dev, ref_dev,
                                           active_dev, g, E, miss)
-        return (np.asarray(score)[:B], np.asarray(nc)[:B], np.asarray(nnm))
+        return (_fetch(score)[:B], _fetch(nc)[:B], _fetch(nnm))
 
     # --- surgery ------------------------------------------------------------
 
