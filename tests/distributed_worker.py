@@ -1,0 +1,128 @@
+"""Worker for the REAL multi-process jax.distributed test.
+
+Each process runs this file with USHER_TPU_COORDINATOR / NUM_PROCESSES /
+PROCESS_ID set (the production activation path of
+parallel/distributed.maybe_initialize).  All processes execute the same
+replicated-host program — the execution model every driver here assumes,
+mirroring the reference's follower tree replicas — over a GLOBAL device
+mesh spanning both processes:
+
+  placement  batch-axis shard_map over the global mesh (BigMAT path)
+  FS         position-axis sharding inside optimize_tree
+  SPR        source-batch sharding inside optimize_tree
+
+Process 0 writes results to the given output file; the parent test
+compares them byte-for-byte against a single-process run.
+
+Run single-process (no env) to produce the golden.
+"""
+
+import json
+import os
+import sys
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+NIBBLES = np.array([1, 2, 4, 8], dtype=np.uint8)
+
+
+def build_tree(seed=3):
+    from usher_tpu.core.tree import Mutation, Tree
+    rng = np.random.default_rng(seed)
+    bases = [1, 2, 4, 8]
+    T = Tree()
+    T.create_node("root")
+    positions = list(range(100, 180))
+    ref = {p: bases[int(rng.integers(4))] for p in positions}
+    nodes = ["root"]
+    for i in range(80):
+        parent = nodes[int(rng.integers(len(nodes)))]
+        nid = f"L{i}"
+        node = T.create_node(nid, parent)
+        p = positions[int(rng.integers(len(positions)))]
+        par = ref[p]
+        mut = bases[(bases.index(par) + 1 + int(rng.integers(3))) % 4]
+        node.add_mutation(Mutation("c", p, ref[p], par, mut))
+        nodes.append(nid)
+    return T, ref
+
+
+def sample_batch(ref, n, seed=11):
+    from usher_tpu.core.tree import Mutation
+    rng = np.random.default_rng(seed)
+    bases = [1, 2, 4, 8]
+    out = []
+    for _ in range(n):
+        muts = []
+        for p in sorted(rng.choice(sorted(ref), size=4,
+                                   replace=False).tolist()):
+            m = Mutation("c", int(p), ref[p], ref[p])
+            m.mut_nuc = bases[int(rng.integers(4))]
+            if m.mut_nuc == ref[p]:
+                m.mut_nuc = bases[(bases.index(m.mut_nuc) + 1) % 4]
+            muts.append(m)
+        out.append(muts)
+    return out
+
+
+def main():
+    from usher_tpu.parallel.distributed import (global_batch_mesh,
+                                                is_leader,
+                                                maybe_initialize)
+    distributed = bool(os.environ.get("USHER_TPU_COORDINATOR"))
+    if distributed:
+        assert maybe_initialize()
+    out_path = sys.argv[1]
+    results = {"process_count": jax.process_count() if distributed else 1,
+               "device_count": jax.device_count()}
+
+    # --- placement over the global mesh (BigMAT batch shard_map) ----------
+    from usher_tpu.core.bigmat import BigMAT
+    from usher_tpu.core.flat import collect_positions
+    T, ref = build_tree()
+    positions, refarr, _ = collect_positions(T)
+    big = BigMAT.from_tree(T, positions, refarr)
+    big.mesh = global_batch_mesh()
+    posset = set(positions.tolist())
+    batch = [[m for m in s if m.position in posset]
+             for s in sample_batch(ref, 16)]
+    bs, slot, nb = big.place_batch(batch)
+    results["placement"] = {
+        "best_score": np.asarray(bs).tolist(),
+        "best_slot": np.asarray(slot).tolist(),
+        "num_best": np.asarray(nb).tolist(),
+    }
+
+    # --- FS + SPR optimization sharded over the global mesh ----------------
+    from usher_tpu.io.newick import write_newick
+    from usher_tpu.optimize import OptimizeOptions, optimize_tree
+    for backend in ("dense", "big"):
+        T_opt, _ = build_tree()
+        sc = optimize_tree(T_opt, OptimizeOptions(
+            radius=4, max_iterations=2, reduce_back_mutations=False,
+            mesh_devices=jax.device_count(), spr_backend=backend))
+        results[f"optimize_{backend}"] = {
+            "score": int(sc),
+            "newick": write_newick(T_opt, print_internal=True,
+                                   print_branch_len=True),
+        }
+
+    if is_leader():
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+    print(f"worker done (process "
+          f"{jax.process_index() if distributed else 0})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -258,6 +258,64 @@ def test_mesh_sparse_scorer_matches_dense():
         assert a.best_node.identifier == b.best_node.identifier
 
 
+def test_distributed_two_process_parity(tmp_path):
+    """REAL 2-process jax.distributed execution: two CPU processes (4
+    virtual devices each) join through a local coordinator, build the
+    8-device GLOBAL mesh, and run placement + FS + SPR over it.  Process
+    0's results must be byte-identical to a plain single-process run —
+    the TPU-native replacement for the reference's three MPI protocols
+    (src/usher-sampled/place_sample.cpp:591-662, utils.cpp:113-481,
+    src/matOptimize/optimize_tree.cpp:165-252)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "distributed_worker.py")
+    base_env = dict(os.environ)
+    base_env.pop("PALLAS_AXON_POOL_IPS", None)
+    base_env["JAX_PLATFORMS"] = "cpu"
+
+    # single-process golden (8 local virtual devices)
+    env1 = dict(base_env)
+    env1["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env1.pop("USHER_TPU_COORDINATOR", None)
+    golden = tmp_path / "golden.json"
+    out = subprocess.run([sys.executable, worker, str(golden)],
+                         env=env1, capture_output=True, text=True,
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+
+    # two distributed processes, 4 virtual devices each
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    multi = tmp_path / "multi.json"
+    procs = []
+    for pid in range(2):
+        env = dict(base_env)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["USHER_TPU_COORDINATOR"] = f"127.0.0.1:{port}"
+        env["USHER_TPU_NUM_PROCESSES"] = "2"
+        env["USHER_TPU_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(multi)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    for pid, p in enumerate(procs):
+        sout, serr = p.communicate(timeout=600)
+        assert p.returncode == 0, f"proc {pid}:\n{serr[-2000:]}"
+        assert "worker done" in sout
+
+    g = json.loads(golden.read_text())
+    m = json.loads(multi.read_text())
+    assert m["process_count"] == 2
+    assert m["device_count"] == 8 == g["device_count"]
+    for key in ("placement", "optimize_dense", "optimize_big"):
+        assert g[key] == m[key], key
+
+
 def test_distributed_degenerate_single_process(tmp_path):
     """--distributed must run the jax.distributed init path and a placement
     end-to-end in the degenerate 1-process case (real N-host runs need pod

@@ -27,7 +27,11 @@ from .spr import Move, MoveFinder, collapse_bonus
 
 def _fetch3(out):
     """ONE host transfer for the three per-chunk result vectors (each
-    np.asarray is a full round trip on a tunneled link)."""
+    np.asarray is a full round trip on a tunneled link).  Global arrays
+    spanning processes go through the allgathering fetch instead."""
+    if not all(getattr(o, "is_fully_addressable", True) for o in out):
+        from ..parallel.distributed import fetch
+        return tuple(fetch(o).astype(np.int32) for o in out)
     packed = np.asarray(jnp.stack([out[0].astype(jnp.int32),
                                    out[1].astype(jnp.int32),
                                    out[2].astype(jnp.int32)]))
