@@ -13,4 +13,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-REFERENCE_TEST_DIR = "/root/reference/test"
+# reference fixtures: the real checkout when present, else the vendored
+# byte-identical copies (tests/fixtures/) so hosted CI runs the same tests
+import os as _os
+_here = _os.path.dirname(_os.path.abspath(__file__))
+if _os.path.isdir("/root/reference/test"):
+    REFERENCE_TEST_DIR = "/root/reference/test"
+    REFERENCE_SCRIPTS_DIR = "/root/reference/scripts"
+else:
+    REFERENCE_TEST_DIR = _os.path.join(_here, "fixtures")
+    REFERENCE_SCRIPTS_DIR = _os.path.join(_here, "fixtures")

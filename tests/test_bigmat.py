@@ -9,6 +9,8 @@ smaller than the batch's unique positions).
 import numpy as np
 import pytest
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 from usher_tpu.core.bigmat import BigMAT
 from usher_tpu.core.flat import FlatMAT
 from usher_tpu.ops import placement as dev
@@ -72,7 +74,7 @@ def test_bigmat_cli_byte_identical(tmp_path):
     surgery, epoch rebuilds across batches)."""
     import os
     import pytest
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -99,7 +101,7 @@ def test_bigmat_parsimony_scores_tsv(tmp_path):
     """usher -p --bigmat: per-node parsimony scores identical to dense."""
     import os
     import pytest
-    scripts = "/root/reference/scripts"
+    scripts = REFERENCE_SCRIPTS_DIR
     if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main

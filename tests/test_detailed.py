@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 from usher_tpu.cli.usher_cli import main as usher_main
 from usher_tpu.io.detailed import (is_detailed_checkpoint,
                                    load_detailed_mutations,
@@ -15,7 +17,7 @@ from usher_tpu.io.detailed import (is_detailed_checkpoint,
 from usher_tpu.io.newick import write_newick
 from usher_tpu.io.pbio import load_mat_pb
 
-SCRIPTS = "/root/reference/scripts"
+SCRIPTS = REFERENCE_SCRIPTS_DIR
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(SCRIPTS, "testBranchLen2.nwk")),

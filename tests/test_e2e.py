@@ -248,3 +248,42 @@ def test_multiple_placements(built, tmp_path):
     assert names.count("Sample5") == 2
     assert os.path.exists(os.path.join(outdir2, "mutation-paths-1.txt"))
     assert os.path.exists(os.path.join(outdir2, "mutation-paths-2.txt"))
+
+
+def test_pb_roundtrip_through_newick_and_vcf(built, tmp_path):
+    """External-anchor round-trip oracle (check_samples spirit,
+    src/check_samples_place/main.cpp:9-50): export the built MAT back to
+    its raw inputs (uncondensed newick + genotype VCF), rebuild a MAT
+    from them through the full per-site Fitch-Sankoff assignment path,
+    and demand the rebuilt pb byte-identical to a re-save of the
+    original.  Any drift in the VCF writer, newick writer/parser, Sankoff
+    assignment, condensation, or pb codec breaks the fixed point."""
+    from usher_tpu.io.pbio import save_mat_pb
+    from usher_tpu.matutils.convert import make_vcf
+    from usher_tpu.io.newick import write_newick
+
+    _outdir, pb = built
+    T = load_mat_pb(pb)
+    T.uncondense_leaves()
+    nh = str(tmp_path / "rt.nh")
+    vcf = str(tmp_path / "rt.vcf")
+    with open(nh, "w") as f:
+        f.write(write_newick(T, print_internal=False,
+                             print_branch_len=True))
+    make_vcf(T, vcf)
+
+    outdir2 = str(tmp_path / "rebuild")
+    pb2 = os.path.join(outdir2, "rt.pb")
+    rc = usher_main(["-t", nh, "-v", vcf, "-o", pb2, "-d", outdir2])
+    assert rc == 0
+
+    # canonical re-save of the original (same condense-before-save path)
+    T0 = load_mat_pb(pb)
+    pb0 = str(tmp_path / "resave.pb")
+    save_mat_pb(T0, pb0)
+    T0.uncondense_leaves()
+
+    T2 = load_mat_pb(pb2)
+    T2.uncondense_leaves()
+    assert set(T2.get_leaves_ids()) == set(T0.get_leaves_ids())
+    assert open(pb2, "rb").read() == open(pb0, "rb").read()

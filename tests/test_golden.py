@@ -13,9 +13,11 @@ import os
 
 import pytest
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 from usher_tpu.cli.usher_cli import main as usher_main
 
-SCRIPTS = "/root/reference/scripts"
+SCRIPTS = REFERENCE_SCRIPTS_DIR
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(SCRIPTS, "testBranchLen2.nwk")),
@@ -61,7 +63,7 @@ def test_smoke_summary_goldens(tmp_path):
     samples/mutations/clades table formats + content)."""
     import filecmp
     from usher_tpu.cli.matutils_cli import main as mu
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     build = str(tmp_path / "b")
@@ -84,7 +86,7 @@ def test_smoke_extract_writer_goldens(tmp_path):
     byte-stable on the smoke MAT."""
     import filecmp
     from usher_tpu.cli.matutils_cli import main as mu
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     build = str(tmp_path / "b")

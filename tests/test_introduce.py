@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 from usher_tpu.core.tree import Mutation, Tree
 from usher_tpu.matutils.introduce import (
     find_introductions, get_assignments, get_association_index,
@@ -87,7 +89,7 @@ def test_read_two_column(tmp_path):
 
 def test_introduce_cli_smoke(tmp_path):
     """End-to-end on the reference smoke tree through the CLI."""
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main

@@ -13,7 +13,7 @@ from usher_tpu.io.pbio import load_mat_pb, save_mat_pb
 from usher_tpu.io.vcf import read_vcf_sites
 from usher_tpu.ops.sankoff import assign_states_from_vcf
 
-from conftest import REFERENCE_TEST_DIR
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
 
 GLOBAL_NH = os.path.join(REFERENCE_TEST_DIR, "global_phylo.nh")
 GLOBAL_VCF = os.path.join(REFERENCE_TEST_DIR, "global_samples.vcf")
@@ -286,7 +286,7 @@ def test_extract_select_nearest_add_random_clades(tmp_path):
     --usher-anchor-samples (extract.cpp:103-110, 429-450, 558-583)."""
     import os
     import pytest
-    scripts = "/root/reference/scripts"
+    scripts = REFERENCE_SCRIPTS_DIR
     if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -367,7 +367,7 @@ def test_annotate_clade_mutations(tmp_path):
     -D details output (annotate.cpp:207-302)."""
     import os
     import pytest
-    scripts = "/root/reference/scripts"
+    scripts = REFERENCE_SCRIPTS_DIR
     if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main

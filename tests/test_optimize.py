@@ -242,7 +242,7 @@ def test_check_state_reassign_toggle(tmp_path, monkeypatch):
     verifies the local FS patch against a full recompute each iteration."""
     import os
     import pytest
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -386,7 +386,7 @@ def test_matoptimize_improves_smoke_tree(tmp_path):
     in move finding/application."""
     import os
     import pytest
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -459,7 +459,7 @@ def test_matoptimize_spr_backend_big_identical(tmp_path):
     tree to the dense backend on the smoke MAT."""
     import os
     import pytest
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -490,7 +490,7 @@ def test_matoptimize_stream_states_identical(tmp_path):
     driver on the smoke MAT."""
     import os
     import pytest
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main

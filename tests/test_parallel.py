@@ -5,6 +5,8 @@ graft entry points must run."""
 import numpy as np
 import jax
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 from usher_tpu.ops import placement as dev
 from usher_tpu.parallel import make_mesh, sharded_placement_step, shard_flat_inputs
 
@@ -63,7 +65,7 @@ def test_mesh_engine_end_to_end_byte_identical(tmp_path):
     import os
     from usher_tpu.cli.usher_cli import main as usher_main
 
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     nh = os.path.join(ref_dir, "global_phylo.nh")
     vcf = os.path.join(ref_dir, "global_samples.vcf")
     new_vcf = os.path.join(ref_dir, "new_samples.vcf")
@@ -95,7 +97,7 @@ def test_fitch_engine_mesh_identical(tmp_path):
     MPI position sharding, utils.cpp:113-481)."""
     import os
     import pytest
-    scripts = "/root/reference/scripts"
+    scripts = REFERENCE_SCRIPTS_DIR
     if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -128,7 +130,7 @@ def test_optimize_mesh_identical(tmp_path):
     optimize_tree.cpp:165-252)."""
     import os
     import pytest
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 from usher_tpu.core.bigmat import BigMAT
 from usher_tpu.core.flat import collect_positions
 from usher_tpu.io import pb_arrays as pa
@@ -112,7 +114,7 @@ def test_pb_direct_byte_identical_to_bigmat(tmp_path):
     placement_stats.tsv / final-tree.nh / mutation-paths.txt to the
     Tree-backed --bigmat engine on the reference smoke fixture."""
     import os
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -171,7 +173,7 @@ def test_pb_direct_flag_parity(tmp_path, extra):
     """--pb-direct must match --bigmat under no-add and threshold flags
     too (stats tsv + final tree byte-equal)."""
     import os
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -196,7 +198,7 @@ def test_pb_direct_mesh_identical(tmp_path):
     """--pb-direct --mesh-devices 8 (batch shard_map) must be byte-equal
     to single-device direct placement."""
     import os
-    ref_dir = "/root/reference/test"
+    ref_dir = REFERENCE_TEST_DIR
     if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -240,3 +242,38 @@ def test_pb_direct_duplicate_sample_skipped(tmp_path):
     assert run_usher_direct(pb, vcf, DirectOptions(outdir=out)) == 0
     tree = open(os.path.join(out, "final-tree.nh")).read()
     assert tree.count("DUP") == 1
+
+
+def test_pb_direct_save_and_uncondensed_byte_identical(tmp_path):
+    """--pb-direct -o (array-native re-condense + pb save) and -u
+    (uncondensed newick) must byte-match the Tree-backed --bigmat
+    outputs on the smoke fixture (which exercises real condensed
+    nodes through expansion and re-condensation)."""
+    import os
+    ref_dir = REFERENCE_TEST_DIR
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+
+    pb = str(tmp_path / "out.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", str(tmp_path / "b"),
+                       "--mesh-devices", "0"]) == 0
+
+    d1 = str(tmp_path / "p1")
+    d2 = str(tmp_path / "p2")
+    assert usher_main(["-i", pb,
+                       "-v", os.path.join(ref_dir, "new_samples.vcf"),
+                       "-o", str(tmp_path / "o1.pb"), "-d", d1, "-u",
+                       "--bigmat", "--mesh-devices", "0"]) == 0
+    assert usher_main(["-i", pb,
+                       "-v", os.path.join(ref_dir, "new_samples.vcf"),
+                       "-o", str(tmp_path / "o2.pb"), "-d", d2, "-u",
+                       "--pb-direct", "--mesh-devices", "0"]) == 0
+
+    with open(os.path.join(d1, "uncondensed-final-tree.nh")) as f1, \
+            open(os.path.join(d2, "uncondensed-final-tree.nh")) as f2:
+        assert f1.read() == f2.read()
+    assert open(str(tmp_path / "o1.pb"), "rb").read() == \
+        open(str(tmp_path / "o2.pb"), "rb").read()

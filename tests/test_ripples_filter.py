@@ -4,10 +4,12 @@ import os
 
 import pytest
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 from usher_tpu.ripples.filter import (max_descent, mnk_pvalue, pattern_mnk,
                                       trio_pattern)
 
-SCRIPTS = "/root/reference/scripts"
+SCRIPTS = REFERENCE_SCRIPTS_DIR
 
 
 def test_max_descent():

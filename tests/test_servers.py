@@ -8,10 +8,12 @@ import os
 
 import pytest
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 from usher_tpu.cli.usher_cli import main as usher_main
 from usher_tpu.cli.usher_server_cli import MatStore, serve
 
-SCRIPTS = "/root/reference/scripts"
+SCRIPTS = REFERENCE_SCRIPTS_DIR
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(SCRIPTS, "testBranchLen2.nwk")),

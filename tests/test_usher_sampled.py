@@ -9,7 +9,7 @@ from usher_tpu.cli.usher_sampled_cli import main as sampled_main
 from usher_tpu.io.pbio import load_mat_pb
 from usher_tpu.io.vcf import read_vcf_sites
 
-from conftest import REFERENCE_TEST_DIR
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
 
 GLOBAL_NH = os.path.join(REFERENCE_TEST_DIR, "global_phylo.nh")
 GLOBAL_VCF = os.path.join(REFERENCE_TEST_DIR, "global_samples.vcf")
@@ -148,7 +148,7 @@ def test_sampled_subtrees_and_sort3(tmp_path):
     import os
     from usher_tpu.cli.usher_cli import main as usher_main
     from usher_tpu.cli.usher_sampled_cli import main as sampled_main
-    scripts = "/root/reference/scripts"
+    scripts = REFERENCE_SCRIPTS_DIR
     if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
         import pytest
         pytest.skip("reference fixtures unavailable")
@@ -175,7 +175,7 @@ def test_sampled_multiple_placements(tmp_path):
     """-M > 1 routes through the multi-tree placer (per-tree outputs)."""
     import os
     import pytest
-    scripts = "/root/reference/scripts"
+    scripts = REFERENCE_SCRIPTS_DIR
     if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main
@@ -203,7 +203,7 @@ def test_sampled_bigmat_engine(tmp_path):
     """usher-sampled --bigmat places through the CSR engine."""
     import os
     import pytest
-    scripts = "/root/reference/scripts"
+    scripts = REFERENCE_SCRIPTS_DIR
     if not os.path.exists(os.path.join(scripts, "testBranchLen2.nwk")):
         pytest.skip("reference fixtures unavailable")
     from usher_tpu.cli.usher_cli import main as usher_main

@@ -5,13 +5,15 @@ import sys
 
 import pytest
 
+from conftest import REFERENCE_TEST_DIR, REFERENCE_SCRIPTS_DIR
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from usher_tpu.cli.usher_cli import main as usher_main  # noqa: E402
 from usher_tpu.io.fatovcf import fa_to_vcf, read_fasta  # noqa: E402
 from workflows.run import main as wf_main  # noqa: E402
 
-SCRIPTS = "/root/reference/scripts"
+SCRIPTS = REFERENCE_SCRIPTS_DIR
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(os.path.join(SCRIPTS, "testBranchLen2.nwk")),

@@ -98,8 +98,6 @@ def main(argv=None) -> int:
             ("-K/--write-single-subtree", args.write_single_subtree),
             ("-p", args.write_parsimony_scores_per_node),
             ("-M>1", args.multiple_placements > 1),
-            ("-u", args.write_uncondensed_final_tree),
-            ("-o", bool(args.dout)),
             ("sort", args.sort_before_placement_1
              or args.sort_before_placement_2
              or args.sort_before_placement_3),
@@ -128,7 +126,9 @@ def main(argv=None) -> int:
             outdir=args.outdir, batch_size=args.batch_size,
             max_uncertainty=args.max_uncertainty_per_sample,
             max_parsimony=args.max_parsimony_per_sample,
-            no_add=args.no_add), mesh=mesh)
+            no_add=args.no_add,
+            uncondensed=args.write_uncondensed_final_tree,
+            dout_filename=args.dout or ""), mesh=mesh)
     if args.tree:
         print("Loading input tree.", file=sys.stderr)
         T = parse_newick(args.tree)

@@ -1125,12 +1125,19 @@ class BigMAT:
         if self.mesh is None:
             # device-expansion fast path: the CSC index is resident on the
             # device, so per-batch H2D is just the [B, K] entry arrays.
-            # mc comes from the GLOBAL max column occupancy (not this
-            # batch's) so consecutive batches share ONE compiled program —
-            # per-batch shape drift means a recompile (or a cached-
-            # executable reload over the tunnel) every batch.
+            # In a serving loop (appends pending/applied) mc comes from the
+            # GLOBAL max column occupancy so consecutive batches share ONE
+            # compiled program — per-batch shape drift means a recompile
+            # (or a cached-executable reload over the tunnel) every batch.
+            # One-shot scoring keeps the tighter per-batch bound (the
+            # global max inflates the expansion ~35% at the 1M shape).
+            if self._appended or self._pending:
+                mx = int(np.diff(self.csc_ptr).max()) if self.P else 0
+            else:
+                e = pos < self.P
+                cnts = self.csc_ptr[pos[e] + 1] - self.csc_ptr[pos[e]]
+                mx = int(cnts.max()) if cnts.size else 0
             mc = 32
-            mx = int(np.diff(self.csc_ptr).max()) if self.P else 0
             while mc < mx:
                 mc = mc * 3 // 2
             if mc <= 8192:

@@ -702,6 +702,8 @@ class DirectOptions:
     max_uncertainty: int = 1_000_000
     max_parsimony: int = 1_000_000
     no_add: bool = False
+    uncondensed: bool = False          # -u
+    dout_filename: str = ""            # -o
 
 
 class DirectPlacer:
@@ -992,21 +994,38 @@ class DirectPlacer:
         stats_f.close()
         big._flush()
 
-        path = os.path.join(outdir, "final-tree.nh")
-        _err(f"Writing final tree to file {path}")
-        with open(path, "w") as f:
-            f.write(self.write_newick())
+        if opts.uncondensed:
+            path = os.path.join(outdir, "uncondensed-final-tree.nh")
+            _err(f"Writing uncondensed final tree to file {path}")
+            nh, total = self.write_newick(uncondense=True,
+                                          with_score=True)
+            _err(f"The parsimony score for this tree is: {total}")
+            with open(path, "w") as f:
+                f.write(nh)
+        else:
+            path = os.path.join(outdir, "final-tree.nh")
+            _err(f"Writing final tree to file {path}")
+            with open(path, "w") as f:
+                f.write(self.write_newick())
         path = os.path.join(outdir, "mutation-paths.txt")
         _err(f"Writing mutation paths to file {path}")
         with open(path, "w") as f:
             for s in self.missing:
                 f.write(self._mutation_path(s.name))
+        if opts.dout_filename:
+            _err(f"Saving mutation-annotated tree object to file (after "
+                 f"condensing identical sequences) {opts.dout_filename}")
+            self.save_pb(opts.dout_filename)
 
     # --- array-native writers ----------------------------------------------
 
-    def write_newick(self) -> str:
+    def write_newick(self, uncondense: bool = False,
+                     with_score: bool = False):
         """final-tree.nh: internal labels, branch length = mutation count
-        (write_newick semantics over the appended arrays).
+        (write_newick semantics over the appended arrays).  With
+        uncondense, a condensed leaf expands to its comma-joined member
+        names with one branch length after the last (io/newick.py
+        write_newick's uncondense_leaves form).
 
         Vectorized fragment-sort construction: each node contributes an
         open "(" at its DFS rank (internal only), a close/label at its DFS
@@ -1028,8 +1047,18 @@ class DirectPlacer:
         internal = e > r + 1
         has_next = e < e[big.parent]
         nh, ni = int(has_next.sum()), int(internal.sum())
-        frags = [(")" if internal[i] else "")
-                 + f"{self.name_of(i)}:{int(counts[i])}" for i in range(N)]
+        cmap = dict(self.ma.condensed) if uncondense else {}
+
+        def label(i):
+            nm = self.name_of(i)
+            if cmap and not internal[i]:
+                members = cmap.get(nm)
+                if members is not None:
+                    nm = ",".join(members)
+            return f"{nm}:{int(counts[i])}"
+
+        frags = [(")" if internal[i] else "") + label(i)
+                 for i in range(N)]
         frags.extend([","] * nh)
         frags.extend(["("] * ni)
         pos = np.concatenate([e, e[has_next], r[internal]])
@@ -1039,7 +1068,145 @@ class DirectPlacer:
         lvl = np.concatenate([-big.level.astype(np.int64),
                               np.zeros(nh + ni, np.int64)])
         order = np.lexsort((lvl, kind, pos))
-        return "".join([frags[i] for i in order]) + ";"
+        nh_str = "".join([frags[i] for i in order]) + ";"
+        if with_score:
+            return nh_str, int(counts.sum())
+        return nh_str
+
+    def save_pb(self, path: str) -> None:
+        """-o: the Tree driver's save discipline (driver.py:683-686 /
+        usher_common.cpp:1033-1041) over arrays: expand the loaded
+        condensed nodes, re-condense identical (zero-mutation polytomy)
+        leaves fresh, and write a parsimony.pb byte-compatible with
+        save_mat_pb — no host Node objects."""
+        from ..io import pb_arrays as pa
+        big = self.big
+        big._flush()
+        N = big.N
+        names = [self.name_of(i) for i in range(N)]
+        muts = [self.mutations_of(i) for i in range(N)]
+        parent = big.parent.astype(np.int64).tolist()
+        root = big.root_slot
+        nr = np.nonzero(np.arange(N) != big.parent)[0]
+        o = np.lexsort((big.child_key[nr], big.parent[nr]))
+        children: list[list[int]] = [[] for _ in range(N)]
+        for s in nr[o].tolist():
+            children[int(big.parent[s])].append(s)
+        anns = None
+        ncols = 0
+        if self.ma.ann_counts is not None and len(self.ma.ann_counts):
+            blob = self.ma.ann_blob.decode().split("\0")[:-1]
+            ac = np.zeros(N, np.int64)
+            ac[:len(self.ma.ann_counts)] = self.ma.ann_counts
+            st = np.cumsum(ac) - ac
+            anns = [blob[int(st[i]):int(st[i] + ac[i])] for i in range(N)]
+            ncols = int(ac.max())
+
+        # --- uncondense (Tree.uncondense_leaves semantics) -----------------
+        slot_of = {nm: i for i, nm in enumerate(names)}
+        counter = self._internal_counter
+        for name, samples in self.ma.condensed:
+            i = slot_of.get(name)
+            if i is None:
+                continue
+            k = len(samples)
+            if k > 1 and muts[i]:
+                counter += 1
+                names[i] = f"node_{counter}"
+                tgt, par = i, i
+            elif k >= 1:
+                names[i] = samples[0]
+                samples = samples[1:]
+                tgt, par = parent[i], parent[i]
+            for snm in samples:
+                j = len(names)
+                names.append(snm)
+                muts.append([])
+                parent.append(par)
+                children.append([])
+                children[tgt].append(j)
+                if anns is not None:
+                    anns.append([""] * ncols)
+        self._internal_counter = counter
+
+        # --- fresh condense (Tree.condense_leaves over BFS leaf order) -----
+        from collections import deque
+        bfs_leaves = []
+        dq = deque([root])
+        while dq:
+            x = dq.popleft()
+            if children[x]:
+                dq.extend(children[x])
+            else:
+                bfs_leaves.append(x)
+        removed: set[int] = set()
+        condensed: list[tuple] = []
+        for l1 in bfs_leaves:
+            if l1 in removed or muts[l1] or l1 == root:
+                continue
+            par = parent[l1]
+            group = [l2 for l2 in children[par]
+                     if not children[l2] and l2 not in removed
+                     and not muts[l2]]
+            if len(group) > 1:
+                new_name = (f"node_{1 + len(condensed)}_condensed_"
+                            f"{len(group)}_leaves")
+                j = len(names)
+                names.append(new_name)
+                muts.append([])
+                parent.append(par)
+                children.append([])
+                children[par].append(j)
+                if anns is not None:
+                    anns.append([""] * ncols)
+                condensed.append((new_name, [names[g] for g in group]))
+                removed.update(group)
+
+        # --- final DFS preorder -> MatArrays -> wire codec -----------------
+        pre = []
+        stack = [root]
+        while stack:
+            x = stack.pop()
+            if x in removed:
+                continue
+            pre.append(x)
+            stack.extend(reversed(children[x]))
+        idx_of = {x: i for i, x in enumerate(pre)}
+        n2 = len(pre)
+        parent2 = np.array(
+            [idx_of[parent[x]] if x != root else idx_of[x] for x in pre],
+            np.int32)
+        blob = "\0".join(names[x] for x in pre) + "\0"
+        blob_b = blob.encode()
+        name_off = np.zeros(n2 + 1, np.int64)
+        name_off[1:] = np.nonzero(
+            np.frombuffer(blob_b, np.uint8) == 0)[0] + 1
+        mc_, mp_, mm_ = [], [], []
+        ptr = np.zeros(n2 + 1, np.int64)
+        for i, x in enumerate(pre):
+            for m in muts[x]:
+                if m.position < 0:
+                    continue
+                mc_.append(big.pos_index[m.position])
+                mp_.append(int(m.par_nuc))
+                mm_.append(int(m.mut_nuc))
+            ptr[i + 1] = len(mc_)
+        ann_counts2 = None
+        ann_blob2 = b""
+        if anns is not None:
+            ann_counts2 = np.array([len(anns[x]) for x in pre], np.int32)
+            ann_blob2 = ("\0".join(a for x in pre for a in anns[x])
+                        + "\0").encode() if n2 else b""
+        ma2 = pa.MatArrays(
+            parent=parent2, names_blob=blob_b, name_off=name_off,
+            blen=np.full(n2, -1.0),
+            mut_ptr=ptr, mut_col=np.array(mc_, np.int32),
+            mut_par=np.array(mp_, np.uint8),
+            mut_mut=np.array(mm_, np.uint8),
+            positions=big.positions, ref=big.ref, chrom=self.chrom,
+            condensed=condensed, ann_counts=ann_counts2,
+            ann_blob=ann_blob2)
+        pa.save_arrays_to_pb(ma2, path)
 
     def _mutation_path(self, sample_name: str) -> str:
         try:
