@@ -462,3 +462,62 @@ def test_extract_reroot_reference_rewrite(tmp_path):
     assert rc == 0
     content = open(os.path.join(outdir, "newref.fa")).read()
     assert content.splitlines()[1] == "ATAAA"  # A2T applied
+
+
+def test_summary_pb_direct_byte_identical(tmp_path, mat_pb):
+    """matUtils summary --pb-direct (flat arrays, no host tree) must
+    byte-match the Tree path for the default summary, -s, -c, -m on the
+    smoke MAT (which contains real condensed nodes)."""
+    import contextlib
+    import io as _io
+    from usher_tpu.cli.matutils_cli import main as mu_main
+
+    d1 = str(tmp_path / "t")
+    d2 = str(tmp_path / "a")
+    o1, o2 = _io.StringIO(), _io.StringIO()
+    with contextlib.redirect_stdout(o1):
+        assert mu_main(["summary", "-i", mat_pb, "-d", d1,
+                        "-s", "s.tsv", "-c", "c.tsv", "-m", "m.tsv"]) == 0
+    with contextlib.redirect_stdout(o2):
+        assert mu_main(["summary", "-i", mat_pb, "-d", d2,
+                        "--pb-direct",
+                        "-s", "s.tsv", "-c", "c.tsv", "-m", "m.tsv"]) == 0
+    for fn in ("s.tsv", "c.tsv", "m.tsv"):
+        import os
+        a = open(os.path.join(d1, fn)).read()
+        b = open(os.path.join(d2, fn)).read()
+        assert a == b, fn
+    # default console summary
+    o1, o2 = _io.StringIO(), _io.StringIO()
+    with contextlib.redirect_stdout(o1):
+        assert mu_main(["summary", "-i", mat_pb, "-d", d1]) == 0
+    with contextlib.redirect_stdout(o2):
+        assert mu_main(["summary", "-i", mat_pb, "-d", d2,
+                        "--pb-direct"]) == 0
+    assert o1.getvalue() == o2.getvalue()
+
+
+def test_summary_pb_direct_clades_annotated(tmp_path):
+    """clade table parity on an annotated MAT (the smoke MAT carries no
+    annotations, so build one)."""
+    import io as _io
+    from usher_tpu.cli.matutils_cli import main as mu_main
+
+    T = parse_newick_string("((A:1,B:1):1,(C:1,D:1):1):0;")
+    root = T.root
+    root.clade_annotations = ["19A", ""]
+    root.children[0].clade_annotations = ["20A", "B.1"]
+    root.children[1].clade_annotations = ["20B", ""]
+    for n in T.depth_first_expansion():
+        if not n.clade_annotations:
+            n.clade_annotations = ["", ""]
+    pb = str(tmp_path / "ann.pb")
+    save_mat_pb(T, pb)
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    assert mu_main(["summary", "-i", pb, "-d", d1, "-c", "c.tsv"]) == 0
+    assert mu_main(["summary", "-i", pb, "-d", d2, "--pb-direct",
+                    "-c", "c.tsv"]) == 0
+    a = open(os.path.join(d1, "c.tsv")).read()
+    b = open(os.path.join(d2, "c.tsv")).read()
+    assert a == b
+    assert "20A" in a and "19A" in a

@@ -177,3 +177,23 @@ def test_top_level_dispatcher(capsys):
         assert dispatch() == 1
     finally:
         sys.argv = old
+
+
+def test_align_requires_mafft(tmp_path):
+    """--align shells out to mafft (rule align_seqs); without it on PATH
+    the runner must fail with a clear message, not a stack trace."""
+    import subprocess, sys, os
+    fa = tmp_path / "u.fa"
+    fa.write_text(">s1\nACGT\n")
+    ref = tmp_path / "r.fa"
+    ref.write_text(">ref\nACGT\n")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PATH"] = "/usr/bin:/bin"   # no mafft
+    out = subprocess.run(
+        [sys.executable, "workflows/run.py", "--runtype", "systematic",
+         "--fasta", str(fa), "--ref", str(ref), "--align",
+         "--pb", "nonexistent.pb", "--outdir", str(tmp_path / "o")],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert out.returncode == 1
+    assert "needs mafft" in out.stderr

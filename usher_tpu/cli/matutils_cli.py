@@ -144,7 +144,46 @@ def cmd_summary(argv) -> int:
     p.add_argument("--expanded-roho", "-E", action="store_true")
     p.add_argument("--metadata", default="",
                    help="sample metadata TSV with date column (expanded RoHo)")
+    p.add_argument("--pb-direct", action="store_true",
+                   help="answer from flat arrays without building a host "
+                        "tree (pandemic-scale MATs; supports the default "
+                        "summary, -s, -c, -m, -M)")
     a = p.parse_args(argv)
+    if a.pb_direct:
+        unsupported = [f for f, v in [
+            ("-H", a.haplotypes), ("-C", a.sample_clades),
+            ("-a", a.aberrant), ("-t", a.translate),
+            ("-N", a.node_stats), ("-R", a.calculate_roho),
+            ("-A", a.get_all),
+        ] if v]
+        if unsupported:
+            _err(f"ERROR: --pb-direct summary does not support "
+                 f"{', '.join(unsupported)} (use the tree path)")
+            return 1
+        from ..io.pb_arrays import load_mat_arrays
+        from ..matutils import arrays as arr
+        ma = load_mat_arrays(a.input_mat)
+        os.makedirs(a.output_directory, exist_ok=True)
+
+        def outp(p_):
+            return os.path.join(a.output_directory, p_)
+
+        did = False
+        if a.samples:
+            arr.write_sample_table(ma, outp(a.samples))
+            did = True
+        if a.clades:
+            arr.write_clade_table(ma, outp(a.clades))
+            did = True
+        if a.mutations:
+            arr.write_mutation_table(ma, outp(a.mutations))
+            did = True
+        if a.mutation_stats:
+            arr.print_mutation_type_counts(ma)
+            did = True
+        if not did:
+            arr.print_summary(ma)
+        return 0
     T = _load(a.input_mat)
     T.uncondense_leaves()
     os.makedirs(a.output_directory, exist_ok=True)

@@ -63,18 +63,85 @@ class Pipeline:
     def out(self, name):
         return os.path.join(self.outdir, name)
 
+    # rule download_reference / download_masking / download_protobuf
+    # (Snakefile:47-57,72-82,95-105): fetch the standard public artifacts
+    # into --outdir/data when --download is given and the input is absent
+    DOWNLOADS = {
+        "ref": ("wuhCor1.fa.gz",
+                "https://hgdownload.soe.ucsc.edu/goldenPath/wuhCor1/"
+                "bigZips/wuhCor1.fa.gz"),
+        "mask_sites": ("problematic_sites_sarsCov2.vcf",
+                       "https://raw.githubusercontent.com/W-L/"
+                       "ProblematicSites_SARS-CoV2/master/"
+                       "problematic_sites_sarsCov2.vcf"),
+        "pb": ("public-latest.all.masked.pb.gz",
+               "http://hgdownload.soe.ucsc.edu/goldenPath/wuhCor1/"
+               "UShER_SARS-CoV-2/public-latest.all.masked.pb.gz"),
+    }
+
+    def _maybe_download(self) -> None:
+        if not self.args.download:
+            return
+        import gzip as _gzip
+        import urllib.request
+        data = os.path.join(self.outdir, "data")
+        os.makedirs(data, exist_ok=True)
+        for attr, (fname, url) in self.DOWNLOADS.items():
+            if getattr(self.args, attr):
+                continue
+            dst = os.path.join(data, fname)
+            if not os.path.exists(dst):
+                _err(f"Downloading {url}")
+                urllib.request.urlretrieve(url, dst)
+            if dst.endswith(".gz") and attr == "ref":
+                plain = dst[:-3]
+                if not os.path.exists(plain):
+                    with _gzip.open(dst, "rb") as fi, \
+                            open(plain, "wb") as fo:
+                        fo.write(fi.read())
+                dst = plain
+            setattr(self.args, attr, dst)
+
+    # rule align_seqs (Snakefile:59-70): mafft --keeplength against the
+    # reference; shells out when mafft is installed, else asks for
+    # pre-aligned input (the container image here has no aligner)
+    def _maybe_align(self) -> str:
+        fasta = self.args.fasta
+        if not self.args.align:
+            return fasta
+        _need(self.args, ["ref"])
+        import shutil
+        import subprocess
+        if shutil.which("mafft") is None:
+            _err("ERROR: --align needs mafft on PATH (the reference "
+                 "workflow's aligner, Snakefile:70); install it or pass "
+                 "pre-aligned sequences without --align")
+            raise SystemExit(1)
+        aln = self.out("aligned_seqs.fa")
+        if not os.path.exists(aln):
+            threads = str(os.cpu_count() or 1)
+            with open(aln, "w") as f:
+                subprocess.run(
+                    ["mafft", "--thread", threads, "--auto",
+                     "--keeplength", "--addfragments", fasta,
+                     self.args.ref],
+                    stdout=f, check=True)
+        return aln
+
     # rule create_vcf (Snakefile:84-93) -- native faToVcf equivalent
     def vcf(self) -> str:
+        self._maybe_download()
         if self.args.vcf:
             return self.args.vcf
         _need(self.args, ["fasta"])
         path = self.out("aligned_seqs.vcf")
         if not os.path.exists(path):
             from usher_tpu.io.fatovcf import fa_to_vcf, read_fasta
-            fasta = self.args.fasta
-            if self.args.ref:
+            fasta = self._maybe_align()
+            if self.args.ref and not self.args.align:
                 # prepend the reference record (rule align_seqs output
-                # contains ref + user seqs)
+                # contains ref + user seqs; mafft --addfragments already
+                # emitted it when --align ran)
                 ref_recs = read_fasta(self.args.ref)
                 user_recs = read_fasta(fasta)
                 merged = self.out("aligned_seqs.fa")
@@ -260,14 +327,42 @@ def main(argv=None) -> int:
     p.add_argument("--mask-sites", default="",
                    help="problematic-sites VCF; FILTER=mask positions are "
                         "dropped during fasta->VCF conversion")
+    p.add_argument("--align", action="store_true",
+                   help="run mafft --keeplength against --ref first "
+                        "(rule align_seqs; needs mafft on PATH)")
+    p.add_argument("--download", action="store_true",
+                   help="fetch the public reference/masking/MAT artifacts "
+                        "for any of --ref/--mask-sites/--pb not given "
+                        "(rules download_*; needs network)")
     p.add_argument("--outdir", default="output")
     args = p.parse_args(argv)
 
     if args.runtype == "augur":
-        _err("ERROR: the augur run type drives the external augur toolchain "
-             "(Snakefile:330-417) and is not reproduced here; run augur on "
-             "the outbreak outputs instead.")
-        return 1
+        import shutil
+        if shutil.which("augur") is None:
+            _err("ERROR: the augur run type drives the external augur "
+                 "toolchain (Snakefile:330-417); augur is not on PATH. "
+                 "Install nextstrain-augur, or run augur on the outbreak "
+                 "outputs.")
+            return 1
+        # delegate to the external toolchain over our outbreak outputs,
+        # the same handoff the reference's rules perform
+        pipe = Pipeline(args)
+        pipe.outbreak()
+        import subprocess
+        tree_nwk = pipe.out("outbreak.nwk")
+        aln = pipe.out("aligned_seqs.fa")
+        refine_dir = pipe.out("augur")
+        os.makedirs(refine_dir, exist_ok=True)
+        subprocess.run(
+            ["augur", "refine", "--tree", tree_nwk,
+             "--output-tree", os.path.join(refine_dir, "tree.nwk"),
+             "--output-node-data",
+             os.path.join(refine_dir, "branch_lengths.json")]
+            + (["--alignment", aln] if os.path.exists(aln) else []),
+            check=True)
+        _err(f"augur refine outputs in {refine_dir}")
+        return 0
     if not args.fasta and not args.vcf:
         _err("ERROR: provide --fasta (aligned) or --vcf")
         return 1
