@@ -277,3 +277,42 @@ def test_pb_direct_save_and_uncondensed_byte_identical(tmp_path):
         assert f1.read() == f2.read()
     assert open(str(tmp_path / "o1.pb"), "rb").read() == \
         open(str(tmp_path / "o2.pb"), "rb").read()
+
+
+def test_pb_direct_save_annotated_parity(tmp_path):
+    """-o parity on an ANNOTATED MAT: placement-created nodes must carry
+    the empty annotation columns the Tree path writes (review finding:
+    previously zero entries)."""
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.io.newick import parse_newick_string
+    from usher_tpu.io.pbio import save_mat_pb
+    from usher_tpu.core.tree import Mutation
+
+    T = parse_newick_string("((A:1,B:1):1,(C:1,D:1):1):0;")
+    pos = {"A": (100, 1, 2), "B": (120, 1, 4), "C": (140, 2, 8),
+           "D": (160, 4, 1)}
+    for leaf, (p, par, mut) in pos.items():
+        T.get_node(leaf).add_mutation(Mutation("c", p, par, par, mut))
+    root = T.root
+    for n in T.depth_first_expansion():
+        n.clade_annotations = ["", ""]
+    root.clade_annotations = ["19A", "X"]
+    root.children[0].clade_annotations = ["20A", ""]
+    pb = str(tmp_path / "ann.pb")
+    save_mat_pb(T, pb)
+
+    vcf = tmp_path / "s.vcf"
+    vcf.write_text(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\n"
+        "c\t100\t.\tA\tC\t.\t.\t.\tGT\t1\t0\n"
+        "c\t140\t.\tC\tT\t.\t.\t.\tGT\t0\t1\n")
+
+    d1, d2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    assert usher_main(["-i", pb, "-v", str(vcf),
+                       "-o", str(tmp_path / "o1.pb"), "-d", d1,
+                       "--bigmat", "--mesh-devices", "0"]) == 0
+    assert usher_main(["-i", pb, "-v", str(vcf),
+                       "-o", str(tmp_path / "o2.pb"), "-d", d2,
+                       "--pb-direct", "--mesh-devices", "0"]) == 0
+    assert open(str(tmp_path / "o1.pb"), "rb").read() == \
+        open(str(tmp_path / "o2.pb"), "rb").read()

@@ -259,6 +259,56 @@ def write_newick_arrays(ma: MatArrays, big=None) -> str:
     return "".join(out) + ";"
 
 
+def expand_condensed(names, parent, children, has_muts, condensed,
+                     counter: int, on_new) -> int:
+    """Tree.uncondense_leaves (core/tree.py:467-497) over index lists,
+    shared by the array-native writers: a with-mutations group turns its
+    node into a fresh internal (node_<counter+1>) with all members as new
+    leaves; a plain group renames the node to the first member and
+    appends the rest under the parent; empty groups are skipped (the Tree
+    path matches no branch for them).  Mutates the lists in place;
+    on_new(j) initializes caller-side per-node state for appended index
+    j; returns the updated internal-node counter."""
+    slot_of = {nm: i for i, nm in enumerate(names)}
+    for name, samples in condensed:
+        i = slot_of.get(name)
+        if i is None or not samples:
+            continue
+        if len(samples) > 1 and has_muts(i):
+            counter += 1
+            names[i] = f"node_{counter}"
+            tgt = par = i
+        else:
+            names[i] = samples[0]
+            samples = samples[1:]
+            tgt = par = parent[i]
+        for snm in samples:
+            j = len(names)
+            names.append(snm)
+            parent.append(par)
+            children.append([])
+            children[tgt].append(j)
+            on_new(j)
+    return counter
+
+
+def ann_lists(ma: MatArrays, n: int | None = None):
+    """(per-slot annotation lists, column count) from the packed blob;
+    (None, 0) when the MAT carries no annotations.  Slots beyond the
+    stored counts get empty lists — callers appending nodes must widen
+    them to the column count for Tree-path parity."""
+    if ma.ann_counts is None or not len(ma.ann_counts):
+        return None, 0
+    if n is None:
+        n = ma.n
+    blob = ma.ann_blob.decode().split("\0")[:-1]
+    ac = np.zeros(n, np.int64)
+    ac[:len(ma.ann_counts)] = ma.ann_counts
+    st = np.cumsum(ac) - ac
+    ncols = int(ac.max())
+    return [blob[int(st[i]):int(st[i] + ac[i])] for i in range(n)], ncols
+
+
 def save_arrays_to_pb(ma: MatArrays, filename: str) -> None:
     """MatArrays -> parsimony.pb, wire-compatible with io/pbio.save_mat_pb
     (same field layout; newick via write_newick_arrays' leaf-label form).

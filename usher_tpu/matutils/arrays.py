@@ -38,32 +38,17 @@ def _children_lists(ma):
         children[int(ma.parent[s])].append(s)
     root = int(np.nonzero(ma.parent == np.arange(
         n, dtype=ma.parent.dtype))[0][0])
-    nmut = np.diff(ma.mut_ptr).astype(np.int64)
-    nmut = nmut.tolist()
+    nmut = np.diff(ma.mut_ptr).astype(np.int64).tolist()
     muts_of = list(range(n))        # index into ma CSR; -1 = no mutations
-    slot_of = {nm: i for i, nm in enumerate(names)}
     counter = sum(1 for i in range(n) if children[i])
-    for name, samples in ma.condensed:
-        i = slot_of.get(name)
-        if i is None:
-            continue
-        k = len(samples)
-        if k > 1 and nmut[i]:
-            counter += 1
-            names[i] = f"node_{counter}"
-            tgt = par = i
-        else:
-            names[i] = samples[0]
-            samples = samples[1:]
-            tgt = par = parent[i]
-        for snm in samples:
-            j = len(names)
-            names.append(snm)
-            nmut.append(0)
-            muts_of.append(-1)
-            parent.append(par)
-            children.append([])
-            children[tgt].append(j)
+
+    def on_new(_j):
+        nmut.append(0)
+        muts_of.append(-1)
+
+    from ..io.pb_arrays import expand_condensed
+    expand_condensed(names, parent, children, lambda i: bool(nmut[i]),
+                     ma.condensed, counter, on_new)
     return names, nmut, muts_of, parent, children, root
 
 
@@ -107,15 +92,10 @@ def write_clade_table(ma, filename: str) -> None:
     """clade\\tinclusive_count\\texclusive_count (summary.cpp:88-137) over
     arrays; annotations walked up from each expanded leaf's parent."""
     names, _nmut, _muts_of, parent, children, root = _children_lists(ma)
-    n0 = ma.n
-    anns: list[list[str]] = [[] for _ in range(len(names))]
-    if ma.ann_counts is not None and len(ma.ann_counts):
-        blob = ma.ann_blob.decode().split("\0")[:-1]
-        ac = np.zeros(n0, np.int64)
-        ac[:len(ma.ann_counts)] = ma.ann_counts
-        st = np.cumsum(ac) - ac
-        for i in range(n0):
-            anns[i] = blob[int(st[i]):int(st[i] + ac[i])]
+    from ..io.pb_arrays import ann_lists
+    anns, _ncols = ann_lists(ma)
+    if anns is None:
+        anns = []
     incl: dict[str, int] = defaultdict(int)
     excl: dict[str, int] = defaultdict(int)
     for x in range(len(names)):

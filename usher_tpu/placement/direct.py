@@ -1092,42 +1092,22 @@ class DirectPlacer:
         children: list[list[int]] = [[] for _ in range(N)]
         for s in nr[o].tolist():
             children[int(big.parent[s])].append(s)
-        anns = None
-        ncols = 0
-        if self.ma.ann_counts is not None and len(self.ma.ann_counts):
-            blob = self.ma.ann_blob.decode().split("\0")[:-1]
-            ac = np.zeros(N, np.int64)
-            ac[:len(self.ma.ann_counts)] = self.ma.ann_counts
-            st = np.cumsum(ac) - ac
-            anns = [blob[int(st[i]):int(st[i] + ac[i])] for i in range(N)]
-            ncols = int(ac.max())
+        anns, ncols = pa.ann_lists(self.ma, N)
+        if anns is not None:
+            # placement-created slots (>= ma.n) carry the empty annotation
+            # columns the Tree path gives new nodes
+            for i in range(self.ma.n, N):
+                anns[i] = [""] * ncols
 
-        # --- uncondense (Tree.uncondense_leaves semantics) -----------------
-        slot_of = {nm: i for i, nm in enumerate(names)}
-        counter = self._internal_counter
-        for name, samples in self.ma.condensed:
-            i = slot_of.get(name)
-            if i is None:
-                continue
-            k = len(samples)
-            if k > 1 and muts[i]:
-                counter += 1
-                names[i] = f"node_{counter}"
-                tgt, par = i, i
-            elif k >= 1:
-                names[i] = samples[0]
-                samples = samples[1:]
-                tgt, par = parent[i], parent[i]
-            for snm in samples:
-                j = len(names)
-                names.append(snm)
-                muts.append([])
-                parent.append(par)
-                children.append([])
-                children[tgt].append(j)
-                if anns is not None:
-                    anns.append([""] * ncols)
-        self._internal_counter = counter
+        # --- uncondense (shared Tree.uncondense_leaves replay) -------------
+        def on_new(_j):
+            muts.append([])
+            if anns is not None:
+                anns.append([""] * ncols)
+
+        self._internal_counter = pa.expand_condensed(
+            names, parent, children, lambda i: bool(muts[i]),
+            self.ma.condensed, self._internal_counter, on_new)
 
         # --- fresh condense (Tree.condense_leaves over BFS leaf order) -----
         from collections import deque

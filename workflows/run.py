@@ -59,6 +59,9 @@ class Pipeline:
         self.args = args
         self.outdir = args.outdir
         os.makedirs(self.outdir, exist_ok=True)
+        # downloads must run before any per-rule _need() input check so
+        # --download can actually satisfy --ref/--mask-sites/--pb
+        self._maybe_download()
 
     def out(self, name):
         return os.path.join(self.outdir, name)
@@ -130,7 +133,6 @@ class Pipeline:
 
     # rule create_vcf (Snakefile:84-93) -- native faToVcf equivalent
     def vcf(self) -> str:
-        self._maybe_download()
         if self.args.vcf:
             return self.args.vcf
         _need(self.args, ["fasta"])
@@ -350,7 +352,7 @@ def main(argv=None) -> int:
         pipe = Pipeline(args)
         pipe.outbreak()
         import subprocess
-        tree_nwk = pipe.out("outbreak.nwk")
+        tree_nwk = pipe.out("user_seqs.outbreak.nwk")
         aln = pipe.out("aligned_seqs.fa")
         refine_dir = pipe.out("augur")
         os.makedirs(refine_dir, exist_ok=True)
