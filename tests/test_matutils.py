@@ -521,3 +521,72 @@ def test_summary_pb_direct_clades_annotated(tmp_path):
     b = open(os.path.join(d2, "c.tsv")).read()
     assert a == b
     assert "20A" in a and "19A" in a
+
+
+def test_extract_pb_direct_byte_identical(mat_pb, tmp_path):
+    """extract --pb-direct (array selection + induced subtree, no full
+    host tree) must byte-match the Tree path's writers for -s and -m
+    selections on the smoke MAT."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+
+    # pick some sample names from the MAT (including condensed members)
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    chosen = leaves[5:17]
+    sf = tmp_path / "names.txt"
+    sf.write_text("".join(s + "\n" for s in chosen))
+
+    writers = ["-u", "used.txt", "-t", "t.nh", "-v", "v.vcf",
+               "-S", "paths.txt"]
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    assert mu_main(["extract", "-i", mat_pb, "-s", str(sf),
+                    "-d", d1] + writers) == 0
+    assert mu_main(["extract", "-i", mat_pb, "-s", str(sf),
+                    "--pb-direct", "-d", d2] + writers) == 0
+    for fn in ("used.txt", "t.nh", "v.vcf", "paths.txt"):
+        x = open(os.path.join(d1, fn)).read()
+        y = open(os.path.join(d2, fn)).read()
+        assert x == y, fn
+
+    # mutation selection
+    m = None
+    for node in T.depth_first_expansion():
+        if node.mutations:
+            m = node.mutations[0].get_string()
+            break
+    d3, d4 = str(tmp_path / "t2"), str(tmp_path / "a2")
+    assert mu_main(["extract", "-i", mat_pb, "-m", m,
+                    "-d", d3, "-u", "used.txt", "-t", "t.nh"]) == 0
+    assert mu_main(["extract", "-i", mat_pb, "-m", m, "--pb-direct",
+                    "-d", d4, "-u", "used.txt", "-t", "t.nh"]) == 0
+    for fn in ("used.txt", "t.nh"):
+        assert open(os.path.join(d3, fn)).read() == \
+            open(os.path.join(d4, fn)).read(), fn
+
+
+def test_extract_pb_direct_clade_selection(tmp_path):
+    """-c selection parity over arrays on an annotated MAT."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    from usher_tpu.core.tree import Mutation
+
+    T = parse_newick_string("((A:1,B:1):1,(C:1,D:1):1):0;")
+    pos = {"A": (100, 1, 2), "B": (120, 1, 4), "C": (140, 2, 8),
+           "D": (160, 4, 1)}
+    for leaf, (p, par, mut) in pos.items():
+        T.get_node(leaf).add_mutation(Mutation("c", p, par, par, mut))
+    for n in T.depth_first_expansion():
+        n.clade_annotations = [""]
+    T.root.children[0].clade_annotations = ["20A"]
+    pb = str(tmp_path / "ann.pb")
+    save_mat_pb(T, pb)
+
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    w = ["-u", "used.txt", "-t", "t.nh", "-S", "p.txt"]
+    assert mu_main(["extract", "-i", pb, "-c", "20A", "-d", d1] + w) == 0
+    assert mu_main(["extract", "-i", pb, "-c", "20A", "--pb-direct",
+                    "-d", d2] + w) == 0
+    for fn in ("used.txt", "t.nh", "p.txt"):
+        assert open(os.path.join(d1, fn)).read() == \
+            open(os.path.join(d2, fn)).read(), fn
+    assert open(os.path.join(d2, "used.txt")).read() == "A\nB\n"

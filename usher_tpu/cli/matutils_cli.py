@@ -84,8 +84,51 @@ def cmd_extract(argv) -> int:
     p.add_argument("--extra-fields", "-F", default="")
     p.add_argument("--x-scale", "-G", type=float, default=0.2)
     p.add_argument("--include-nt", "-J", action="store_true")
+    p.add_argument("--pb-direct", action="store_true",
+                   help="select (-s/-c/-m) and build the induced subtree "
+                        "straight off the flat arrays — the full host "
+                        "tree is never materialized (pandemic-scale "
+                        "MATs); all writers then run on the subtree")
     a = p.parse_args(argv)
-    T = _load(a.input_mat)
+    if a.pb_direct:
+        unsupported = [f for f, v in [
+            ("-H", a.match), ("-e", a.max_epps),
+            ("-a", a.max_parsimony >= 0), ("-b", a.max_branch_length >= 0),
+            ("-P", a.max_path_length >= 0),
+            ("--max-mutation-density", a.max_mutation_density > 0),
+            ("-k", a.nearest_k), ("-z", a.set_size),
+            ("-I", a.get_internal_descendents), ("-U", a.from_mrca),
+            ("-p", a.prune), ("-y", a.reroot),
+            ("-W", a.add_random), ("-Y", a.select_nearest),
+            ("-X/-x", a.usher_single_subtree_size
+             or a.usher_minimum_subtrees_size),
+        ] if v]
+        if unsupported:
+            _err(f"ERROR: --pb-direct extract does not support "
+                 f"{', '.join(unsupported)} (use the tree path)")
+            return 1
+        if not (a.samples_file or a.clade or a.mutation):
+            _err("ERROR: --pb-direct extract needs a selection "
+                 "(-s, -c, or -m); without one the induced subtree is "
+                 "the whole MAT — use the tree path")
+            return 1
+        from ..io.pb_arrays import load_mat_arrays
+        from ..matutils import arrays as marr
+        ma = load_mat_arrays(a.input_mat)
+        lists = marr._children_lists(ma)
+        samples = marr.select_sample_indices(
+            ma, lists, samples_file=a.samples_file, clade=a.clade,
+            mutation=a.mutation)
+        if not samples:
+            _err("ERROR: No samples fulfill selected criteria. Change "
+                 "arguments and try again")
+            return 1
+        T = marr.extract_subtree(ma, samples)
+        # the subtree IS the selection: clear the filters and hand the
+        # small tree to the standard writer pipeline
+        a.samples_file = a.clade = a.mutation = ""
+    else:
+        T = _load(a.input_mat)
     opts = ExtractOptions(
         input_mat=a.input_mat, samples_file=a.samples_file, clade=a.clade,
         mutation=a.mutation, match=a.match, max_epps=a.max_epps,

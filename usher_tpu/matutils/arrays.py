@@ -158,3 +158,196 @@ def print_mutation_type_counts(ma, out=None) -> None:
             if i != j:
                 out.write(f"{char_from_nuc_id(1 << i)}->"
                           f"{char_from_nuc_id(1 << j)}\t{freq[i][j]}\n")
+
+
+# --- extract: selection + compressed induced subtree over arrays ------------
+#
+# The Tree-backed extract builds the FULL host tree first (minutes + GBs at
+# the reference's >2M-leaf public MAT) even though its output is usually a
+# small subtree.  Here selection and the induced-subtree construction
+# (tree_filter.get_subtree semantics, reference
+# mutation_annotated_tree.cpp:1577-1660) run over the flat arrays, and only
+# the extracted subtree is materialized as a host Tree — every downstream
+# writer (newick/VCF/JSON/paths/taxodium) then runs unchanged.
+
+def _dfs_arrays(children, root, n):
+    """(dfs_idx, subtree_size, level, preorder) over index lists."""
+    dfs = [0] * n
+    level = [0] * n
+    pre = []
+    stack = [root]
+    while stack:
+        x = stack.pop()
+        dfs[x] = len(pre)
+        pre.append(x)
+        for c in reversed(children[x]):
+            level[c] = level[x] + 1
+            stack.append(c)
+    size = [1] * n
+    for x in reversed(pre):
+        for c in children[x]:
+            size[x] += size[c]
+    return dfs, size, level, pre
+
+
+def select_sample_indices(ma, lists, samples_file="", clade="",
+                          mutation=""):
+    """Array-native -s/-c/-m selection (select.cpp:8-111 semantics);
+    multiple criteria intersect like the Tree path.  Returns sample NAME
+    list (expanded-tree leaves)."""
+    names, _nmut, _muts_of, parent, children, root = lists
+    n = len(names)
+    dfs, size, _level, pre = _dfs_arrays(children, root, n)
+    leaf_names = {names[x] for x in pre if not children[x]}
+    picked: list[list[str]] = []
+    if samples_file:
+        from .select import read_sample_names
+        present = []
+        for s in read_sample_names(samples_file):
+            if s in leaf_names:
+                present.append(s)
+            else:
+                print(f"WARNING: sample {s} not found in the tree; "
+                      f"ignoring", file=sys.stderr)
+        picked.append(present)
+
+    def leaves_under(carriers):
+        got: list[str] = []
+        for x in pre:
+            if x in carriers:
+                lo, hi = dfs[x], dfs[x] + size[x]
+                got.extend(names[y] for y in pre[lo:hi]
+                           if not children[y])
+        return got
+
+    if clade:
+        from ..io.pb_arrays import ann_lists
+        ann, _ncols = ann_lists(ma)
+        got = []
+        for c in clade.split(","):
+            c = c.strip()
+            carriers = {x for x in range(min(n, len(ann or [])))
+                        if ann is not None and c in ann[x]}
+            cs = leaves_under(carriers)
+            if not cs:
+                print(f"ERROR: clade {c} not found in tree",
+                      file=sys.stderr)
+            got.extend(cs)
+        picked.append(got)
+    if mutation:
+        node_of_row = np.repeat(np.arange(ma.n),
+                                np.diff(ma.mut_ptr).astype(np.int64))
+        got = []
+        for mstr in mutation.split(","):
+            mstr = mstr.strip()
+            if mstr.isdigit():
+                hit = ma.positions[ma.mut_col] == int(mstr)
+            else:
+                ids = np.array(
+                    [char_from_nuc_id(int(p)) + str(int(ma.positions[c]))
+                     + char_from_nuc_id(int(m))
+                     for p, c, m in zip(ma.mut_par, ma.mut_col,
+                                        ma.mut_mut)])
+                hit = ids == mstr
+            carriers = set(node_of_row[np.nonzero(hit)[0]].tolist())
+            got.extend(leaves_under(carriers))
+        picked.append(got)
+    if not picked:
+        out = [names[x] for x in pre if not children[x]]
+    else:
+        out = picked[0]
+        for other in picked[1:]:
+            o = set(other)
+            out = [s for s in out if s in o]
+    return list(dict.fromkeys(out))
+
+
+def extract_subtree(ma, samples):
+    """Compressed induced subtree as a host Tree — get_subtree
+    (tree_filter.py:30-95) replayed over the expanded arrays: kept nodes
+    are the sample leaves plus DFS-consecutive LCAs; each new edge
+    accumulates the original mutations root-down via add_mutation."""
+    from ..core.tree import Mutation, Tree
+    from ..io.pb_arrays import ann_lists
+    lists = _children_lists(ma)
+    names, _nmut, muts_of, parent, children, root = lists
+    n = len(names)
+    dfs, size, level, pre = _dfs_arrays(children, root, n)
+    ann, ncols = ann_lists(ma)
+
+    leaf_of = {names[x]: x for x in pre if not children[x]}
+    sample_idx = []
+    for s in samples:
+        i = leaf_of.get(s)
+        if i is None:
+            print(f"ERROR: Sample {s} not found in the tree!",
+                  file=sys.stderr)
+        else:
+            sample_idx.append(i)
+    sample_idx.sort(key=lambda i: dfs[i])
+
+    def lca(a, b):
+        while level[a] > level[b]:
+            a = parent[a]
+        while level[b] > level[a]:
+            b = parent[b]
+        while a != b:
+            a = parent[a]
+            b = parent[b]
+        return a
+
+    keep = set(sample_idx)
+    for a, b in zip(sample_idx, sample_idx[1:]):
+        keep.add(lca(a, b))
+
+    def muts_of_idx(x):
+        k = muts_of[x]
+        if k < 0 or k >= ma.n:
+            return []
+        out = []
+        for j in range(int(ma.mut_ptr[k]), int(ma.mut_ptr[k + 1])):
+            col = int(ma.mut_col[j])
+            out.append(Mutation(ma.chrom, int(ma.positions[col]),
+                                int(ma.ref[col]), int(ma.mut_par[j]),
+                                int(ma.mut_mut[j])))
+        return out
+
+    subtree = Tree()
+    stack = []   # (orig idx, new Node)
+    for x in pre:
+        if x not in keep:
+            continue
+        while stack and not (dfs[stack[-1][0]] <= dfs[x]
+                             < dfs[stack[-1][0]] + size[stack[-1][0]]):
+            stack.pop()
+        if not stack:
+            new_node = subtree.create_node(names[x], None, -1.0, ncols)
+            path = []
+            cur = x
+            while True:
+                path.append(cur)
+                if cur == parent[cur]:
+                    break
+                cur = parent[cur]
+            for cur in reversed(path):
+                for m in muts_of_idx(cur):
+                    new_node.add_mutation(m)
+        else:
+            top, top_new = stack[-1]
+            new_node = subtree.create_node(names[x], top_new.identifier,
+                                           -1.0, ncols)
+            path = []
+            cur = x
+            while cur != top:
+                path.append(cur)
+                cur = parent[cur]
+            for cur in reversed(path):
+                for m in muts_of_idx(cur):
+                    new_node.add_mutation(m)
+        if ann is not None and x < len(ann):
+            a = ann[x]
+            for k in range(min(ncols, len(a))):
+                if a[k]:
+                    new_node.clade_annotations[k] = a[k]
+        stack.append((x, new_node))
+    return subtree
