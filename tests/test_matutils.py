@@ -590,3 +590,24 @@ def test_extract_pb_direct_clade_selection(tmp_path):
         assert open(os.path.join(d1, fn)).read() == \
             open(os.path.join(d2, fn)).read(), fn
     assert open(os.path.join(d2, "used.txt")).read() == "A\nB\n"
+
+
+def test_extract_pb_direct_all_leaves_verbatim(mat_pb, tmp_path):
+    """Selecting every leaf must reproduce the tree path's unchanged-tree
+    behavior (filter_master returns T when the selection covers all
+    leaves) — the verbatim prune-semantics builder, not the compressed
+    subtree."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    sf = tmp_path / "all.txt"
+    sf.write_text("".join(s + "\n" for s in T.get_leaves_ids()))
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    w = ["-u", "used.txt", "-t", "t.nh"]
+    assert mu_main(["extract", "-i", mat_pb, "-s", str(sf),
+                    "-d", d1] + w) == 0
+    assert mu_main(["extract", "-i", mat_pb, "-s", str(sf),
+                    "--pb-direct", "-d", d2] + w) == 0
+    for fn in ("used.txt", "t.nh"):
+        assert open(os.path.join(d1, fn)).read() == \
+            open(os.path.join(d2, fn)).read(), fn

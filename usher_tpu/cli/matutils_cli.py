@@ -102,6 +102,7 @@ def cmd_extract(argv) -> int:
             ("-W", a.add_random), ("-Y", a.select_nearest),
             ("-X/-x", a.usher_single_subtree_size
              or a.usher_minimum_subtrees_size),
+            ("-N", a.minimum_subtrees_size),
         ] if v]
         if unsupported:
             _err(f"ERROR: --pb-direct extract does not support "
@@ -123,7 +124,16 @@ def cmd_extract(argv) -> int:
             _err("ERROR: No samples fulfill selected criteria. Change "
                  "arguments and try again")
             return 1
-        T = marr.extract_subtree(ma, samples)
+        # filter_master's exact dispatch (tree_filter.py:123-130): the
+        # compressed LCA subtree below 10k samples, prune semantics
+        # (original structure, unary chains kept) at or above it, and the
+        # unchanged tree when the selection covers every leaf
+        names, _nm, _mo, _par, children, _root = lists
+        total_leaves = sum(1 for c in children if not c)
+        if len(samples) == total_leaves or len(samples) >= 10000:
+            T = marr.verbatim_subtree(ma, samples, lists=lists)
+        else:
+            T = marr.extract_subtree(ma, samples, lists=lists)
         # the subtree IS the selection: clear the filters and hand the
         # small tree to the standard writer pipeline
         a.samples_file = a.clade = a.mutation = ""

@@ -243,12 +243,17 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
             if mstr.isdigit():
                 hit = ma.positions[ma.mut_col] == int(mstr)
             else:
-                ids = np.array(
-                    [char_from_nuc_id(int(p)) + str(int(ma.positions[c]))
-                     + char_from_nuc_id(int(m))
-                     for p, c, m in zip(ma.mut_par, ma.mut_col,
-                                        ma.mut_mut)])
-                hit = ids == mstr
+                # "A23403G": parse once, compare components vectorized
+                from ..core.nuc import nuc_id_from_char
+                try:
+                    par = nuc_id_from_char(mstr[0])
+                    mut = nuc_id_from_char(mstr[-1])
+                    posn = int(mstr[1:-1])
+                except (ValueError, KeyError, IndexError):
+                    hit = np.zeros(len(ma.mut_col), bool)
+                else:
+                    hit = ((ma.mut_par == par) & (ma.mut_mut == mut)
+                           & (ma.positions[ma.mut_col] == posn))
             carriers = set(node_of_row[np.nonzero(hit)[0]].tolist())
             got.extend(leaves_under(carriers))
         picked.append(got)
@@ -262,14 +267,15 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
     return list(dict.fromkeys(out))
 
 
-def extract_subtree(ma, samples):
+def extract_subtree(ma, samples, lists=None):
     """Compressed induced subtree as a host Tree — get_subtree
     (tree_filter.py:30-95) replayed over the expanded arrays: kept nodes
     are the sample leaves plus DFS-consecutive LCAs; each new edge
     accumulates the original mutations root-down via add_mutation."""
     from ..core.tree import Mutation, Tree
     from ..io.pb_arrays import ann_lists
-    lists = _children_lists(ma)
+    if lists is None:
+        lists = _children_lists(ma)
     names, _nmut, muts_of, parent, children, root = lists
     n = len(names)
     dfs, size, level, pre = _dfs_arrays(children, root, n)
@@ -350,4 +356,57 @@ def extract_subtree(ma, samples):
                 if a[k]:
                     new_node.clade_annotations[k] = a[k]
         stack.append((x, new_node))
+    return subtree
+
+
+def verbatim_subtree(ma, samples, lists=None):
+    """Prune-semantics induced subtree: sample leaves plus ALL their
+    ancestors with original names, per-edge mutations, and unary chains
+    retained — get_sample_prune / remove_node(move_level=False)
+    (tree_filter.py:108-120, filter.cpp:55-85).  Used for selections of
+    >= 10000 samples and whole-tree selections, matching filter_master's
+    dispatch exactly."""
+    from ..core.tree import Mutation, Tree
+    from ..io.pb_arrays import ann_lists
+    if lists is None:
+        lists = _children_lists(ma)
+    names, _nmut, muts_of, parent, children, root = lists
+    n = len(names)
+    _dfs, _size, _level, pre = _dfs_arrays(children, root, n)
+    ann, ncols = ann_lists(ma)
+
+    leaf_of = {names[x]: x for x in pre if not children[x]}
+    keep = [False] * n
+    for s in samples:
+        i = leaf_of.get(s)
+        if i is None:
+            print(f"ERROR: Sample {s} not found in the tree!",
+                  file=sys.stderr)
+            continue
+        while not keep[i]:
+            keep[i] = True
+            if i == parent[i]:
+                break
+            i = parent[i]
+
+    subtree = Tree()
+    new_of: dict[int, str] = {}
+    for x in pre:
+        if not keep[x]:
+            continue
+        par_id = new_of.get(parent[x]) if x != parent[x] else None
+        node = subtree.create_node(names[x], par_id, -1.0, ncols)
+        k = muts_of[x]
+        if 0 <= k < ma.n:
+            for j in range(int(ma.mut_ptr[k]), int(ma.mut_ptr[k + 1])):
+                col = int(ma.mut_col[j])
+                node.add_mutation(Mutation(
+                    ma.chrom, int(ma.positions[col]), int(ma.ref[col]),
+                    int(ma.mut_par[j]), int(ma.mut_mut[j])))
+        if ann is not None and x < len(ann):
+            a = ann[x]
+            for kk in range(min(ncols, len(a))):
+                if a[kk]:
+                    node.clade_annotations[kk] = a[kk]
+        new_of[x] = node.identifier
     return subtree
