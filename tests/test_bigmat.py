@@ -427,3 +427,43 @@ def test_no_recompile_across_append_batches():
         sizes.append(iv.interval_place_dev._cache_size())
     # shapes settle after the first call; appends must not grow the cache
     assert sizes[-1] == sizes[1], sizes
+
+
+def test_no_recompile_in_direct_serving_loop(tmp_path):
+    """The FULL serving loop (place_arrays with the runner-up reduce +
+    incremental appends + fallbacks) must settle on ONE compiled program
+    after its first batch: per-batch jit-shape drift (overlay event
+    buckets, per-batch mc) silently costs a compiled-program reload over
+    the tunnel on EVERY batch (~14 s/batch observed before the fix)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_direct_exact import (adversarial_samples, consistent_mat,
+                                   _copy_sample)
+    from usher_tpu.io import pb_arrays as pa
+    from usher_tpu.ops import interval as iv
+    from usher_tpu.placement.direct import DirectOptions, DirectPlacer
+
+    rng = np.random.default_rng(5)
+    ma, state, is_leaf = consistent_mat(rng, N=250, P=120)
+    pb = str(tmp_path / "t.pb")
+    pa.save_arrays_to_pb(ma, pb)
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=64)
+    placer = DirectPlacer(pb)
+    placer.missing = [_copy_sample(s) for s in samples]
+    sizes = []
+    orig = DirectPlacer.apply_placement
+
+    def spy(self, *a, **k):
+        sizes.append(iv.interval_place_dev._cache_size())
+        return orig(self, *a, **k)
+
+    DirectPlacer.apply_placement = spy
+    try:
+        placer.place_all(DirectOptions(outdir=str(tmp_path / "o"),
+                                       batch_size=8))
+    finally:
+        DirectPlacer.apply_placement = orig
+    # after the second batch (overlay active) the program set is fixed
+    later = [s for s in sizes[16:]]
+    assert later and max(later) == min(later), sizes
