@@ -611,3 +611,45 @@ def test_extract_pb_direct_all_leaves_verbatim(mat_pb, tmp_path):
     for fn in ("used.txt", "t.nh"):
         assert open(os.path.join(d1, fn)).read() == \
             open(os.path.join(d2, fn)).read(), fn
+
+
+def test_extract_pb_direct_large_selection_prune_semantics(tmp_path):
+    """Selections >= 10000 samples must reproduce get_sample_prune
+    semantics (unary chains and original structure retained), matching
+    filter_master's size dispatch — not the compressed subtree."""
+    import numpy as np
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    from usher_tpu.core.tree import Mutation, Tree
+
+    rng = np.random.default_rng(2)
+    T = Tree()
+    T.create_node("root")
+    names = ["root"]
+    bases = [1, 2, 4, 8]
+    for i in range(24000):
+        parent = names[int(rng.integers(len(names)))]
+        nid = f"L{i}"
+        node = T.create_node(nid, parent)
+        p = 100 + int(rng.integers(500))
+        par = bases[int(rng.integers(4))]
+        mut = bases[(bases.index(par) + 1) % 4]
+        node.add_mutation(Mutation("c", p, par, par, mut))
+        names.append(nid)
+    pb = str(tmp_path / "big.pb")
+    save_mat_pb(T, pb)
+
+    T2 = load_mat_pb(pb)
+    T2.uncondense_leaves()
+    leaves = T2.get_leaves_ids()
+    assert len(leaves) > 11000
+    chosen = leaves[:10500]
+    sf = tmp_path / "names.txt"
+    sf.write_text("".join(s + "\n" for s in chosen))
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    w = ["-u", "used.txt", "-t", "t.nh"]
+    assert mu_main(["extract", "-i", pb, "-s", str(sf), "-d", d1] + w) == 0
+    assert mu_main(["extract", "-i", pb, "-s", str(sf), "--pb-direct",
+                    "-d", d2] + w) == 0
+    for fn in ("used.txt", "t.nh"):
+        assert open(os.path.join(d1, fn)).read() == \
+            open(os.path.join(d2, fn)).read(), fn
