@@ -653,3 +653,21 @@ def test_extract_pb_direct_large_selection_prune_semantics(tmp_path):
     for fn in ("used.txt", "t.nh"):
         assert open(os.path.join(d1, fn)).read() == \
             open(os.path.join(d2, fn)).read(), fn
+
+
+def test_mask_rename_pb_direct_byte_identical(mat_pb, tmp_path):
+    """mask -r --pb-direct (names-blob surgery, no host tree) must
+    byte-match the Tree path's renamed pb."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    leaves = [l for l in T.get_leaves_ids()][:4]
+    rn = tmp_path / "rename.tsv"
+    rn.write_text("".join(f"{s}\tRENAMED_{k}\n"
+                          for k, s in enumerate(leaves))
+                  + "NOSUCH\tX\n")
+    o1, o2 = str(tmp_path / "t.pb"), str(tmp_path / "a.pb")
+    assert mu_main(["mask", "-i", mat_pb, "-o", o1,
+                    "-r", str(rn)]) == 0
+    assert mu_main(["mask", "-i", mat_pb, "-o", o2, "--pb-direct",
+                    "-r", str(rn)]) == 0
+    assert open(o1, "rb").read() == open(o2, "rb").read()

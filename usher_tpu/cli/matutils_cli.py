@@ -414,10 +414,32 @@ def cmd_mask(argv) -> int:
     p.add_argument("--maple-file", "-f", default="",
                    help="MAPLE diff file with per-sample missing intervals "
                         "for -D")
+    p.add_argument("--pb-direct", action="store_true",
+                   help="rename samples straight over the flat arrays "
+                        "(no host tree; supports -r only)")
     a = p.parse_args(argv)
     if a.max_snp_distance > 0 and not a.maple_file:
         _err("ERROR: -D/--max-snp-distance requires -f/--maple-file")
         return 1
+    if a.pb_direct:
+        unsupported = [f for f, v in [
+            ("-s", a.restricted_samples), ("-m", a.mask_mutations),
+            ("-S", a.simplify), ("-M", a.move_nodes),
+            ("-c", a.condense_tree), ("-D", a.max_snp_distance),
+        ] if v]
+        if unsupported:
+            _err(f"ERROR: --pb-direct mask does not support "
+                 f"{', '.join(unsupported)} (use the tree path)")
+            return 1
+        if not a.rename_samples:
+            _err("ERROR: --pb-direct mask needs -r/--rename-samples")
+            return 1
+        from ..io.pb_arrays import load_mat_arrays, save_arrays_to_pb
+        from ..matutils.arrays import rename_samples as arr_rename
+        ma = load_mat_arrays(a.input_mat)
+        arr_rename(ma, a.rename_samples)
+        save_arrays_to_pb(ma, a.output_mat)
+        return 0
     T = _load(a.input_mat)
     if a.simplify:
         T.uncondense_leaves()

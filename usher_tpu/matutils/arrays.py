@@ -410,3 +410,31 @@ def verbatim_subtree(ma, samples, lists=None):
                     node.clade_annotations[kk] = a[kk]
         new_of[x] = node.identifier
     return subtree
+
+
+def rename_samples(ma, rename_filename: str) -> None:
+    """old\\tnew per line over the names blob (mask.cpp:679-705 semantics:
+    tree nodes only — condensed member names are not nodes and warn, like
+    the Tree path's rename_node lookup)."""
+    names = ma.names()
+    idx = {nm: i for i, nm in enumerate(names)}
+    with open(rename_filename) as f:
+        for line in f:
+            words = line.rstrip("\n").split("\t")
+            if len(words) != 2:
+                raise ValueError(
+                    f"ERROR: Incorrect format for the renaming file: "
+                    f"{rename_filename}!")
+            i = idx.get(words[0])
+            if i is None:
+                print(f"WARNING: Node {words[0]} not found in the MAT.",
+                      file=sys.stderr)
+            else:
+                names[i] = words[1]
+                del idx[words[0]]
+                idx[words[1]] = i
+    blob = ("\0".join(names) + "\0").encode()
+    ma.names_blob = blob
+    off = np.zeros(len(names) + 1, np.int64)
+    off[1:] = np.nonzero(np.frombuffer(blob, np.uint8) == 0)[0] + 1
+    ma.name_off = off
