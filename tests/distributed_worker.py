@@ -103,6 +103,51 @@ def main():
         "num_best": np.asarray(nb).tolist(),
     }
 
+    # --- the serving CLI end-to-end over the global mesh -------------------
+    # (usher --pb-direct --distributed: collective scoring on every
+    # process, leader-only output files)
+    import tempfile
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.io.pbio import save_mat_pb
+    td = tempfile.mkdtemp(prefix="dw_")
+    Ts, refs = build_tree(seed=5)
+    pb_path = os.path.join(td, "t.pb")
+    save_mat_pb(Ts, pb_path)
+    tree_pos = sorted({m.position for n in Ts.depth_first_expansion()
+                       for m in n.mutations})
+    smp = sample_batch({p: refs[p] for p in tree_pos}, 6, seed=21)
+    bases = {1: "A", 2: "C", 4: "G", 8: "T"}
+    by_pos = {}
+    for j, muts in enumerate(smp):
+        for m in muts:
+            by_pos.setdefault(m.position, {})[j] = m.mut_nuc
+    vcf_path = os.path.join(td, "s.vcf")
+    with open(vcf_path, "w") as f:
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(f"S{j}" for j in range(len(smp))) + "\n")
+        for p in sorted(by_pos):
+            r = refs[p]
+            alts = sorted({v for v in by_pos[p].values() if v != r})
+            if not alts:
+                continue
+            ai = {v: i + 1 for i, v in enumerate(alts)}
+            row = [str(ai.get(by_pos[p].get(j), 0))
+                   if j in by_pos[p] else "0" for j in range(len(smp))]
+            f.write(f"c\t{p}\t.\t{bases[r]}\t"
+                    + ",".join(bases[a] for a in alts)
+                    + "\t.\t.\t.\tGT\t" + "\t".join(row) + "\n")
+    serve_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(td, "o")
+    rc = usher_main(["-i", pb_path, "-v", vcf_path, "-d", serve_dir,
+                     "--pb-direct", "--mesh-devices",
+                     str(jax.device_count())]
+                    + (["--distributed"] if distributed else []))
+    assert rc == 0
+    if is_leader():
+        results["serve_stats"] = open(
+            os.path.join(serve_dir, "placement_stats.tsv")).read()
+        results["serve_tree"] = open(
+            os.path.join(serve_dir, "final-tree.nh")).read()
+
     # --- FS + SPR optimization sharded over the global mesh ----------------
     from usher_tpu.io.newick import write_newick
     from usher_tpu.optimize import OptimizeOptions, optimize_tree

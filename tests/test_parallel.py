@@ -314,7 +314,8 @@ def test_distributed_two_process_parity(tmp_path):
     m = json.loads(multi.read_text())
     assert m["process_count"] == 2
     assert m["device_count"] == 8 == g["device_count"]
-    for key in ("placement", "optimize_dense", "optimize_big"):
+    for key in ("placement", "serve_stats", "serve_tree",
+                "optimize_dense", "optimize_big"):
         assert g[key] == m[key], key
 
 

@@ -89,8 +89,12 @@ def main(argv=None) -> int:
     maybe_begin_session_from_env()
     args = build_parser().parse_args(argv)
     if getattr(args, 'distributed', False) or os.environ.get('USHER_TPU_DISTRIBUTED'):
-        from ..parallel.distributed import maybe_initialize
+        from ..parallel.distributed import (maybe_initialize,
+                                            shadow_outputs)
         maybe_initialize()
+        # followers run every collective but only rank 0 writes the real
+        # output files (the reference's leader discipline)
+        shadow_outputs(args, "outdir", "dout", "src_log")
 
     try:
         if args.resume:

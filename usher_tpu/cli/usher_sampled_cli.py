@@ -95,8 +95,12 @@ def _optimize(T: Tree, radius: int, minutes: float) -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if getattr(args, 'distributed', False) or os.environ.get('USHER_TPU_DISTRIBUTED'):
-        from ..parallel.distributed import maybe_initialize
+        from ..parallel.distributed import (maybe_initialize,
+                                            shadow_outputs)
         maybe_initialize()
+        # followers run every collective but only rank 0 writes the real
+        # output files (the reference's leader discipline)
+        shadow_outputs(args, "outdir", "dout")
     t0 = time.time()
 
     if args.din:

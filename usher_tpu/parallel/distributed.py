@@ -93,6 +93,26 @@ def is_leader() -> bool:
     return (not _initialized) or jax.process_index() == 0
 
 
+def shadow_outputs(args, *attrs) -> None:
+    """Follower processes in a multi-process run execute every (collective)
+    computation but must not race the leader on output files: point the
+    named path attributes of `args` into a throwaway directory (the
+    reference's rank-0-writes discipline, usher_common.cpp leader-only
+    output)."""
+    import os
+    import tempfile
+    if is_leader():
+        return
+    shadow = tempfile.mkdtemp(prefix="usher_follower_")
+    for attr in attrs:
+        val = getattr(args, attr, None)
+        if val:
+            setattr(args, attr,
+                    os.path.join(shadow, os.path.basename(str(val))))
+        elif attr == "outdir":
+            setattr(args, attr, shadow)
+
+
 def fetch(x):
     """np.asarray for device arrays that may span processes.
 
