@@ -136,7 +136,7 @@ def main():
             f.write(f"c\t{p}\t.\t{bases[r]}\t"
                     + ",".join(bases[a] for a in alts)
                     + "\t.\t.\t.\tGT\t" + "\t".join(row) + "\n")
-    serve_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(td, "o")
+    serve_dir = os.path.join(td, "o")
     rc = usher_main(["-i", pb_path, "-v", vcf_path, "-d", serve_dir,
                      "--pb-direct", "--mesh-devices",
                      str(jax.device_count())]

@@ -94,7 +94,8 @@ def main(argv=None) -> int:
         maybe_initialize()
         # followers run every collective but only rank 0 writes the real
         # output files (the reference's leader discipline)
-        shadow_outputs(args, "outdir", "dout", "src_log")
+        shadow_outputs(args, "dout", "src_log", "epps_on_branch_len",
+                       "drift_nwk_file")
 
     try:
         if args.resume:
@@ -151,7 +152,12 @@ def main(argv=None) -> int:
         # (reference main.cpp:438-504)
         from ..io.newick import write_newick
         from ..optimize.epp import count_epps
-        count_epps(T, args.radius)
+        # followers' -E path was shadowed; keep their epps_dump beside it
+        # instead of racing the leader's cwd copy
+        dump_dir = os.path.dirname(args.epps_on_branch_len)
+        count_epps(T, args.radius,
+                   dump_path=os.path.join(dump_dir, "epps_dump")
+                   if dump_dir else "epps_dump")
         with open(args.epps_on_branch_len, "w") as f:
             f.write(write_newick(T, print_internal=True,
                                  print_branch_len=True,

@@ -259,6 +259,15 @@ def write_newick_arrays(ma: MatArrays, big=None) -> str:
     return "".join(out) + ";"
 
 
+def set_names(ma: MatArrays, names: list[str]) -> None:
+    """Replace the names blob (and offsets) from a python list."""
+    blob = ("\0".join(names) + "\0").encode()
+    ma.names_blob = blob
+    off = np.zeros(len(names) + 1, np.int64)
+    off[1:] = np.nonzero(np.frombuffer(blob, np.uint8) == 0)[0] + 1
+    ma.name_off = off
+
+
 def expand_condensed(names, parent, children, has_muts, condensed,
                      counter: int, on_new) -> int:
     """Tree.uncondense_leaves (core/tree.py:467-497) over index lists,

@@ -429,12 +429,13 @@ def rename_samples(ma, rename_filename: str) -> None:
             if i is None:
                 print(f"WARNING: Node {words[0]} not found in the MAT.",
                       file=sys.stderr)
+            elif words[1] in idx:
+                # Tree.rename_node's collision rule (core/tree.py:210)
+                raise ValueError(
+                    f"rename_node: node {words[1]} already exists")
             else:
                 names[i] = words[1]
                 del idx[words[0]]
                 idx[words[1]] = i
-    blob = ("\0".join(names) + "\0").encode()
-    ma.names_blob = blob
-    off = np.zeros(len(names) + 1, np.int64)
-    off[1:] = np.nonzero(np.frombuffer(blob, np.uint8) == 0)[0] + 1
-    ma.name_off = off
+    from ..io.pb_arrays import set_names
+    set_names(ma, names)

@@ -103,14 +103,18 @@ def shadow_outputs(args, *attrs) -> None:
     import tempfile
     if is_leader():
         return
+    import atexit
+    import shutil
     shadow = tempfile.mkdtemp(prefix="usher_follower_")
+    # followers still serialize their copies (they run the identical
+    # program); the throwaway directory is removed at process exit so
+    # repeated runs do not leak /tmp space
+    atexit.register(shutil.rmtree, shadow, ignore_errors=True)
     for attr in attrs:
         val = getattr(args, attr, None)
         if val:
             setattr(args, attr,
                     os.path.join(shadow, os.path.basename(str(val))))
-        elif attr == "outdir":
-            setattr(args, attr, shadow)
 
 
 def fetch(x):
