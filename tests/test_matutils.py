@@ -671,3 +671,45 @@ def test_mask_rename_pb_direct_byte_identical(mat_pb, tmp_path):
     assert mu_main(["mask", "-i", mat_pb, "-o", o2, "--pb-direct",
                     "-r", str(rn)]) == 0
     assert open(o1, "rb").read() == open(o2, "rb").read()
+
+
+def test_mask_rename_pb_direct_collision_raises(mat_pb, tmp_path):
+    """Renaming onto an existing node name must fail like the Tree path
+    (rename_node's ValueError), not silently emit a duplicate-name MAT."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    a, b = T.get_leaves_ids()[:2]
+    rn = tmp_path / "r.tsv"
+    rn.write_text(f"{a}\t{b}\n")
+    # matutils_cli.main catches ValueError and exits 1 (both paths)
+    assert mu_main(["mask", "-i", mat_pb, "-o", str(tmp_path / "o.pb"),
+                    "--pb-direct", "-r", str(rn)]) == 1
+    assert mu_main(["mask", "-i", mat_pb, "-o", str(tmp_path / "o2.pb"),
+                    "-r", str(rn)]) == 1
+    assert not (tmp_path / "o.pb").exists()
+
+
+def test_annotate_nid_pb_direct_byte_identical(mat_pb, tmp_path):
+    """annotate -C --pb-direct (annotation-blob surgery) must byte-match
+    the Tree path, including append-vs-clear column behavior and the
+    already-assigned warning."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    internal = [n.identifier for n in T.depth_first_expansion()
+                if not n.is_leaf()][1:4]
+    cn = tmp_path / "c.tsv"
+    cn.write_text(f"20A\t{internal[0]}\n20B\t{internal[1]}\n"
+                  f"DUP\t{internal[0]}\n")
+    for clear in ([], ["-l"]):
+        o1 = str(tmp_path / f"t{len(clear)}.pb")
+        o2 = str(tmp_path / f"a{len(clear)}.pb")
+        assert mu_main(["annotate", "-i", mat_pb, "-o", o1,
+                        "-C", str(cn)] + clear) == 0
+        assert mu_main(["annotate", "-i", mat_pb, "-o", o2, "--pb-direct",
+                        "-C", str(cn)] + clear) == 0
+        assert open(o1, "rb").read() == open(o2, "rb").read(), clear
+    # missing node errors identically (rc 1 via the CLI's KeyError catch)
+    cn.write_text("X\tNOSUCHNODE\n")
+    assert mu_main(["annotate", "-i", mat_pb,
+                    "-o", str(tmp_path / "x.pb"), "--pb-direct",
+                    "-C", str(cn)]) == 1

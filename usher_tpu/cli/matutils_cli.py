@@ -320,12 +320,27 @@ def cmd_annotate(argv) -> int:
     p.add_argument("--output-directory", "-d", default="./")
     p.add_argument("--write-mutations", "-u", default="")
     p.add_argument("--write-details", "-D", default="")
+    p.add_argument("--pb-direct", action="store_true",
+                   help="apply -C clade-to-node assignments straight over "
+                        "the flat arrays (no host tree)")
     a = p.parse_args(argv)
 
     def outp(name):
         import os as _os
         return _os.path.join(a.output_directory, name) if name else ""
 
+    if a.pb_direct:
+        if not a.clade_to_nid or a.clade_names or a.clade_paths \
+                or a.clade_mutations:
+            _err("ERROR: --pb-direct annotate supports -C only "
+                 "(use the tree path)")
+            return 1
+        from ..io.pb_arrays import load_mat_arrays, save_arrays_to_pb
+        from ..matutils.arrays import annotate_by_nid
+        ma = load_mat_arrays(a.input_mat)
+        annotate_by_nid(ma, a.clade_to_nid, a.clear_current)
+        save_arrays_to_pb(ma, a.output_mat)
+        return 0
     T = _load(a.input_mat)
     if a.clade_to_nid:
         if a.clade_names or a.clade_paths:

@@ -439,3 +439,47 @@ def rename_samples(ma, rename_filename: str) -> None:
                 idx[words[1]] = i
     from ..io.pb_arrays import set_names
     set_names(ma, names)
+
+
+def annotate_by_nid(ma, clade_to_nid_file: str,
+                    clear_current: bool = False) -> None:
+    """clade\\tnode_id per line over the annotation blob
+    (assign_lineages_by_nid / annotate.cpp:170-205 semantics: one new
+    annotation column appended — or the vector reset with
+    clear_current — and the clade written into the LAST column of the
+    named node)."""
+    from ..io.pb_arrays import ann_lists
+    n = ma.n
+    anns, ncols = ann_lists(ma)
+    if anns is None:
+        anns = [[] for _ in range(n)]
+        ncols = 0
+    if clear_current:
+        anns = [[""] for _ in range(n)]
+        ncols = 1
+    else:
+        for a in anns:
+            a.extend([""] * (ncols - len(a)))
+            a.append("")
+        ncols += 1
+    idx = {nm: i for i, nm in enumerate(ma.names())}
+    with open(clade_to_nid_file) as f:
+        for line in f:
+            words = line.rstrip("\n").split("\t")
+            if len(words) != 2:
+                raise ValueError(
+                    "ERROR: Incorrect format for clade to node id "
+                    f"assignment file: {clade_to_nid_file}!")
+            clade, nid = words
+            i = idx.get(nid)
+            if i is None:
+                raise KeyError(f"ERROR: Node id {nid} not found!")
+            if anns[i][ncols - 1] != "":
+                print(f"WARNING: Assigning clade {clade} to node {nid} "
+                      f"failed as the node is already assigned to clade "
+                      f"{anns[i][ncols-1]}!", file=sys.stderr)
+            else:
+                anns[i][ncols - 1] = clade
+    ma.ann_counts = np.full(n, ncols, np.int32)
+    ma.ann_blob = ("\0".join(a for row in anns for a in row)
+                   + "\0").encode() if n else b""
