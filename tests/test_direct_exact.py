@@ -171,3 +171,58 @@ def test_batched_equals_sequential_multi_batch(tmp_path):
     b = run_mode(tmp_path, pb, samples, "seq", seq=True, batch_size=16)
     for f in a:
         assert a[f] == b[f]
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_direct_matches_tree_driver_randomized(tmp_path, seed):
+    """--pb-direct must byte-match the Tree-backed --bigmat driver on
+    randomized adversarial workloads, not just the smoke fixture: same
+    pb, same VCF, byte-identical stats/newick/paths."""
+    import subprocess
+    import sys as _sys
+
+    rng = np.random.default_rng(seed)
+    ma, state, is_leaf = consistent_mat(rng, N=250, P=120)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=40)
+    # write a VCF (both drivers consume the same file)
+    bases = {1: "A", 2: "C", 4: "G", 8: "T", 0xF: "N"}
+    by_pos = {}
+    for j, s in enumerate(samples):
+        for m in s.mutations:
+            by_pos.setdefault(m.position, {})[j] = int(m.mut_nuc)
+    iupac = {3: "M", 5: "R", 9: "W", 6: "S", 10: "Y", 12: "K",
+             7: "V", 11: "H", 13: "D", 14: "B"}
+    bases.update({k: v for k, v in iupac.items()})
+    vcf = tmp_path / "s.vcf"
+    pos_ref = {int(p): int(r)
+               for p, r in zip(ma.positions.tolist(), ma.ref.tolist())}
+    with open(vcf, "w") as f:
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(s.name for s in samples) + "\n")
+        for p in sorted(by_pos):
+            r = pos_ref[p]
+            alts = sorted({v for v in by_pos[p].values() if v != r})
+            if not alts:
+                continue
+            ai = {v: i + 1 for i, v in enumerate(alts)}
+            row = [str(ai.get(by_pos[p].get(j), 0))
+                   if j in by_pos[p] else "0"
+                   for j in range(len(samples))]
+            f.write(f"chr\t{p}\t.\t{bases[r]}\t"
+                    + ",".join(bases[a] for a in alts)
+                    + "\t.\t.\t.\tGT\t" + "\t".join(row) + "\n")
+
+    from usher_tpu.cli.usher_cli import main as usher_main
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d1,
+                       "--bigmat", "--mesh-devices", "0"]) == 0
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d2,
+                       "--pb-direct", "--mesh-devices", "0",
+                       "--batch-size", "16"]) == 0
+    for fn in ("placement_stats.tsv", "final-tree.nh",
+               "mutation-paths.txt"):
+        x = open(os.path.join(d1, fn)).read()
+        y = open(os.path.join(d2, fn)).read()
+        assert x == y, (fn, seed)
