@@ -713,3 +713,31 @@ def test_annotate_nid_pb_direct_byte_identical(mat_pb, tmp_path):
     assert mu_main(["annotate", "-i", mat_pb,
                     "-o", str(tmp_path / "x.pb"), "--pb-direct",
                     "-C", str(cn)]) == 1
+
+
+def test_uncertainty_pb_direct_byte_identical(mat_pb, tmp_path):
+    """uncertainty --pb-direct (array placement with self-exclusion via
+    the runner-up reduce) must byte-match the Tree path's EPP and
+    placement-location tables on the condensed smoke MAT."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    chosen = leaves[3:40:3] + ["NOSUCHSAMPLE"]
+    sf = tmp_path / "s.txt"
+    sf.write_text("".join(s + "\n" for s in chosen))
+    d1, d2 = tmp_path / "t", tmp_path / "a"
+    d1.mkdir(); d2.mkdir()
+    assert mu_main(["uncertainty", "-i", mat_pb, "-s", str(sf),
+                    "-e", str(d1 / "epps.tsv"),
+                    "-o", str(d1 / "locs.tsv")]) == 0
+    assert mu_main(["uncertainty", "-i", mat_pb, "-s", str(sf),
+                    "--pb-direct",
+                    "-e", str(d2 / "epps.tsv"),
+                    "-o", str(d2 / "locs.tsv")]) == 0
+    for fn in ("epps.tsv", "locs.tsv"):
+        x = (d1 / fn).read_text()
+        y = (d2 / fn).read_text()
+        assert x == y, fn
+    body = (d2 / "epps.tsv").read_text().splitlines()[1:]
+    assert body and any(int(l.split("\t")[1]) >= 1 for l in body)

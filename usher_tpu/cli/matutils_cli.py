@@ -377,10 +377,23 @@ def cmd_uncertainty(argv) -> int:
     p.add_argument("--dropout-mutations", "-d", default="",
                    help="Calculate mutations possibly associated with "
                         "primer dropout [EXPERIMENTAL]")
+    p.add_argument("--pb-direct", action="store_true",
+                   help="compute EPPs/neighborhoods straight over the "
+                        "flat arrays (no host tree; supports -s/-e/-o)")
     a = p.parse_args(argv)
     if not a.samples and not a.dropout_mutations:
         _err("ERROR: uncertainty requires -s and/or -d")
         return 1
+    if a.pb_direct:
+        if a.dropout_mutations:
+            _err("ERROR: --pb-direct uncertainty does not support -d "
+                 "(use the tree path)")
+            return 1
+        from ..io.pb_arrays import load_mat_arrays
+        from ..matutils.arrays import uncertainty_main as arr_unc
+        ma = load_mat_arrays(a.input_mat)
+        return arr_unc(ma, a.samples, epps_out=a.find_epps,
+                       locs_out=a.record_placements)
     T = _load(a.input_mat)
     T.uncondense_leaves()
     if a.dropout_mutations:

@@ -483,3 +483,204 @@ def annotate_by_nid(ma, clade_to_nid_file: str,
     ma.ann_counts = np.full(n, ncols, np.int32)
     ma.ann_blob = ("\0".join(a for row in anns for a in row)
                    + "\0").encode() if n else b""
+
+
+# --- uncertainty: per-sample EPP + neighborhood over arrays -----------------
+
+def _expanded_bigmat(ma, lists):
+    """BigMAT over the condensed-expanded index lists (uncertainty runs
+    against the UNCONDENSED tree, like the Tree path).  Expansion leaves
+    carry no mutations; index order reproduces the host uncondense order
+    so the recomputed BFS tie-break ranks match from_tree's exactly."""
+    from ..core.bigmat import BigMAT
+    names, _nmut, muts_of, parent, children, _root = lists
+    n2 = len(names)
+    counts = np.zeros(n2, np.int64)
+    for i, k in enumerate(muts_of):
+        if 0 <= k < ma.n:
+            counts[i] = ma.mut_ptr[k + 1] - ma.mut_ptr[k]
+    ptr2 = np.zeros(n2 + 1, np.int64)
+    ptr2[1:] = np.cumsum(counts)
+    src = np.concatenate([
+        np.arange(int(ma.mut_ptr[k]), int(ma.mut_ptr[k + 1]))
+        for k in muts_of if 0 <= k < ma.n] or
+        [np.zeros(0, np.int64)]).astype(np.int64)
+    big = BigMAT(np.asarray(parent, np.int32), ptr2,
+                 ma.mut_col[src], ma.mut_par[src], ma.mut_mut[src],
+                 ma.positions, ma.ref)
+    big._recompute_ranks()
+    return big
+
+
+def _ancestral_set_triplets(big, slot):
+    """The leaf's genotype as (position-sorted) mutations-from-reference
+    (uncertainty.ancestral_mutation_set over the CSR: nearest entry per
+    position, net-reference entries dropped)."""
+    seen = {}
+    x = int(slot)
+    while True:
+        for j in range(int(big.mut_ptr[x]), int(big.mut_ptr[x + 1])):
+            col = int(big.mut_col[j])
+            if col not in seen:
+                seen[col] = int(big.mut_mut[j])
+        p = int(big.parent[x])
+        if p == x:
+            break
+        x = p
+    return sorted((c, v) for c, v in seen.items()
+                  if v != int(big.ref[c]))
+
+
+def _host_tie_slots(big, pos, gval, kmiss, excl_slot):
+    """Valid tied slots at the excluded-best score, BFS order (the host
+    mirror of place_one_host's score/validity arrays)."""
+    big._flush()
+    *ev, add0 = big._events(pos, gval, kmiss, spr=False)
+    ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val = ev
+    n_pad = big.n_pad
+    diff = np.zeros(n_pad + 1, np.int32)
+    np.add.at(diff, ev_idx, ev_val)
+    run = np.cumsum(diff[:n_pad], dtype=np.int32)
+    score = big.base + np.int32(add0[0]) + run[big.dfs_of]
+    ncv = np.zeros(n_pad + 1, np.int32)
+    np.add.at(ncv, nc_idx, nc_val)
+    nc = big.nc_base + ncv[big.dfs_of]
+    hu = nc < big.node_num_mut
+    leaf = big.is_leaf
+    valid = (big.is_root_mask
+             | (leaf & (nc > 0))
+             | (~leaf & hu & (nc > 0))
+             | (~leaf & ~hu)) & big.active
+    valid[excl_slot] = False
+    s = np.where(valid, score, 1 << 30)
+    best = int(s.min())
+    ties = np.nonzero(valid & (score == best))[0]
+    return [int(t) for t in ties[np.argsort(big.bfs_rank[ties],
+                                            kind="stable")]]
+
+
+def find_epps(ma, sample_names, batch_size: int = 256,
+              want_neighborhood: bool = True):
+    """Array-native uncertainty.find_epps: {sample: (num_best,
+    neighborhood_size, [placement slots])} with self-mapping excluded.
+
+    Exclusion needs no kernel change: a mutation-carrying leaf is always
+    a valid 0-score tie for its own genotype, so the excluded result is
+    the device's winner-row-masked RUNNER-UP when the snapshot winner is
+    the sample itself, and (best, winner, num_best - 1) otherwise."""
+    lists = _children_lists(ma)
+    names = lists[0]
+    big = _expanded_bigmat(ma, lists)
+    parent = big.parent.astype(np.int64)
+    slot_of = {nm: i for i, nm in enumerate(names)}
+    nmut = np.diff(big.mut_ptr)
+    results = {}
+    todo = [s for s in sample_names if s in slot_of]
+    for start in range(0, len(todo), batch_size):
+        chunk = todo[start:start + batch_size]
+        muts = []
+        for nm in chunk:
+            trips = _ancestral_set_triplets(big, slot_of[nm])
+            from ..core.tree import Mutation
+            muts.append([Mutation(ma.chrom, int(big.positions[c]),
+                                  int(big.ref[c]), int(big.ref[c]), v)
+                         for c, v in trips])
+        pos, gval, kmiss = big.sparsify(muts)
+        (bs, slot, nb, hu), (bs2, slot2, nb2, hu2) = big.place_arrays(
+            pos, gval, kmiss, with_second=True)
+        for i, nm in enumerate(chunk):
+            self_slot = slot_of[nm]
+            self_valid = nmut[self_slot] > 0
+            if not self_valid:
+                best, win, n_best = int(bs[i]), int(slot[i]), int(nb[i])
+            elif int(slot[i]) == self_slot:
+                best, win, n_best = int(bs2[i]), int(slot2[i]), int(nb2[i])
+            else:
+                best, win, n_best = int(bs[i]), int(slot[i]), int(nb[i]) - 1
+            if n_best > 1:
+                p1, g1, k1 = big.sparsify([muts[i]])
+                ties = _host_tie_slots(big, p1, g1, k1, self_slot)
+                nsize = (_neighborhood_size(big, parent, ties)
+                         if want_neighborhood else 0)
+            else:
+                ties = [int(parent[self_slot])]
+                nsize = 0
+            results[nm] = (n_best, nsize, ties)
+    return results
+
+
+def _neighborhood_size(big, parent, slots) -> int:
+    """uncertainty.get_neighborhood_size over slots: longest direct path
+    between any two placements through the min-total-distance common
+    ancestor; distances are per-branch mutation counts."""
+    if len(slots) < 2:
+        return 0
+    nmut = np.diff(big.mut_ptr).astype(np.int64)
+
+    def path(x):
+        out = [x]
+        while out[-1] != parent[out[-1]]:
+            out.append(int(parent[out[-1]]))
+        return out
+
+    paths = [path(int(s)) for s in slots]
+    common = set(paths[0])
+    for p in paths[1:]:
+        common &= set(p)
+    best_anc, best_total = None, None
+    for anc in paths[0]:
+        if anc not in common:
+            continue
+        total = 0
+        for p in paths:
+            d = 0
+            for x in p:
+                if x == anc:
+                    break
+                d += int(nmut[x])
+            total += d
+        if best_total is None or total < best_total:
+            best_total, best_anc = total, anc
+    dists = []
+    for p in paths:
+        d = 0
+        for x in p:
+            if x == best_anc:
+                break
+            d += int(nmut[x])
+        dists.append(d)
+    dists.sort()
+    return int(dists[-1] + dists[-2])
+
+
+def uncertainty_main(ma, sample_file: str, epps_out: str = "",
+                     locs_out: str = "") -> int:
+    """Array-native uncertainty subcommand (uncertainty.cpp:259-340)."""
+    from .select import read_sample_names
+    samples = read_sample_names(sample_file)
+    names = _children_lists(ma)[0]
+    results = find_epps(ma, samples)
+    if epps_out:
+        with open(epps_out, "w") as f:
+            f.write("sample\tequally_parsimonious_placements\t"
+                    "neighborhood_size\n")
+            for s in samples:
+                if s not in results:
+                    print(f"WARNING: sample {s} not found in tree",
+                          file=sys.stderr)
+                    continue
+                nb, ns, _ = results[s]
+                f.write(f"{s}\t{nb}\t{ns}\n")
+    if locs_out:
+        with open(locs_out, "w") as f:
+            f.write("placement\tsample\n")
+            for s in samples:
+                if s not in results:
+                    continue
+                nb, _ns, slots = results[s]
+                if nb == 1:
+                    f.write(f"{s}\t{s}\n")
+                else:
+                    for sl in slots:
+                        f.write(f"{names[sl]}\t{s}\n")
+    return 0
