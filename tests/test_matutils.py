@@ -741,3 +741,25 @@ def test_uncertainty_pb_direct_byte_identical(mat_pb, tmp_path):
         assert x == y, fn
     body = (d2 / "epps.tsv").read_text().splitlines()[1:]
     assert body and any(int(l.split("\t")[1]) >= 1 for l in body)
+
+
+def test_extract_pb_direct_filters_byte_identical(mat_pb, tmp_path):
+    """-e/-a/-b/-P selection filters over arrays must byte-match the
+    Tree path's extract outputs."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    for flags in (["-a", "1"], ["-b", "2"], ["-P", "3"],
+                  ["-e", "1", "-a", "2"]):
+        tag = "".join(flags)
+        d1 = str(tmp_path / ("t" + tag))
+        d2 = str(tmp_path / ("a" + tag))
+        w = ["-u", "used.txt", "-t", "t.nh"]
+        r1 = mu_main(["extract", "-i", mat_pb, "-d", d1] + flags + w)
+        r2 = mu_main(["extract", "-i", mat_pb, "-d", d2,
+                      "--pb-direct"] + flags + w)
+        assert r1 == r2, flags
+        if r1 != 0:
+            continue
+        for fn in ("used.txt", "t.nh"):
+            x = open(os.path.join(d1, fn)).read()
+            y = open(os.path.join(d2, fn)).read()
+            assert x == y, (fn, flags)

@@ -92,9 +92,7 @@ def cmd_extract(argv) -> int:
     a = p.parse_args(argv)
     if a.pb_direct:
         unsupported = [f for f, v in [
-            ("-H", a.match), ("-e", a.max_epps),
-            ("-a", a.max_parsimony >= 0), ("-b", a.max_branch_length >= 0),
-            ("-P", a.max_path_length >= 0),
+            ("-H", a.match),
             ("--max-mutation-density", a.max_mutation_density > 0),
             ("-k", a.nearest_k), ("-z", a.set_size),
             ("-I", a.get_internal_descendents), ("-U", a.from_mrca),
@@ -108,10 +106,12 @@ def cmd_extract(argv) -> int:
             _err(f"ERROR: --pb-direct extract does not support "
                  f"{', '.join(unsupported)} (use the tree path)")
             return 1
-        if not (a.samples_file or a.clade or a.mutation):
+        if not (a.samples_file or a.clade or a.mutation or a.max_epps
+                or a.max_parsimony >= 0 or a.max_branch_length >= 0
+                or a.max_path_length >= 0):
             _err("ERROR: --pb-direct extract needs a selection "
-                 "(-s, -c, or -m); without one the induced subtree is "
-                 "the whole MAT — use the tree path")
+                 "(-s/-c/-m/-e/-a/-b/-P); without one the induced "
+                 "subtree is the whole MAT — use the tree path")
             return 1
         from ..io.pb_arrays import load_mat_arrays
         from ..matutils import arrays as marr
@@ -119,7 +119,10 @@ def cmd_extract(argv) -> int:
         lists = marr._children_lists(ma)
         samples = marr.select_sample_indices(
             ma, lists, samples_file=a.samples_file, clade=a.clade,
-            mutation=a.mutation)
+            mutation=a.mutation, max_epps=a.max_epps,
+            max_parsimony=a.max_parsimony,
+            max_branch_length=a.max_branch_length,
+            max_path_length=a.max_path_length)
         if not samples:
             _err("ERROR: No samples fulfill selected criteria. Change "
                  "arguments and try again")
@@ -134,9 +137,13 @@ def cmd_extract(argv) -> int:
             T = marr.verbatim_subtree(ma, samples, lists=lists)
         else:
             T = marr.extract_subtree(ma, samples, lists=lists)
-        # the subtree IS the selection: clear the filters and hand the
-        # small tree to the standard writer pipeline
+        # the subtree IS the selection: clear every filter (re-applying
+        # them would act on the COMPRESSED subtree, whose merged edges
+        # inflate terminal branch lengths) and hand the small tree to
+        # the standard writer pipeline
         a.samples_file = a.clade = a.mutation = ""
+        a.max_epps = 0
+        a.max_parsimony = a.max_branch_length = a.max_path_length = -1
     else:
         T = _load(a.input_mat)
     opts = ExtractOptions(

@@ -191,7 +191,8 @@ def _dfs_arrays(children, root, n):
 
 
 def select_sample_indices(ma, lists, samples_file="", clade="",
-                          mutation=""):
+                          mutation="", max_epps=0, max_parsimony=-1,
+                          max_branch_length=-1, max_path_length=-1):
     """Array-native -s/-c/-m selection (select.cpp:8-111 semantics);
     multiple criteria intersect like the Tree path.  Returns sample NAME
     list (expanded-tree leaves)."""
@@ -257,6 +258,18 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
             carriers = set(node_of_row[np.nonzero(hit)[0]].tolist())
             got.extend(leaves_under(carriers))
         picked.append(got)
+    if max_epps > 0:
+        # extract -e: EPP count per leaf via the batched placement engine
+        # (select order = BFS leaves, get_samples_under_max_epps)
+        bfs_leaves = _bfs_leaf_names(names, children, parent, root)
+        epps = find_epps(ma, bfs_leaves, want_neighborhood=False)
+        picked.append([nm for nm in bfs_leaves
+                       if epps[nm][0] <= max_epps])
+    if max_parsimony >= 0:
+        # terminal branch length <= max (select.cpp:113-127)
+        nmut_l = lists[1]
+        picked.append([names[x] for x in pre
+                       if not children[x] and nmut_l[x] <= max_parsimony])
     if not picked:
         out = [names[x] for x in pre if not children[x]]
     else:
@@ -264,7 +277,46 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
         for other in picked[1:]:
             o = set(other)
             out = [s for s in out if s in o]
-    return list(dict.fromkeys(out))
+    out = list(dict.fromkeys(out))
+    # post-filters (select_samples tail, extract.cpp:429-450 region)
+    if max_branch_length >= 0 or max_path_length >= 0:
+        nmut_l = lists[1]
+        leaf_idx = {names[x]: x for x in pre if not children[x]}
+        kept = []
+        for nm in out:
+            x = leaf_idx.get(nm)
+            if x is None:
+                continue
+            ok = True
+            total = 0
+            mx = 0
+            while True:
+                total += nmut_l[x]
+                mx = max(mx, nmut_l[x])
+                if x == parent[x]:
+                    break
+                x = parent[x]
+            if max_branch_length >= 0 and mx > max_branch_length:
+                ok = False
+            if max_path_length >= 0 and total > max_path_length:
+                ok = False
+            if ok:
+                kept.append(nm)
+        out = kept
+    return out
+
+
+def _bfs_leaf_names(names, children, parent, root):
+    from collections import deque
+    out = []
+    dq = deque([root])
+    while dq:
+        x = dq.popleft()
+        if children[x]:
+            dq.extend(children[x])
+        else:
+            out.append(names[x])
+    return out
 
 
 def extract_subtree(ma, samples, lists=None):
