@@ -763,3 +763,28 @@ def test_extract_pb_direct_filters_byte_identical(mat_pb, tmp_path):
             x = open(os.path.join(d1, fn)).read()
             y = open(os.path.join(d2, fn)).read()
             assert x == y, (fn, flags)
+
+
+def test_extract_pb_direct_match_descendents_mrca(mat_pb, tmp_path):
+    """-H regex, -I internal-descendants, and -U from-MRCA selection
+    parity over arrays."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    internal = [n.identifier for n in T.depth_first_expansion()
+                if not n.is_leaf() and len(n.children) > 1][2]
+    leaves = T.get_leaves_ids()
+    sf = tmp_path / "n.txt"
+    sf.write_text("".join(s + "\n" for s in leaves[4:8]))
+    for flags in (["-H", "Wuhan"], ["-I", internal],
+                  ["-s", str(sf), "-U"]):
+        tag = "".join(flags)[:12].replace("/", "_")
+        d1 = str(tmp_path / ("t" + tag))
+        d2 = str(tmp_path / ("a" + tag))
+        w = ["-u", "used.txt", "-t", "t.nh"]
+        assert mu_main(["extract", "-i", mat_pb, "-d", d1] + flags + w) == 0
+        assert mu_main(["extract", "-i", mat_pb, "-d", d2,
+                        "--pb-direct"] + flags + w) == 0
+        for fn in ("used.txt", "t.nh"):
+            x = open(os.path.join(d1, fn)).read()
+            y = open(os.path.join(d2, fn)).read()
+            assert x == y, (fn, flags)

@@ -92,10 +92,8 @@ def cmd_extract(argv) -> int:
     a = p.parse_args(argv)
     if a.pb_direct:
         unsupported = [f for f, v in [
-            ("-H", a.match),
             ("--max-mutation-density", a.max_mutation_density > 0),
             ("-k", a.nearest_k), ("-z", a.set_size),
-            ("-I", a.get_internal_descendents), ("-U", a.from_mrca),
             ("-p", a.prune), ("-y", a.reroot),
             ("-W", a.add_random), ("-Y", a.select_nearest),
             ("-X/-x", a.usher_single_subtree_size
@@ -108,9 +106,10 @@ def cmd_extract(argv) -> int:
             return 1
         if not (a.samples_file or a.clade or a.mutation or a.max_epps
                 or a.max_parsimony >= 0 or a.max_branch_length >= 0
-                or a.max_path_length >= 0):
+                or a.max_path_length >= 0 or a.match
+                or a.get_internal_descendents):
             _err("ERROR: --pb-direct extract needs a selection "
-                 "(-s/-c/-m/-e/-a/-b/-P); without one the induced "
+                 "(-s/-c/-m/-e/-a/-b/-P/-H/-I); without one the induced "
                  "subtree is the whole MAT — use the tree path")
             return 1
         from ..io.pb_arrays import load_mat_arrays
@@ -122,7 +121,10 @@ def cmd_extract(argv) -> int:
             mutation=a.mutation, max_epps=a.max_epps,
             max_parsimony=a.max_parsimony,
             max_branch_length=a.max_branch_length,
-            max_path_length=a.max_path_length)
+            max_path_length=a.max_path_length,
+            match=a.match,
+            internal_descendents=a.get_internal_descendents,
+            from_mrca=a.from_mrca)
         if not samples:
             _err("ERROR: No samples fulfill selected criteria. Change "
                  "arguments and try again")
@@ -142,6 +144,8 @@ def cmd_extract(argv) -> int:
         # inflate terminal branch lengths) and hand the small tree to
         # the standard writer pipeline
         a.samples_file = a.clade = a.mutation = ""
+        a.match = a.get_internal_descendents = ""
+        a.from_mrca = False
         a.max_epps = 0
         a.max_parsimony = a.max_branch_length = a.max_path_length = -1
     else:

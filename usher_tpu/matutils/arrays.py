@@ -192,7 +192,9 @@ def _dfs_arrays(children, root, n):
 
 def select_sample_indices(ma, lists, samples_file="", clade="",
                           mutation="", max_epps=0, max_parsimony=-1,
-                          max_branch_length=-1, max_path_length=-1):
+                          max_branch_length=-1, max_path_length=-1,
+                          match="", internal_descendents="",
+                          from_mrca=False):
     """Array-native -s/-c/-m selection (select.cpp:8-111 semantics);
     multiple criteria intersect like the Tree path.  Returns sample NAME
     list (expanded-tree leaves)."""
@@ -258,6 +260,14 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
             carriers = set(node_of_row[np.nonzero(hit)[0]].tolist())
             got.extend(leaves_under(carriers))
         picked.append(got)
+    if match:
+        # leaves whose identifier matches the regex (select.cpp:506-520;
+        # BFS leaf order like the Tree path)
+        import re
+        rx = re.compile(match)
+        picked.append([nm for nm in _bfs_leaf_names(names, children,
+                                                    parent, root)
+                       if rx.search(nm)])
     if max_epps > 0:
         # extract -e: EPP count per leaf via the batched placement engine
         # (select order = BFS leaves, get_samples_under_max_epps)
@@ -270,6 +280,18 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
         nmut_l = lists[1]
         picked.append([names[x] for x in pre
                        if not children[x] and nmut_l[x] <= max_parsimony])
+    if internal_descendents:
+        # leaves under a named internal node (extract -I)
+        idx_any = {nm: i for i, nm in enumerate(names)}
+        i = idx_any.get(internal_descendents)
+        if i is None:
+            print(f"ERROR: node {internal_descendents} not found in tree",
+                  file=sys.stderr)
+            picked.append([])
+        else:
+            lo, hi = dfs[i], dfs[i] + size[i]
+            picked.append([names[y] for y in pre[lo:hi]
+                           if not children[y]])
     if not picked:
         out = [names[x] for x in pre if not children[x]]
     else:
@@ -278,6 +300,20 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
             o = set(other)
             out = [s for s in out if s in o]
     out = list(dict.fromkeys(out))
+    if from_mrca and out:
+        # all leaves under the selection's MRCA (select.cpp:570-596)
+        leaf_idx = {names[x]: x for x in pre if not children[x]}
+        cur = leaf_idx[out[0]]
+        for nm in out[1:]:
+            a, b = cur, leaf_idx.get(nm)
+            if b is None:
+                continue
+            # LCA by dfs-interval walk (level via parent chains)
+            while not (dfs[a] <= dfs[b] < dfs[a] + size[a]):
+                a = parent[a]
+            cur = a
+        lo, hi = dfs[cur], dfs[cur] + size[cur]
+        out = [names[y] for y in pre[lo:hi] if not children[y]]
     # post-filters (select_samples tail, extract.cpp:429-450 region)
     if max_branch_length >= 0 or max_path_length >= 0:
         nmut_l = lists[1]
