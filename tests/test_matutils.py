@@ -788,3 +788,24 @@ def test_extract_pb_direct_match_descendents_mrca(mat_pb, tmp_path):
             x = open(os.path.join(d1, fn)).read()
             y = open(os.path.join(d2, fn)).read()
             assert x == y, (fn, flags)
+
+
+def test_extract_pb_direct_density_filter(mat_pb, tmp_path):
+    """--max-mutation-density parity over arrays (applied after the
+    branch/path filters and before -U, like select_samples)."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    for flags in (["-H", "Wuhan", "--max-mutation-density", "1.5"],
+                  ["-a", "2", "--max-mutation-density", "2.5", "-U"]):
+        tag = str(len(flags))
+        d1 = str(tmp_path / ("t" + tag))
+        d2 = str(tmp_path / ("a" + tag))
+        w = ["-u", "used.txt", "-t", "t.nh"]
+        r1 = mu_main(["extract", "-i", mat_pb, "-d", d1] + flags + w)
+        r2 = mu_main(["extract", "-i", mat_pb, "-d", d2,
+                      "--pb-direct"] + flags + w)
+        assert r1 == r2, flags
+        if r1 != 0:
+            continue
+        for fn in ("used.txt", "t.nh"):
+            assert open(os.path.join(d1, fn)).read() == \
+                open(os.path.join(d2, fn)).read(), (fn, flags)

@@ -92,7 +92,6 @@ def cmd_extract(argv) -> int:
     a = p.parse_args(argv)
     if a.pb_direct:
         unsupported = [f for f, v in [
-            ("--max-mutation-density", a.max_mutation_density > 0),
             ("-k", a.nearest_k), ("-z", a.set_size),
             ("-p", a.prune), ("-y", a.reroot),
             ("-W", a.add_random), ("-Y", a.select_nearest),
@@ -124,7 +123,8 @@ def cmd_extract(argv) -> int:
             max_path_length=a.max_path_length,
             match=a.match,
             internal_descendents=a.get_internal_descendents,
-            from_mrca=a.from_mrca)
+            from_mrca=a.from_mrca,
+            max_mutation_density=a.max_mutation_density)
         if not samples:
             _err("ERROR: No samples fulfill selected criteria. Change "
                  "arguments and try again")
@@ -148,6 +148,7 @@ def cmd_extract(argv) -> int:
         a.from_mrca = False
         a.max_epps = 0
         a.max_parsimony = a.max_branch_length = a.max_path_length = -1
+        a.max_mutation_density = 0.0
     else:
         T = _load(a.input_mat)
     opts = ExtractOptions(

@@ -194,7 +194,7 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
                           mutation="", max_epps=0, max_parsimony=-1,
                           max_branch_length=-1, max_path_length=-1,
                           match="", internal_descendents="",
-                          from_mrca=False):
+                          from_mrca=False, max_mutation_density=0.0):
     """Array-native -s/-c/-m selection (select.cpp:8-111 semantics);
     multiple criteria intersect like the Tree path.  Returns sample NAME
     list (expanded-tree leaves)."""
@@ -300,20 +300,6 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
             o = set(other)
             out = [s for s in out if s in o]
     out = list(dict.fromkeys(out))
-    if from_mrca and out:
-        # all leaves under the selection's MRCA (select.cpp:570-596)
-        leaf_idx = {names[x]: x for x in pre if not children[x]}
-        cur = leaf_idx[out[0]]
-        for nm in out[1:]:
-            a, b = cur, leaf_idx.get(nm)
-            if b is None:
-                continue
-            # LCA by dfs-interval walk (level via parent chains)
-            while not (dfs[a] <= dfs[b] < dfs[a] + size[a]):
-                a = parent[a]
-            cur = a
-        lo, hi = dfs[cur], dfs[cur] + size[cur]
-        out = [names[y] for y in pre[lo:hi] if not children[y]]
     # post-filters (select_samples tail, extract.cpp:429-450 region)
     if max_branch_length >= 0 or max_path_length >= 0:
         nmut_l = lists[1]
@@ -339,6 +325,43 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
             if ok:
                 kept.append(nm)
         out = kept
+    if max_mutation_density > 0 and out:
+        # drop samples under internal nodes whose mean descendant mutation
+        # count exceeds the bound (filter_mut_density, select.cpp:337-466)
+        nmut_l = lists[1]
+        n = len(names)
+        tot = [int(v) for v in nmut_l]
+        cnt = [0 if children[x] else 1 for x in range(n)]
+        for x in reversed(pre):
+            p = parent[x]
+            if p != x:
+                tot[p] += tot[x]
+                cnt[p] += cnt[x]
+        dropped = np.zeros(n, bool)
+        for x in pre:
+            if children[x] and cnt[x] > 0 \
+                    and tot[x] / cnt[x] > max_mutation_density:
+                lo, hi = dfs[x], dfs[x] + size[x]
+                for y in pre[lo:hi]:
+                    if not children[y]:
+                        dropped[y] = True
+        leaf_idx = {names[x]: x for x in pre if not children[x]}
+        out = [nm for nm in out
+               if not dropped[leaf_idx.get(nm, 0)]]
+    if from_mrca and out:
+        # all leaves under the selection's MRCA (select.cpp:570-596)
+        leaf_idx = {names[x]: x for x in pre if not children[x]}
+        cur = leaf_idx[out[0]]
+        for nm in out[1:]:
+            a, b = cur, leaf_idx.get(nm)
+            if b is None:
+                continue
+            # LCA by dfs-interval walk (level via parent chains)
+            while not (dfs[a] <= dfs[b] < dfs[a] + size[a]):
+                a = parent[a]
+            cur = a
+        lo, hi = dfs[cur], dfs[cur] + size[cur]
+        out = [names[y] for y in pre[lo:hi] if not children[y]]
     return out
 
 
