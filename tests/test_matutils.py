@@ -809,3 +809,47 @@ def test_extract_pb_direct_density_filter(mat_pb, tmp_path):
         for fn in ("used.txt", "t.nh"):
             assert open(os.path.join(d1, fn)).read() == \
                 open(os.path.join(d2, fn)).read(), (fn, flags)
+
+
+def test_extract_pb_direct_nearest_and_random(mat_pb, tmp_path):
+    """-k nearest and -z/-W/-Z random fill parity over arrays (the random
+    pool is BFS leaf order, so draws match the Tree path seed-for-seed)."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaf = T.get_leaves_ids()[10]
+    sf = tmp_path / "n.txt"
+    sf.write_text("".join(s + "\n" for s in T.get_leaves_ids()[4:8]))
+    for flags in ([f"-k", f"{leaf}:5"],
+                  ["-s", str(sf), "-z", "12"],
+                  ["-s", str(sf), "-W", "6", "-Z"],
+                  [f"-k", f"{leaf}:4", "-z", "2"]):
+        tag = "".join(flags)[-10:].replace("/", "_").replace(":", "_")
+        d1 = str(tmp_path / ("t" + tag))
+        d2 = str(tmp_path / ("a" + tag))
+        w = ["-u", "used.txt", "-t", "t.nh"]
+        assert mu_main(["extract", "-i", mat_pb, "-d", d1] + flags + w) \
+            == 0, flags
+        assert mu_main(["extract", "-i", mat_pb, "-d", d2,
+                        "--pb-direct"] + flags + w) == 0, flags
+        for fn in ("used.txt", "t.nh"):
+            assert open(os.path.join(d1, fn)).read() == \
+                open(os.path.join(d2, fn)).read(), (fn, flags)
+
+
+def test_extract_pb_direct_select_nearest(mat_pb, tmp_path):
+    """-Y (nearest expansion per selected sample) parity over arrays."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    sf = tmp_path / "n.txt"
+    sf.write_text("".join(s + "\n" for s in T.get_leaves_ids()[6:9]))
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    w = ["-u", "used.txt", "-t", "t.nh"]
+    flags = ["-s", str(sf), "-Y", "3"]
+    assert mu_main(["extract", "-i", mat_pb, "-d", d1] + flags + w) == 0
+    assert mu_main(["extract", "-i", mat_pb, "-d", d2,
+                    "--pb-direct"] + flags + w) == 0
+    for fn in ("used.txt", "t.nh"):
+        assert open(os.path.join(d1, fn)).read() == \
+            open(os.path.join(d2, fn)).read(), fn

@@ -92,9 +92,7 @@ def cmd_extract(argv) -> int:
     a = p.parse_args(argv)
     if a.pb_direct:
         unsupported = [f for f, v in [
-            ("-k", a.nearest_k), ("-z", a.set_size),
             ("-p", a.prune), ("-y", a.reroot),
-            ("-W", a.add_random), ("-Y", a.select_nearest),
             ("-X/-x", a.usher_single_subtree_size
              or a.usher_minimum_subtrees_size),
             ("-N", a.minimum_subtrees_size),
@@ -106,7 +104,7 @@ def cmd_extract(argv) -> int:
         if not (a.samples_file or a.clade or a.mutation or a.max_epps
                 or a.max_parsimony >= 0 or a.max_branch_length >= 0
                 or a.max_path_length >= 0 or a.match
-                or a.get_internal_descendents):
+                or a.get_internal_descendents or a.nearest_k):
             _err("ERROR: --pb-direct extract needs a selection "
                  "(-s/-c/-m/-e/-a/-b/-P/-H/-I); without one the induced "
                  "subtree is the whole MAT — use the tree path")
@@ -124,7 +122,10 @@ def cmd_extract(argv) -> int:
             match=a.match,
             internal_descendents=a.get_internal_descendents,
             from_mrca=a.from_mrca,
-            max_mutation_density=a.max_mutation_density)
+            max_mutation_density=a.max_mutation_density,
+            nearest_k=a.nearest_k, set_size=a.set_size,
+            add_random=a.add_random, limit_to_lca=a.limit_to_lca,
+            select_nearest=a.select_nearest)
         if not samples:
             _err("ERROR: No samples fulfill selected criteria. Change "
                  "arguments and try again")
@@ -149,6 +150,9 @@ def cmd_extract(argv) -> int:
         a.max_epps = 0
         a.max_parsimony = a.max_branch_length = a.max_path_length = -1
         a.max_mutation_density = 0.0
+        a.nearest_k = ""
+        a.set_size = a.add_random = a.select_nearest = 0
+        a.limit_to_lca = a.from_mrca = False
     else:
         T = _load(a.input_mat)
     opts = ExtractOptions(

@@ -194,7 +194,9 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
                           mutation="", max_epps=0, max_parsimony=-1,
                           max_branch_length=-1, max_path_length=-1,
                           match="", internal_descendents="",
-                          from_mrca=False, max_mutation_density=0.0):
+                          from_mrca=False, max_mutation_density=0.0,
+                          nearest_k="", set_size=0, add_random=0,
+                          limit_to_lca=False, seed=0, select_nearest=0):
     """Array-native -s/-c/-m selection (select.cpp:8-111 semantics);
     multiple criteria intersect like the Tree path.  Returns sample NAME
     list (expanded-tree leaves)."""
@@ -280,6 +282,9 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
         nmut_l = lists[1]
         picked.append([names[x] for x in pre
                        if not children[x] and nmut_l[x] <= max_parsimony])
+    if nearest_k:
+        sample_id, _, k = nearest_k.rpartition(":")
+        picked.append(_nearby_names(lists, sample_id, int(k)))
     if internal_descendents:
         # leaves under a named internal node (extract -I)
         idx_any = {nm: i for i, nm in enumerate(names)}
@@ -362,6 +367,106 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
             cur = a
         lo, hi = dfs[cur], dfs[cur] + size[cur]
         out = [names[y] for y in pre[lo:hi] if not children[y]]
+    if select_nearest > 0:
+        # -Y: add the y nearest samples to each selected sample
+        # (extract.cpp:429-441)
+        extra = []
+        have = set(out)
+        for nm in out:
+            for nb in _nearby_names(lists, nm, select_nearest):
+                if nb not in have:
+                    have.add(nb)
+                    extra.append(nb)
+        out = out + extra
+    if set_size > 0 or add_random > 0:
+        target = set_size if set_size > 0 else add_random + len(out)
+        out = _fill_random(lists, dfs, size, pre, out, target,
+                           limit_to_lca, seed)
+    return out
+
+
+def _nearby_names(lists, sample_id: str, k: int):
+    """The sample plus its k nearest leaves by mutation path distance
+    (select.get_nearby / select.cpp:206-276) over index lists."""
+    names, nmut, _mo, parent, children, root = lists
+    leaf_idx = {names[x]: x for x in range(len(names)) if not children[x]}
+    node = leaf_idx.get(sample_id)
+    if node is None:
+        print(f"ERROR: sample {sample_id} not found in tree",
+              file=sys.stderr)
+        return []
+    dists = {sample_id: 0}
+
+    def descend(start, base):
+        stack = [(start, base + nmut[start])]
+        while stack:
+            cur, d = stack.pop()
+            if not children[cur]:
+                prev = dists.get(names[cur])
+                if prev is None or d < prev:
+                    dists[names[cur]] = d
+            for ch in children[cur]:
+                stack.append((ch, d + nmut[ch]))
+
+    prev = node
+    up = nmut[node]
+    cur = parent[node]
+    while True:
+        for ch in children[cur]:
+            if ch != prev:
+                descend(ch, up)
+        if cur == parent[cur]:
+            break
+        prev = cur
+        up += nmut[cur]
+        cur = parent[cur]
+    ranked = sorted((d, nm) for nm, d in dists.items() if nm != sample_id)
+    return [sample_id] + [nm for _, nm in ranked[:k]]
+
+
+def _fill_random(lists, dfs, size, pre, samples, target_size,
+                 lca_limit, seed):
+    """select.fill_random_samples over index lists — the random pool is
+    BFS leaf order (Tree.get_leaves_ids), so draws match the Tree path
+    seed-for-seed."""
+    names, _nm, _mo, parent, children, root = lists
+    rng = np.random.default_rng(seed)
+    current = list(dict.fromkeys(samples))
+    if len(current) > target_size:
+        idx = rng.choice(len(current), size=target_size, replace=False)
+        return [current[i] for i in sorted(idx)]
+    if lca_limit and current:
+        leaf_idx = {names[x]: x for x in pre if not children[x]}
+        cur = leaf_idx[current[0]]
+        for nm in current[1:]:
+            b = leaf_idx.get(nm)
+            if b is None:
+                continue
+            while not (dfs[cur] <= dfs[b] < dfs[cur] + size[cur]):
+                cur = parent[cur]
+        pool_source = _bfs_leaf_names_under(names, children, cur)
+    else:
+        pool_source = _bfs_leaf_names(names, children, parent, root)
+    pool = [s for s in pool_source if s not in set(current)]
+    need = target_size - len(current)
+    if need >= len(pool):
+        current.extend(pool)
+    elif need > 0:
+        idx = rng.choice(len(pool), size=need, replace=False)
+        current.extend(pool[i] for i in sorted(idx))
+    return current
+
+
+def _bfs_leaf_names_under(names, children, start):
+    from collections import deque
+    out = []
+    dq = deque([start])
+    while dq:
+        x = dq.popleft()
+        if children[x]:
+            dq.extend(children[x])
+        else:
+            out.append(names[x])
     return out
 
 
