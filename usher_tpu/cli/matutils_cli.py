@@ -85,10 +85,12 @@ def cmd_extract(argv) -> int:
     p.add_argument("--x-scale", "-G", type=float, default=0.2)
     p.add_argument("--include-nt", "-J", action="store_true")
     p.add_argument("--pb-direct", action="store_true",
-                   help="select (-s/-c/-m) and build the induced subtree "
-                        "straight off the flat arrays — the full host "
-                        "tree is never materialized (pandemic-scale "
-                        "MATs); all writers then run on the subtree")
+                   help="select (-s/-c/-m/-e/-a/-b/-P/-H/-I/-U/-k/-Y/"
+                        "-z/-W/-Z/--max-mutation-density) and build the "
+                        "induced subtree straight off the flat arrays — "
+                        "the full host tree is never materialized "
+                        "(pandemic-scale MATs); all writers then run on "
+                        "the subtree.  Tree path only: -p/-y/-X/-x/-N")
     a = p.parse_args(argv)
     if a.pb_direct:
         unsupported = [f for f, v in [
