@@ -178,9 +178,6 @@ def test_direct_matches_tree_driver_randomized(tmp_path, seed):
     """--pb-direct must byte-match the Tree-backed --bigmat driver on
     randomized adversarial workloads, not just the smoke fixture: same
     pb, same VCF, byte-identical stats/newick/paths."""
-    import subprocess
-    import sys as _sys
-
     rng = np.random.default_rng(seed)
     ma, state, is_leaf = consistent_mat(rng, N=250, P=120)
     pb = tmp_path / "t.pb"

@@ -853,3 +853,36 @@ def test_extract_pb_direct_select_nearest(mat_pb, tmp_path):
     for fn in ("used.txt", "t.nh"):
         assert open(os.path.join(d1, fn)).read() == \
             open(os.path.join(d2, fn)).read(), fn
+
+
+def test_extract_pb_direct_zshrink_order_parity(mat_pb, tmp_path):
+    """-z SHRINK composed with every selection source must match the
+    Tree path seed-for-seed — the rng indexes into the selection list,
+    so leaf enumeration ORDER (BFS, per-carrier vs global) is part of
+    the contract (review-confirmed regression)."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    internal = [n.identifier for n in T.depth_first_expansion()
+                if not n.is_leaf() and len(n.children) > 1][2]
+    m = None
+    for node in T.depth_first_expansion():
+        if node.mutations:
+            m = node.mutations[0].get_string()
+            break
+    sf = tmp_path / "n.txt"
+    sf.write_text("".join(s + "\n" for s in T.get_leaves_ids()[4:8]))
+    cases = (["-a", "2", "-z", "3"], ["-I", internal, "-z", "3"],
+             ["-s", str(sf), "-U", "-z", "3"], ["-m", m, "-z", "3"],
+             ["-z", "5"], ["-W", "4", "-s", str(sf)])
+    for k, flags in enumerate(cases):
+        d1 = str(tmp_path / f"t{k}")
+        d2 = str(tmp_path / f"a{k}")
+        w = ["-u", "used.txt", "-t", "t.nh"]
+        assert mu_main(["extract", "-i", mat_pb, "-d", d1] + flags + w) \
+            == 0, flags
+        assert mu_main(["extract", "-i", mat_pb, "-d", d2,
+                        "--pb-direct"] + flags + w) == 0, flags
+        for fn in ("used.txt", "t.nh"):
+            assert open(os.path.join(d1, fn)).read() == \
+                open(os.path.join(d2, fn)).read(), (fn, flags)

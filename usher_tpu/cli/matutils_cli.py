@@ -106,10 +106,11 @@ def cmd_extract(argv) -> int:
         if not (a.samples_file or a.clade or a.mutation or a.max_epps
                 or a.max_parsimony >= 0 or a.max_branch_length >= 0
                 or a.max_path_length >= 0 or a.match
-                or a.get_internal_descendents or a.nearest_k):
+                or a.get_internal_descendents or a.nearest_k
+                or a.set_size or a.add_random):
             _err("ERROR: --pb-direct extract needs a selection "
-                 "(-s/-c/-m/-e/-a/-b/-P/-H/-I); without one the induced "
-                 "subtree is the whole MAT — use the tree path")
+                 "(-s/-c/-m/-e/-a/-b/-P/-H/-I/-k/-z/-W); without one the "
+                 "induced subtree is the whole MAT — use the tree path")
             return 1
         from ..io.pb_arrays import load_mat_arrays
         from ..matutils import arrays as marr
@@ -147,12 +148,10 @@ def cmd_extract(argv) -> int:
         # inflate terminal branch lengths) and hand the small tree to
         # the standard writer pipeline
         a.samples_file = a.clade = a.mutation = ""
-        a.match = a.get_internal_descendents = ""
-        a.from_mrca = False
+        a.match = a.get_internal_descendents = a.nearest_k = ""
         a.max_epps = 0
         a.max_parsimony = a.max_branch_length = a.max_path_length = -1
         a.max_mutation_density = 0.0
-        a.nearest_k = ""
         a.set_size = a.add_random = a.select_nearest = 0
         a.limit_to_lca = a.from_mrca = False
     else:

@@ -217,13 +217,26 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
         picked.append(present)
 
     def leaves_under(carriers):
+        # per-carrier BFS leaf order (T.get_leaves(node), select.cpp:38-65)
         got: list[str] = []
         for x in pre:
             if x in carriers:
-                lo, hi = dfs[x], dfs[x] + size[x]
-                got.extend(names[y] for y in pre[lo:hi]
-                           if not children[y])
+                got.extend(_bfs_leaf_names_under(names, children, x))
         return got
+
+    def global_bfs_filtered(carriers):
+        # global BFS leaf order filtered to carrier subtrees (the order of
+        # get_mutation_samples / get_parsimony_samples, which loop
+        # T.get_leaves())
+        inside = np.zeros(n, bool)
+        for x in carriers:
+            lo, hi = dfs[x], dfs[x] + size[x]
+            for y in pre[lo:hi]:
+                inside[y] = True
+        return [nm for nm, y in zip(
+            _bfs_leaf_names(names, children, parent, root),
+            _bfs_leaf_idx(children, parent, root, n))
+            if inside[y]]
 
     if clade:
         from ..io.pb_arrays import ann_lists
@@ -260,7 +273,7 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
                     hit = ((ma.mut_par == par) & (ma.mut_mut == mut)
                            & (ma.positions[ma.mut_col] == posn))
             carriers = set(node_of_row[np.nonzero(hit)[0]].tolist())
-            got.extend(leaves_under(carriers))
+            got.extend(global_bfs_filtered(carriers))
         picked.append(got)
     if match:
         # leaves whose identifier matches the regex (select.cpp:506-520;
@@ -274,14 +287,16 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
         # extract -e: EPP count per leaf via the batched placement engine
         # (select order = BFS leaves, get_samples_under_max_epps)
         bfs_leaves = _bfs_leaf_names(names, children, parent, root)
-        epps = find_epps(ma, bfs_leaves, want_neighborhood=False)
+        epps = find_epps(ma, bfs_leaves, want_neighborhood=False,
+                         want_placements=False, lists=lists)
         picked.append([nm for nm in bfs_leaves
                        if epps[nm][0] <= max_epps])
     if max_parsimony >= 0:
-        # terminal branch length <= max (select.cpp:113-127)
+        # terminal branch length <= max, BFS leaf order (select.cpp:113-127)
         nmut_l = lists[1]
-        picked.append([names[x] for x in pre
-                       if not children[x] and nmut_l[x] <= max_parsimony])
+        picked.append([names[y] for y in _bfs_leaf_idx(children, parent,
+                                                       root, n)
+                       if nmut_l[y] <= max_parsimony])
     if nearest_k:
         sample_id, _, k = nearest_k.rpartition(":")
         picked.append(_nearby_names(lists, sample_id, int(k)))
@@ -294,11 +309,9 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
                   file=sys.stderr)
             picked.append([])
         else:
-            lo, hi = dfs[i], dfs[i] + size[i]
-            picked.append([names[y] for y in pre[lo:hi]
-                           if not children[y]])
+            picked.append(_bfs_leaf_names_under(names, children, i))
     if not picked:
-        out = [names[x] for x in pre if not children[x]]
+        out = _bfs_leaf_names(names, children, parent, root)
     else:
         out = picked[0]
         for other in picked[1:]:
@@ -365,8 +378,7 @@ def select_sample_indices(ma, lists, samples_file="", clade="",
             while not (dfs[a] <= dfs[b] < dfs[a] + size[a]):
                 a = parent[a]
             cur = a
-        lo, hi = dfs[cur], dfs[cur] + size[cur]
-        out = [names[y] for y in pre[lo:hi] if not children[y]]
+        out = _bfs_leaf_names_under(names, children, cur)
     if select_nearest > 0:
         # -Y: add the y nearest samples to each selected sample
         # (extract.cpp:429-441)
@@ -447,7 +459,8 @@ def _fill_random(lists, dfs, size, pre, samples, target_size,
         pool_source = _bfs_leaf_names_under(names, children, cur)
     else:
         pool_source = _bfs_leaf_names(names, children, parent, root)
-    pool = [s for s in pool_source if s not in set(current)]
+    have = set(current)
+    pool = [s for s in pool_source if s not in have]
     need = target_size - len(current)
     if need >= len(pool):
         current.extend(pool)
@@ -455,6 +468,19 @@ def _fill_random(lists, dfs, size, pre, samples, target_size,
         idx = rng.choice(len(pool), size=need, replace=False)
         current.extend(pool[i] for i in sorted(idx))
     return current
+
+
+def _bfs_leaf_idx(children, parent, root, n):
+    from collections import deque
+    out = []
+    dq = deque([root])
+    while dq:
+        x = dq.popleft()
+        if children[x]:
+            dq.extend(children[x])
+        else:
+            out.append(x)
+    return out
 
 
 def _bfs_leaf_names_under(names, children, start):
@@ -471,16 +497,7 @@ def _bfs_leaf_names_under(names, children, start):
 
 
 def _bfs_leaf_names(names, children, parent, root):
-    from collections import deque
-    out = []
-    dq = deque([root])
-    while dq:
-        x = dq.popleft()
-        if children[x]:
-            dq.extend(children[x])
-        else:
-            out.append(names[x])
-    return out
+    return _bfs_leaf_names_under(names, children, root)
 
 
 def extract_subtree(ma, samples, lists=None):
@@ -776,7 +793,8 @@ def _host_tie_slots(big, pos, gval, kmiss, excl_slot):
 
 
 def find_epps(ma, sample_names, batch_size: int = 256,
-              want_neighborhood: bool = True):
+              want_neighborhood: bool = True,
+              want_placements: bool = True, lists=None):
     """Array-native uncertainty.find_epps: {sample: (num_best,
     neighborhood_size, [placement slots])} with self-mapping excluded.
 
@@ -784,7 +802,8 @@ def find_epps(ma, sample_names, batch_size: int = 256,
     a valid 0-score tie for its own genotype, so the excluded result is
     the device's winner-row-masked RUNNER-UP when the snapshot winner is
     the sample itself, and (best, winner, num_best - 1) otherwise."""
-    lists = _children_lists(ma)
+    if lists is None:
+        lists = _children_lists(ma)
     names = lists[0]
     big = _expanded_bigmat(ma, lists)
     parent = big.parent.astype(np.int64)
@@ -813,11 +832,13 @@ def find_epps(ma, sample_names, batch_size: int = 256,
                 best, win, n_best = int(bs2[i]), int(slot2[i]), int(nb2[i])
             else:
                 best, win, n_best = int(bs[i]), int(slot[i]), int(nb[i]) - 1
-            if n_best > 1:
+            if n_best > 1 and (want_neighborhood or want_placements):
                 p1, g1, k1 = big.sparsify([muts[i]])
                 ties = _host_tie_slots(big, p1, g1, k1, self_slot)
                 nsize = (_neighborhood_size(big, parent, ties)
                          if want_neighborhood else 0)
+            elif n_best > 1:
+                ties, nsize = [], 0
             else:
                 ties = [int(parent[self_slot])]
                 nsize = 0
@@ -874,8 +895,9 @@ def uncertainty_main(ma, sample_file: str, epps_out: str = "",
     """Array-native uncertainty subcommand (uncertainty.cpp:259-340)."""
     from .select import read_sample_names
     samples = read_sample_names(sample_file)
-    names = _children_lists(ma)[0]
-    results = find_epps(ma, samples)
+    lists = _children_lists(ma)
+    names = lists[0]
+    results = find_epps(ma, samples, lists=lists)
     if epps_out:
         with open(epps_out, "w") as f:
             f.write("sample\tequally_parsimonious_placements\t"
