@@ -173,7 +173,7 @@ def test_batched_equals_sequential_multi_batch(tmp_path):
         assert a[f] == b[f]
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
 def test_direct_matches_tree_driver_randomized(tmp_path, seed):
     """--pb-direct must byte-match the Tree-backed --bigmat driver on
     randomized adversarial workloads, not just the smoke fixture: same
