@@ -886,3 +886,163 @@ def test_extract_pb_direct_zshrink_order_parity(mat_pb, tmp_path):
         for fn in ("used.txt", "t.nh"):
             assert open(os.path.join(d1, fn)).read() == \
                 open(os.path.join(d2, fn)).read(), (fn, flags)
+
+
+def _leaf_dist(T, a, b):
+    """Brute-force leaf-to-leaf mutation-path distance through the LCA."""
+    na, nb = T.get_node(a), T.get_node(b)
+    x, y = na, nb
+    while x.level > y.level:
+        x = x.parent
+    while y.level > x.level:
+        y = y.parent
+    while x is not y:
+        x = x.parent
+        y = y.parent
+    lca = x
+    d = 0
+    for n in (na, nb):
+        cur = n
+        while cur is not lca:
+            d += len(cur.mutations)
+            cur = cur.parent
+    return d
+
+
+def test_extract_closest_relatives(mat_pb, tmp_path):
+    """-V/-q rows match a brute-force all-pairs closest computation
+    (reference select.cpp:596-713 via extract.cpp:768-806)."""
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    sel = leaves[5:11]
+    sf = tmp_path / "sel.txt"
+    sf.write_text("".join(s + "\n" for s in sel))
+    rc = matutils_main(["extract", "-i", mat_pb, "-s", str(sf),
+                        "-d", str(tmp_path), "-V", "rel.tsv",
+                        "-u", "u.txt"])
+    assert rc == 0
+    rows = {}
+    for line in open(tmp_path / "rel.tsv").read().splitlines():
+        name, rels, dist = line.split("\t")
+        rows[name] = (set(rels.split(",")), int(dist))
+    for s in sel:
+        dists = [(_leaf_dist(T, s, o), o) for o in leaves if o != s]
+        dmin = min(d for d, _ in dists)
+        expect = {o for d, o in dists if d == dmin}
+        assert s in rows
+        got, gdist = rows[s]
+        assert gdist == dmin, s
+        assert got == expect, s
+
+    # -q: exactly one relative, the lexicographically smallest
+    rc = matutils_main(["extract", "-i", mat_pb, "-s", str(sf),
+                        "-d", str(tmp_path), "-V", "rel1.tsv", "-q",
+                        "-u", "u.txt"])
+    assert rc == 0
+    for line in open(tmp_path / "rel1.tsv").read().splitlines():
+        name, rels, dist = line.split("\t")
+        assert "," not in rels
+        assert rels == min(rows[name][0])
+
+
+def test_extract_within_distance(mat_pb, tmp_path):
+    """--within-distance returns exactly the leaves within the threshold."""
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    sel = leaves[20:24]
+    sf = tmp_path / "sel.txt"
+    sf.write_text("".join(s + "\n" for s in sel))
+    thresh = 6
+    rc = matutils_main(["extract", "-i", mat_pb, "-s", str(sf),
+                        "-d", str(tmp_path), "--within-distance", "wd.tsv",
+                        "--distance-threshold", str(thresh),
+                        "-u", "u.txt"])
+    assert rc == 0
+    rows = {}
+    for line in open(tmp_path / "wd.tsv").read().splitlines():
+        parts = line.split("\t")
+        rows[parts[0]] = (set(parts[1].split(","))
+                          if len(parts) > 1 and parts[1] else set())
+    for s in sel:
+        expect = {o for o in leaves
+                  if o != s and _leaf_dist(T, s, o) <= thresh}
+        assert rows[s] == expect, s
+
+
+def test_extract_whitelist_metadata_dump(mat_pb, tmp_path):
+    """-L forces retention; -Q dumps metadata rows for the final selection
+    with 'missing' for absent values; --load-all-metadata keeps unselected
+    rows available to the json writers."""
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    sel, wl = leaves[:3], leaves[10:12]
+    sf = tmp_path / "sel.txt"
+    sf.write_text("".join(s + "\n" for s in sel))
+    wf = tmp_path / "wl.txt"
+    wf.write_text("".join(s + "\n" for s in wl) + "no_such_sample\n")
+    meta = tmp_path / "meta.tsv"
+    meta.write_text("strain\tcountry\tlineage\n"
+                    f"{sel[0]}\tUK\tB.1\n"
+                    f"{wl[0]}\tUS\tB.2\n"
+                    f"{leaves[40]}\tDE\tB.3\n")
+    rc = matutils_main(["extract", "-i", mat_pb, "-s", str(sf),
+                        "-L", str(wf), "-d", str(tmp_path),
+                        "-M", str(meta), "-Q", "dump.tsv",
+                        "-u", "used.txt"])
+    assert rc == 0
+    used = set(open(tmp_path / "used.txt").read().split())
+    assert used == set(sel) | set(wl)
+    lines = open(tmp_path / "dump.tsv").read().splitlines()
+    assert lines[0] == "strain\tcountry\tlineage"
+    vals = {l.split("\t")[0]: l.split("\t")[1:] for l in lines[1:]}
+    assert set(vals) == set(sel) | set(wl)
+    assert vals[sel[0]] == ["UK", "B.1"]
+    assert vals[wl[0]] == ["US", "B.2"]
+    assert vals[sel[1]] == ["missing", "missing"]
+
+
+def test_extract_nearest_k_batch(mat_pb, tmp_path):
+    """-K file:k writes one context json per listed sample
+    (extract.cpp:731-767)."""
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    batch = leaves[30:33]
+    bf = tmp_path / "batch.txt"
+    bf.write_text("".join(s + "\n" for s in batch))
+    rc = matutils_main(["extract", "-i", mat_pb, "-d", str(tmp_path),
+                        "-K", f"{bf}:4", "-s", str(bf),
+                        "-u", "u.txt"])
+    assert rc == 0
+    for s in batch:
+        path = tmp_path / (s.replace("/", "_") + "_context.json")
+        assert path.exists(), s
+        data = json.loads(open(path).read())
+        assert data  # non-empty auspice json
+
+
+def test_merge_max_depth(mat_pb, tmp_path):
+    """-d bounds the merge search to the consistent anchor's subtree; all
+    samples still merge (at worst onto the anchor itself)."""
+    from usher_tpu.matutils.tree_filter import filter_master
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    keep1 = leaves[:-10]
+    keep2 = leaves[:50] + leaves[-10:]
+    T1 = filter_master(T, keep1, False, True)
+    T2 = filter_master(T, keep2, False, True)
+    pb1, pb2 = str(tmp_path / "t1.pb"), str(tmp_path / "t2.pb")
+    save_mat_pb(T1, pb1)
+    save_mat_pb(T2, pb2)
+    for d in (1, 3):
+        out = str(tmp_path / f"merged_{d}.pb")
+        rc = matutils_main(["merge", "-1", pb1, "-2", pb2, "-o", out,
+                            "-d", str(d)])
+        assert rc == 0
+        M = load_mat_pb(out)
+        M.uncondense_leaves()
+        assert set(M.get_leaves_ids()) == set(leaves)

@@ -77,6 +77,27 @@ def cmd_extract(argv) -> int:
                    help="Add exactly W random samples to the selection")
     p.add_argument("--select-nearest", "-Y", type=int, default=0,
                    help="Also select the Y nearest samples to each sample")
+    p.add_argument("--closest-relatives", "-V", default="",
+                   help="Write a tsv of the closest relative(s) in "
+                        "mutations of each selected sample")
+    p.add_argument("--break-ties", "-q", action="store_true",
+                   help="Only output one (lexicographically smallest) "
+                        "closest relative per sample (with -V)")
+    p.add_argument("--within-distance", default="",
+                   help="Write a tsv of the relatives within "
+                        "--distance-threshold mutations of each sample")
+    p.add_argument("--distance-threshold", type=int, default=0)
+    p.add_argument("--dump-metadata", "-Q", default="",
+                   help="Write all final stored metadata to a tsv")
+    p.add_argument("--whitelist", "-L", default="",
+                   help="Samples (one per line) always retained regardless "
+                        "of other selection parameters")
+    p.add_argument("--load-all-metadata", action="store_true",
+                   help="Load all input metadata from -M regardless of "
+                        "sample selection")
+    p.add_argument("--nearest-k-batch", "-K", default="",
+                   help="sample_file.txt:k — write a context json of each "
+                        "listed sample's k nearest neighbours")
     p.add_argument("--write-taxodium", "-l", default="")
     p.add_argument("--input-gtf", "-g", default="")
     p.add_argument("--input-fasta", "-f", default="")
@@ -98,6 +119,10 @@ def cmd_extract(argv) -> int:
             ("-X/-x", a.usher_single_subtree_size
              or a.usher_minimum_subtrees_size),
             ("-N", a.minimum_subtrees_size),
+            # relationship queries walk the FULL tree, which pb-direct
+            # never materializes
+            ("-V/--within-distance/-K", a.closest_relatives
+             or a.within_distance or a.nearest_k_batch),
         ] if v]
         if unsupported:
             _err(f"ERROR: --pb-direct extract does not support "
@@ -107,7 +132,7 @@ def cmd_extract(argv) -> int:
                 or a.max_parsimony >= 0 or a.max_branch_length >= 0
                 or a.max_path_length >= 0 or a.match
                 or a.get_internal_descendents or a.nearest_k
-                or a.set_size or a.add_random):
+                or a.set_size or a.add_random or a.whitelist):
             _err("ERROR: --pb-direct extract needs a selection "
                  "(-s/-c/-m/-e/-a/-b/-P/-H/-I/-k/-z/-W); without one the "
                  "induced subtree is the whole MAT — use the tree path")
@@ -129,6 +154,21 @@ def cmd_extract(argv) -> int:
             nearest_k=a.nearest_k, set_size=a.set_size,
             add_random=a.add_random, limit_to_lca=a.limit_to_lca,
             select_nearest=a.select_nearest)
+        if a.whitelist:
+            # -L joins after all other selection (extract.cpp:473-483)
+            names, _nm, _mo, _par, children, _root = lists
+            leaf_names = {names[i] for i, c in enumerate(children) if not c}
+            have = set(samples)
+            from ..matutils.select import read_sample_names
+            for w in read_sample_names(a.whitelist):
+                if w in have:
+                    continue
+                if w not in leaf_names:
+                    _err(f"WARNING: whitelisted sample {w} not found in "
+                         f"the tree; ignoring")
+                    continue
+                have.add(w)
+                samples.append(w)
         if not samples:
             _err("ERROR: No samples fulfill selected criteria. Change "
                  "arguments and try again")
@@ -147,7 +187,7 @@ def cmd_extract(argv) -> int:
         # them would act on the COMPRESSED subtree, whose merged edges
         # inflate terminal branch lengths) and hand the small tree to
         # the standard writer pipeline
-        a.samples_file = a.clade = a.mutation = ""
+        a.samples_file = a.clade = a.mutation = a.whitelist = ""
         a.match = a.get_internal_descendents = a.nearest_k = ""
         a.max_epps = 0
         a.max_parsimony = a.max_branch_length = a.max_path_length = -1
@@ -182,6 +222,12 @@ def cmd_extract(argv) -> int:
         usher_anchor_samples=a.usher_anchor_samples,
         add_random=a.add_random,
         select_nearest=a.select_nearest,
+        closest_relatives=a.closest_relatives, break_ties=a.break_ties,
+        within_distance=a.within_distance,
+        distance_threshold=a.distance_threshold,
+        dump_metadata=a.dump_metadata, whitelist=a.whitelist,
+        load_all_metadata=a.load_all_metadata,
+        nearest_k_batch=a.nearest_k_batch,
         write_taxodium=a.write_taxodium, input_gtf=a.input_gtf,
         input_fasta=a.input_fasta, description=a.description,
         extra_fields=a.extra_fields, x_scale=a.x_scale,
@@ -429,13 +475,23 @@ def cmd_merge(argv) -> int:
     p.add_argument("--input-mat-1", "-1", required=True, dest="mat1")
     p.add_argument("--input-mat-2", "-2", required=True, dest="mat2")
     p.add_argument("--output-mat", "-o", required=True)
+    p.add_argument("--max-depth", "-d", type=int, default=20,
+                   help="Max depth to consider in the subtree rooted at "
+                        "the consistent node (merge.cpp:16)")
+    p.add_argument("--threads", "-T", type=int, default=0,
+                   help="Accepted for CLI parity")
     a = p.parse_args(argv)
     T1 = _load(a.mat1)
     T2 = _load(a.mat2)
+    # the reference clears existing clade annotations on load
+    # (merge.cpp:142-153)
+    for T in (T1, T2):
+        for n in T.depth_first_expansion():
+            n.clade_annotations = []
     # the reference picks the larger tree as the base
     if len(T2.get_leaves_ids()) > len(T1.get_leaves_ids()):
         T1, T2 = T2, T1
-    merged = merge_mats(T1, T2)
+    merged = merge_mats(T1, T2, max_depth=a.max_depth)
     merged.condense_leaves()
     save_mat_pb(merged, a.output_mat)
     return 0

@@ -296,8 +296,13 @@ def load_mat_from_json(path: str) -> Tree:
     return T
 
 
-def read_metafile(path: str) -> dict[str, dict[str, str]]:
-    """Metadata tsv/csv keyed by first column (reference select.cpp:468-504)."""
+def read_metafile(path: str, samples_to_use=None,
+                  load_all: bool = False) -> dict[str, dict[str, str]]:
+    """Metadata tsv/csv keyed by first column (reference select.cpp:468-504).
+
+    samples_to_use: optional set restricting which rows are kept (the
+    reference default keeps only selected samples); load_all=True keeps
+    every row regardless (--load-all-metadata, extract.cpp:123-124)."""
     sep = "," if path.endswith(".csv") else "\t"
     out: dict[str, dict[str, str]] = {}
     with open(path) as f:
@@ -305,6 +310,9 @@ def read_metafile(path: str) -> dict[str, dict[str, str]]:
         for line in f:
             fields = line.rstrip("\n").split(sep)
             if not fields or not fields[0]:
+                continue
+            if (not load_all and samples_to_use is not None
+                    and fields[0] not in samples_to_use):
                 continue
             out[fields[0]] = dict(zip(header[1:], fields[1:]))
     return out

@@ -72,6 +72,20 @@ class ExtractOptions:
                                      # (extract.cpp:105-106)
     add_random: int = 0              # -W (extract.cpp:107-108)
     select_nearest: int = 0          # -Y (extract.cpp:109-110)
+    closest_relatives: str = ""      # -V tsv of closest relative(s)
+                                     # (extract.cpp:111-112)
+    break_ties: bool = False         # -q one relative per sample
+                                     # (extract.cpp:113-114)
+    within_distance: str = ""        # tsv of relatives within threshold
+                                     # (extract.cpp:115-116)
+    distance_threshold: int = 0      # (extract.cpp:117-118)
+    dump_metadata: str = ""          # -Q final metadata tsv
+                                     # (extract.cpp:119-120)
+    whitelist: str = ""              # -L always-retained samples
+                                     # (extract.cpp:121-122)
+    load_all_metadata: bool = False  # (extract.cpp:123-124)
+    nearest_k_batch: str = ""        # -K file.txt:k per-sample context jsons
+                                     # (extract.cpp:39-40, :731-767)
     seed: int = 0
     # Taxodium export (reference extract.cpp --write-taxodium and friends)
     write_taxodium: str = ""
@@ -160,6 +174,21 @@ def select_samples(T: Tree, opts: ExtractOptions) -> list[str]:
             else opts.add_random + len(samples)
         samples = sel.fill_random_samples(T, samples, target,
                                           opts.limit_to_lca, opts.seed)
+    if opts.whitelist:
+        # -L: whitelisted samples join AFTER all other selection
+        # (extract.cpp:473-483)
+        _err("Whitelisting samples...")
+        have = set(samples)
+        for w in sel.read_sample_names(opts.whitelist):
+            if w in have:
+                continue
+            n = T.get_node(w)
+            if n is None or not n.is_leaf():
+                _err(f"WARNING: whitelisted sample {w} not found in the "
+                     f"tree; ignoring")
+                continue
+            have.add(w)
+            samples.append(w)
     return samples
 
 
@@ -245,6 +274,64 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
     final_samples = (subtree.get_leaves_ids() if not opts.prune
                      else subtree.get_leaves_ids())
 
+    if opts.nearest_k_batch:
+        # -K file.txt:k — one <sample>_context.json per listed sample, each
+        # the compressed subtree of the sample's k nearest neighbours in the
+        # ORIGINAL tree (extract.cpp:731-767; files land in outdir rather
+        # than the reference's CWD)
+        sample_file, _, nkstr = opts.nearest_k_batch.rpartition(":")
+        if not sample_file:
+            _err("ERROR: Invalid formatting of -K argument. Requires input "
+                 "in the form of 'sample_file.txt:k' to generate json "
+                 "context files")
+            return 1
+        nk = int(nkstr)
+        if nk <= 0:
+            _err("ERROR: Invalid neighborhood size. Please choose a "
+                 "positive nonzero integer.")
+            return 1
+        _err("Batch sample context writing requested.")
+        batch_meta = {}
+        if opts.metadata:
+            for mpath in opts.metadata.split(","):
+                batch_meta.update(conv.read_metafile(
+                    mpath, load_all=opts.load_all_metadata,
+                    samples_to_use=set(samples)))
+        written = 0
+        for bs in sel.read_sample_names(sample_file):
+            cs = sel.get_nearby(T, bs, nk)
+            if not cs:
+                continue
+            subt = filter_master(T, cs, False, keep_clade_annotations=True)
+            conv.write_json_from_mat(
+                subt, out(bs.replace("/", "_") + "_context.json"),
+                title=opts.title, metadata=batch_meta)
+            written += 1
+        _err(f"{written} batch sample jsons written.")
+    if opts.closest_relatives:
+        # -V: tsv of each selected sample's equidistant closest relatives
+        # (one, lexicographically smallest, with -q) + the distance
+        # (extract.cpp:768-806)
+        _err("Per-sample closest relative(s) requested. Computing...")
+        if opts.break_ties:
+            _err("Storing one closest relative per sample.")
+        with open(out(opts.closest_relatives), "w") as f:
+            for s in samples:
+                rels, dist = sel.get_closest_samples(T, s, False, 0)
+                if not rels:
+                    continue
+                chosen = min(rels) if opts.break_ties else ",".join(rels)
+                f.write(f"{s}\t{chosen}\t{dist}\n")
+    if opts.within_distance:
+        # tsv of relatives within --distance-threshold mutations
+        # (extract.cpp:807-824); a sample with none prints bare
+        _err(f"Computing per-sample relatives within "
+             f"{opts.distance_threshold} mutations...")
+        with open(out(opts.within_distance), "w") as f:
+            for s in samples:
+                rels, _ = sel.get_closest_samples(
+                    T, s, True, opts.distance_threshold)
+                f.write((f"{s}\t" + ",".join(rels)).rstrip("\t") + "\n")
     if opts.used_samples:
         with open(out(opts.used_samples), "w") as f:
             for s in final_samples:
@@ -273,7 +360,9 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
         metadata = {}
         if opts.metadata:
             for mpath in opts.metadata.split(","):
-                for s, kv in conv.read_metafile(mpath).items():
+                for s, kv in conv.read_metafile(
+                        mpath, samples_to_use=set(samples),
+                        load_all=opts.load_all_metadata).items():
                     metadata.setdefault(s, {}).update(kv)
         conv.get_minimum_subtrees(
             subtree, samples, opts.minimum_subtrees_size, opts.outdir,
@@ -287,7 +376,9 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
         metadata = {}
         if opts.metadata:
             for mpath in opts.metadata.split(","):
-                metadata.update(conv.read_metafile(mpath))
+                metadata.update(conv.read_metafile(
+                    mpath, samples_to_use=set(samples),
+                    load_all=opts.load_all_metadata))
         conv.write_json_from_mat(subtree, out(opts.write_json),
                                  title=opts.title, metadata=metadata)
     if opts.write_tree and not opts.minimum_subtrees_size:
@@ -311,4 +402,27 @@ def extract_main(T: Tree, opts: ExtractOptions) -> int:
         _err(f"Saving output MAT file to {out(opts.write_mat)}")
         subtree.condense_leaves()
         save_mat_pb(subtree, out(opts.write_mat))
+    if opts.dump_metadata:
+        # -Q: all stored metadata for the selected samples, one row per
+        # sample, columns sorted by name, "missing" for absent values
+        # (extract.cpp:913-944; the reference writes the header in hash
+        # order but aligns row values to name-sorted columns — we sort
+        # both, which is the only self-consistent reading)
+        _err("Dumping final metadata.")
+        catmeta: dict[str, dict[str, str]] = {}
+        if opts.metadata:
+            for mpath in opts.metadata.split(","):
+                for s, kv in conv.read_metafile(
+                        mpath, samples_to_use=set(samples),
+                        load_all=opts.load_all_metadata).items():
+                    for col, val in kv.items():
+                        catmeta.setdefault(col, {})[s] = val
+        cols = sorted(catmeta)
+        with open(out(opts.dump_metadata), "w") as f:
+            f.write("strain" + "".join("\t" + c for c in cols))
+            for s in samples:
+                f.write("\n" + s)
+                for c in cols:
+                    f.write("\t" + catmeta[c].get(s, "missing"))
+            f.write("\n")
     return 0

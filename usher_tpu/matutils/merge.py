@@ -44,9 +44,84 @@ def consistent(T1: Tree, T2: Tree, name: str) -> bool:
     return all(g1[p] & g2[p] for p in g1)
 
 
-def merge_mats(T1: Tree, T2: Tree, max_uncertainty: int = 1_000_000) -> Tree:
+def _first_leaf(node):
+    """First leaf reached by always descending children[0]
+    (merge.cpp:41-47 get_first_leaf)."""
+    while node.children:
+        node = node.children[0]
+    return node.identifier
+
+
+def _lca(T: Tree, id1: str, id2: str):
+    a, b = T.get_node(id1), T.get_node(id2)
+    if a is None or b is None:
+        return None
+    while a.level > b.level:
+        a = a.parent
+    while b.level > a.level:
+        b = b.parent
+    while a is not b:
+        a = a.parent
+        b = b.parent
+    return a
+
+
+def consistent_nodes(base: Tree, other: Tree,
+                     common: list[str]) -> dict[str, str]:
+    """other-node-id -> base-node-id map over the common-leaf backbone
+    (merge.cpp:52-122 consistent): prune base to the common leaves,
+    drop unary chains, then for every surviving internal node take the
+    first leaves of its first two children and map LCA(other) ->
+    LCA(base); common leaves map to themselves."""
+    out: dict[str, str] = {}
+    if not common:
+        return out
+    sub = base.copy()
+    keep = set(common)
+    for leaf in list(sub.get_leaves_ids()):
+        if leaf not in keep:
+            sub.remove_node(leaf, False)
+    sub.remove_single_child_nodes()
+    for n in sub.depth_first_expansion():
+        if len(n.children) > 1:
+            l1 = _first_leaf(n.children[0])
+            l2 = _first_leaf(n.children[1])
+            lca_base = _lca(base, l1, l2)
+            lca_other = _lca(other, l1, l2)
+            if lca_base is not None and lca_other is not None:
+                out[lca_other.identifier] = lca_base.identifier
+        elif not n.children:
+            out[n.identifier] = n.identifier
+    return out
+
+
+def _restricted_ids(T: Tree, anchor_id: str, max_depth: int) -> set[str]:
+    """Identifiers of nodes within max_depth levels below the anchor
+    (merge.cpp:238,254-258: bfs from curr, skip level gaps > max_levels)."""
+    anchor = T.get_node(anchor_id)
+    if anchor is None:
+        anchor = T.root
+    out = set()
+    stack = [(anchor, 0)]
+    while stack:
+        n, d = stack.pop()
+        out.add(n.identifier)
+        if d < max_depth:
+            stack.extend((c, d + 1) for c in n.children)
+    return out
+
+
+def merge_mats(T1: Tree, T2: Tree, max_uncertainty: int = 1_000_000,
+               max_depth: int = 20) -> Tree:
     """Merge T2 into T1 (the reference picks the larger tree as base;
-    callers should order arguments accordingly).  Returns the base tree."""
+    callers should order arguments accordingly).  Returns the base tree.
+
+    max_depth (-d, merge.cpp:16,133): each new sample's placement search
+    is bounded to the subtree within max_depth levels of its closest
+    consistent anchor node, like the reference's bounded BFS.  Samples are
+    batch-scored globally first; a sample whose global winner lies inside
+    its bound keeps it (the global optimum restricted to a subset is the
+    subset optimum), others are re-scored with the restriction applied."""
     if T1.condensed_nodes:
         T1.uncondense_leaves()
     if T2.condensed_nodes:
@@ -66,7 +141,19 @@ def merge_mats(T1: Tree, T2: Tree, max_uncertainty: int = 1_000_000) -> Tree:
 
     if new:
         from ..placement.driver import PlacementEngine
-        from ..placement.sampled import place_batch
+        from ..placement.mapper import score_placement
+
+        consist = consistent_nodes(T1, T2, common)
+        # per-sample anchor: first consistent ancestor in T2, else root
+        anchors: dict[str, str] = {}
+        for name in new:
+            anchor = T1.root.identifier
+            for anc in T2.rsearch(name, True):
+                got = consist.get(anc.identifier)
+                if got is not None:
+                    anchor = got
+                    break
+            anchors[name] = anchor
 
         missing = []
         # positions in T2 samples may be absent from T1; collect the union
@@ -96,8 +183,65 @@ def merge_mats(T1: Tree, T2: Tree, max_uncertainty: int = 1_000_000) -> Tree:
 
         vcf = _Vcf([_Site(m) for m in extra_positions.values()])
         engine = PlacementEngine(T1, vcf)
-        stats = place_batch(engine, missing,
-                            max_uncertainty=max_uncertainty)
-        _err(f"Placed {stats.placed} samples "
-             f"({stats.retried} stale retries).")
+        placed = retried = 0
+        bsz = 256
+        for start in range(0, len(missing), bsz):
+            chunk = [s for s in missing[start:start + bsz]
+                     if T1.get_node(s.name) is None]
+            if not chunk:
+                continue
+            results = engine.score_samples([s.mutations for s in chunk])
+            touched: set[str] = set()
+            for s, res in zip(chunk, results):
+                allow = _restricted_ids(T1, anchors[s.name], max_depth)
+                best = res.best_node
+                stale = (best is None
+                         or best.identifier not in allow
+                         or T1.get_node(best.identifier) is not best
+                         or best.identifier in touched
+                         or (best.parent is not None
+                             and best.parent.identifier in touched))
+                if stale:
+                    allow_slots = [
+                        {T1.get_node(i).slot for i in allow
+                         if T1.get_node(i) is not None}]
+                    res = engine.score_samples(
+                        [s.mutations], restrict_slots=allow_slots)[0]
+                    best = res.best_node
+                    retried += 1
+                if best is None or res.num_best > max_uncertainty:
+                    # no valid candidate in range: the reference's default
+                    # placement target is the anchor itself
+                    # (merge.cpp:243-247 best_node = bfs[0])
+                    anchor_node = T1.get_node(anchors[s.name]) or T1.root
+                    detail = score_placement(anchor_node, s.mutations)
+                    from ..placement.driver import SampleResult
+                    res = SampleResult(
+                        best_score=detail.set_difference, num_best=1,
+                        best_node=anchor_node, best_has_unique=False)
+                    best = anchor_node
+                else:
+                    detail = score_placement(best, s.mutations)
+                    if detail.set_difference != res.best_score:
+                        allow_slots = [
+                            {T1.get_node(i).slot for i in allow
+                             if T1.get_node(i) is not None}]
+                        res = engine.score_samples(
+                            [s.mutations],
+                            restrict_slots=allow_slots)[0]
+                        best = res.best_node
+                        detail = score_placement(best, s.mutations)
+                        retried += 1
+                parent_before = best.parent
+                engine.apply_placement(s.name, res, detail.excess)
+                placed += 1
+                touched.add(best.identifier)
+                touched.add(s.name)
+                if parent_before is not None:
+                    touched.add(parent_before.identifier)
+                if (best.parent is not None
+                        and best.parent is not parent_before):
+                    touched.add(best.parent.identifier)
+        _err(f"Placed {placed} samples ({retried} bounded/stale "
+             f"re-scores).")
     return T1

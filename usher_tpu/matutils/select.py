@@ -153,6 +153,96 @@ def get_nearby(T: Tree, sample_id: str, k: int) -> list[str]:
     return [sample_id] + [name for _, name in ranked[:k]]
 
 
+def get_closest_samples(T: Tree, nid: str, fixed_k: bool,
+                        k: int) -> tuple[list[str], int]:
+    """Closest leaves to a sample by mutation-path distance
+    (reference select.cpp:596-713 get_closest_samples).
+
+    fixed_k=False: the set of equidistant closest relatives and their
+    distance (-V/--closest-relatives).  fixed_k=True: every leaf within
+    distance k (--within-distance / mask -D); returned distance is 0.
+
+    The walk mirrors the reference exactly: climb ancestors accumulating
+    branch lengths; at each level collect sibling-subtree leaves (internal
+    siblings are expanded depth-first, pruned at the current bound); stop
+    climbing when a found leaf is closer than the next hop up (non-fixed)
+    or the next hop alone exceeds k (fixed)."""
+    target = T.get_node(nid)
+    if target is None:
+        _err(f"WARNING: Node {nid} not found in tree")
+        return [], 0
+    target_parent = target.parent
+    curr_target = target
+
+    closest: list[str] = []
+    closest_dist = 0
+    min_dist = 1 << 60
+    dist_to_orig_parent = 0
+    go_up = True
+    parent = target.parent
+    while go_up and parent is not None:
+        parent_branch_length = len(parent.mutations) + dist_to_orig_parent
+        found: list[tuple[str, int]] = []
+
+        # minimum sibling-leaf branch length bounds the non-fixed descent
+        min_sib = 1 << 60
+        for child in parent.children:
+            if child.is_leaf() and child.identifier != curr_target.identifier:
+                min_sib = min(min_sib, len(child.mutations))
+
+        for child in parent.children:
+            if child.identifier == curr_target.identifier:
+                continue
+            if (target_parent is not None
+                    and child.identifier == target_parent.identifier):
+                continue  # don't go back down the path
+            dist_so_far = (dist_to_orig_parent + len(target.mutations)
+                           + len(child.mutations))
+            if not child.is_leaf():
+                if fixed_k:
+                    max_path = k
+                elif min_sib == (1 << 60):
+                    max_path = min_sib
+                else:
+                    max_path = min_sib + dist_so_far
+                # iterative DFS of closest_samples_dfs (select.cpp:577-594)
+                stack = [(child, dist_so_far)]
+                while stack:
+                    node, plen = stack.pop()
+                    if plen > max_path:
+                        continue
+                    for ch in node.children:
+                        d = plen + len(ch.mutations)
+                        if ch.is_leaf():
+                            if not fixed_k or d <= max_path:
+                                found.append((ch.identifier, d))
+                        else:
+                            stack.append((ch, d))
+            else:
+                if not fixed_k or dist_so_far <= k:
+                    found.append((child.identifier, dist_so_far))
+
+        if fixed_k:
+            if parent_branch_length > k:
+                go_up = False
+            closest.extend(name for name, _ in found)
+        else:
+            for name, d in found:
+                if d < parent_branch_length:
+                    go_up = False
+                if d < min_dist:
+                    min_dist = d
+                    closest = [name]
+                    closest_dist = d
+                elif d == min_dist:
+                    closest.append(name)
+
+        curr_target = parent
+        parent = curr_target.parent
+        dist_to_orig_parent = parent_branch_length
+    return closest, closest_dist
+
+
 def get_mrca_samples(T: Tree, samples: list[str]) -> list[str]:
     """All leaves under the MRCA of the given samples (select.cpp:570-596)."""
     nodes = [T.get_node(s) for s in samples]

@@ -114,12 +114,16 @@ class PlacementEngine:
         self.flat = FlatMAT(T, positions, ref, chrom, mesh=mesh)
 
     def score_samples(self, samples_mutations, want_matrix=False,
-                      exclude_slots=None):
+                      exclude_slots=None, restrict_slots=None):
         """Score a batch of samples against the current tree.
 
         exclude_slots: optional per-sample node slot to invalidate (self-
         mapping exclusion for uncertainty re-placement, reference
         uncertainty.cpp:218).
+        restrict_slots: optional per-sample iterable of ALLOWED node slots
+        (None entries mean unrestricted) — the matUtils merge search bound
+        (merge.cpp:254-258: only nodes within --max-depth levels of the
+        consistent anchor are candidates).
         Returns a list of SampleResult (one per sample)."""
         flat = self.flat
         st_dev, parent_dev = flat.sync()
@@ -134,6 +138,14 @@ class PlacementEngine:
             for b, slot in enumerate(exclude_slots):
                 if slot is not None and slot >= 0:
                     valid[b, slot] = False
+        if restrict_slots is not None:
+            valid = np.asarray(valid).copy()
+            for b, allow in enumerate(restrict_slots):
+                if allow is None:
+                    continue
+                mask = np.zeros(valid.shape[1], dtype=bool)
+                mask[np.asarray(list(allow), dtype=np.int64)] = True
+                valid[b] &= mask
 
         bfs = meta["bfs"]
         bfs_rank = meta["bfs_rank"]
@@ -144,6 +156,13 @@ class PlacementEngine:
             vs = np.where(v_row, s_row, 1 << 30)
             best = int(vs.min())
             tied_slots = np.nonzero(v_row & (s_row == best))[0]
+            if len(tied_slots) == 0:
+                # only reachable under restrict_slots: every candidate in
+                # the allowed set was invalid
+                results.append(SampleResult(
+                    best_score=best, num_best=0, best_node=None,
+                    best_has_unique=False))
+                continue
             # order tie set by BFS rank ascending
             tied_slots = tied_slots[np.argsort(bfs_rank[tied_slots], kind="stable")]
             # winner: max leaves then max BFS rank
