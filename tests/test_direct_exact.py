@@ -173,17 +173,9 @@ def test_batched_equals_sequential_multi_batch(tmp_path):
         assert a[f] == b[f]
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
-def test_direct_matches_tree_driver_randomized(tmp_path, seed):
-    """--pb-direct must byte-match the Tree-backed --bigmat driver on
-    randomized adversarial workloads, not just the smoke fixture: same
-    pb, same VCF, byte-identical stats/newick/paths."""
-    rng = np.random.default_rng(seed)
-    ma, state, is_leaf = consistent_mat(rng, N=250, P=120)
-    pb = tmp_path / "t.pb"
-    pa.save_arrays_to_pb(ma, str(pb))
-    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=40)
-    # write a VCF (both drivers consume the same file)
+def write_vcf_for(path, ma, samples) -> None:
+    """Write a VCF carrying the samples' mutation sets (both drivers
+    consume the same file)."""
     bases = {1: "A", 2: "C", 4: "G", 8: "T", 0xF: "N"}
     by_pos = {}
     for j, s in enumerate(samples):
@@ -192,10 +184,9 @@ def test_direct_matches_tree_driver_randomized(tmp_path, seed):
     iupac = {3: "M", 5: "R", 9: "W", 6: "S", 10: "Y", 12: "K",
              7: "V", 11: "H", 13: "D", 14: "B"}
     bases.update({k: v for k, v in iupac.items()})
-    vcf = tmp_path / "s.vcf"
     pos_ref = {int(p): int(r)
                for p, r in zip(ma.positions.tolist(), ma.ref.tolist())}
-    with open(vcf, "w") as f:
+    with open(path, "w") as f:
         f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
                 + "\t".join(s.name for s in samples) + "\n")
         for p in sorted(by_pos):
@@ -211,6 +202,20 @@ def test_direct_matches_tree_driver_randomized(tmp_path, seed):
                     + ",".join(bases[a] for a in alts)
                     + "\t.\t.\t.\tGT\t" + "\t".join(row) + "\n")
 
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
+def test_direct_matches_tree_driver_randomized(tmp_path, seed):
+    """--pb-direct must byte-match the Tree-backed --bigmat driver on
+    randomized adversarial workloads, not just the smoke fixture: same
+    pb, same VCF, byte-identical stats/newick/paths."""
+    rng = np.random.default_rng(seed)
+    ma, state, is_leaf = consistent_mat(rng, N=250, P=120)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=40)
+    vcf = tmp_path / "s.vcf"
+    write_vcf_for(vcf, ma, samples)
+
     from usher_tpu.cli.usher_cli import main as usher_main
     d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
     assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d1,
@@ -223,3 +228,58 @@ def test_direct_matches_tree_driver_randomized(tmp_path, seed):
         x = open(os.path.join(d1, fn)).read()
         y = open(os.path.join(d2, fn)).read()
         assert x == y, (fn, seed)
+
+
+@pytest.mark.parametrize("flags", [["-s"], ["-S"], ["-A"],
+                                   ["-s", "-r"], ["-A", "-r"]])
+def test_direct_sort_flags_match_tree_driver(tmp_path, flags):
+    """--pb-direct with sort-before-placement 1/2/3 (+reverse) must
+    byte-match the Tree --bigmat driver: the sorted placement ORDER feeds
+    the surgery sequence, so stats/newick/paths all depend on it
+    (usher_common.cpp:322-379)."""
+    rng = np.random.default_rng(21)
+    ma, state, is_leaf = consistent_mat(rng, N=250, P=120)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=36)
+    vcf = tmp_path / "s.vcf"
+    write_vcf_for(vcf, ma, samples)
+
+    from usher_tpu.cli.usher_cli import main as usher_main
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d1,
+                       "--bigmat", "--mesh-devices", "0"] + flags) == 0
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d2,
+                       "--pb-direct", "--mesh-devices", "0",
+                       "--batch-size", "16"] + flags) == 0
+    for fn in ("placement_stats.tsv", "final-tree.nh",
+               "mutation-paths.txt"):
+        x = open(os.path.join(d1, fn)).read()
+        y = open(os.path.join(d2, fn)).read()
+        assert x == y, (fn, flags)
+
+
+def test_direct_parsimony_scores_match_tree_driver(tmp_path):
+    """--pb-direct -p (per-node branch parsimony scores, no tree
+    modification) must byte-match the Tree --bigmat driver's
+    parsimony-scores.tsv / current-tree.nh (usher_common.cpp:466-521)."""
+    rng = np.random.default_rng(23)
+    ma, state, is_leaf = consistent_mat(rng, N=180, P=100)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=10)
+    vcf = tmp_path / "s.vcf"
+    write_vcf_for(vcf, ma, samples)
+
+    from usher_tpu.cli.usher_cli import main as usher_main
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d1,
+                       "--bigmat", "--mesh-devices", "0", "-p"]) == 0
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d2,
+                       "--pb-direct", "--mesh-devices", "0",
+                       "--batch-size", "4", "-p"]) == 0
+    for fn in ("parsimony-scores.tsv", "current-tree.nh",
+               "placement_stats.tsv"):
+        x = open(os.path.join(d1, fn)).read()
+        y = open(os.path.join(d2, fn)).read()
+        assert x == y, fn

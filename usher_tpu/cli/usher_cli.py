@@ -100,15 +100,24 @@ def main(argv=None) -> int:
             ("--collapse-output-tree", args.collapse_output_tree),
             ("-k/--write-subtrees-size", args.write_subtrees_size),
             ("-K/--write-single-subtree", args.write_single_subtree),
-            ("-p", args.write_parsimony_scores_per_node),
             ("-M>1", args.multiple_placements > 1),
-            ("sort", args.sort_before_placement_1
-             or args.sort_before_placement_2
-             or args.sort_before_placement_3),
         ] if v]
         if unsupported:
             print(f"ERROR: --pb-direct does not support "
                   f"{', '.join(unsupported)} (use the Tree drivers)",
+                  file=sys.stderr)
+            return 1
+        # the Tree driver's flag-combination validation (run_usher)
+        if (args.sort_before_placement_1 + args.sort_before_placement_2
+                + args.sort_before_placement_3) > 1:
+            print("ERROR: Can't use two or more of sort-before-placement-1, "
+                  "sort-before-placement-2 and sort-before-placement-3 "
+                  "simultaneously.", file=sys.stderr)
+            return 1
+        if args.reverse_sort and not (args.sort_before_placement_1
+                                      or args.sort_before_placement_2
+                                      or args.sort_before_placement_3):
+            print("ERROR: Can't use reverse-sort without sorting options",
                   file=sys.stderr)
             return 1
         from ..placement.direct import DirectOptions, run_usher_direct
@@ -132,6 +141,12 @@ def main(argv=None) -> int:
             max_parsimony=args.max_parsimony_per_sample,
             no_add=args.no_add,
             uncondensed=args.write_uncondensed_final_tree,
+            sort_before_placement_1=args.sort_before_placement_1,
+            sort_before_placement_2=args.sort_before_placement_2,
+            sort_before_placement_3=args.sort_before_placement_3,
+            reverse_sort=args.reverse_sort,
+            print_parsimony_scores=args.write_parsimony_scores_per_node,
+            detailed_clades=args.detailed_clades,
             dout_filename=args.dout or ""), mesh=mesh)
     if args.tree:
         print("Loading input tree.", file=sys.stderr)

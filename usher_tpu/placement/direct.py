@@ -704,6 +704,16 @@ class DirectOptions:
     no_add: bool = False
     uncondensed: bool = False          # -u
     dout_filename: str = ""            # -o
+    sort_before_placement_1: bool = False  # -s (usher_common.cpp:330-379)
+    sort_before_placement_2: bool = False  # -S
+    sort_before_placement_3: bool = False  # -A
+    reverse_sort: bool = False             # -r
+    print_parsimony_scores: bool = False   # -p (usher_common.cpp:466-521)
+    detailed_clades: bool = False          # -D (usher_common.cpp:957-985)
+    collapse_tree: bool = False            # -c (usher_common.cpp:275-297)
+    collapse_output_tree: bool = False     # -C (usher_common.cpp:798-801)
+    print_subtrees_size: int = 0           # -k (usher_common.cpp:893-905)
+    print_subtrees_single: int = 0         # -K (usher_common.cpp:884-891)
 
 
 class DirectPlacer:
@@ -898,17 +908,144 @@ class DirectPlacer:
 
     # --- the placement loop -------------------------------------------------
 
+    def _dry_run_scores(self, bsz: int):
+        """(best_score, num_best) per missing sample against the unmodified
+        tree — the sort-before-placement pre-pass (usher_common.cpp:
+        330-379) as chunked device batches with no applies."""
+        big = self.big
+        best_scores: list[int] = []
+        num_placements: list[int] = []
+        for b0 in range(0, len(self.missing), bsz):
+            batch = self.missing[b0:b0 + bsz]
+            for s in batch:
+                s.mutations.sort(key=lambda m: m.position)
+            pos, gval, kmiss = big.sparsify([s.mutations for s in batch])
+            bs, _slot, nb, _hu = big.place_arrays(pos, gval, kmiss)
+            best_scores.extend(int(x) for x in bs)
+            num_placements.extend(int(x) for x in nb)
+        return best_scores, num_placements
+
+    def _sorted_indexes(self, opts: DirectOptions, bsz: int) -> list[int]:
+        """Placement order under the sort flags (usher_common.cpp:322-379):
+        -A by ambiguous-mutation count; -s/-S by a dry-run (score, EPPs) /
+        (EPPs, score) pre-pass; -r reverses the sorted order."""
+        indexes = list(range(len(self.missing)))
+        if ((opts.sort_before_placement_1 or opts.sort_before_placement_2)
+              and len(self.missing) > 1):
+            _err("Computing parsimony scores and number of parsimony-optimal "
+                 "placements for new samples and using them to sort the "
+                 "samples.")
+            best_scores, num_placements = self._dry_run_scores(bsz)
+            if opts.sort_before_placement_1:
+                indexes.sort(key=lambda i: (best_scores[i],
+                                            num_placements[i]))
+            else:
+                indexes.sort(key=lambda i: (num_placements[i],
+                                            best_scores[i]))
+            if opts.reverse_sort:
+                indexes.reverse()
+        return indexes
+
+    def _valid_rows(self, score_T, nc_T):
+        """Reference validity + has-unique per [N, B] score/nc columns
+        (usher_mapper.cpp:452-455; matches place_one_host)."""
+        big = self.big
+        hu = nc_T < big.node_num_mut[:, None]
+        nc_pos = nc_T > 0
+        leaf = big.is_leaf[:, None]
+        valid = (big.is_root_mask[:, None]
+                 | (leaf & nc_pos)
+                 | (~leaf & hu & nc_pos)
+                 | (~leaf & ~hu)) & big.active[:, None]
+        return valid, hu
+
+    def _print_parsimony_scores(self, opts: DirectOptions,
+                                outdir: str) -> None:
+        """-p: per-node branch parsimony scores for every sample, no tree
+        modification (usher_common.cpp:466-521 / placement/driver.py -p
+        branch), computed from the full [N, B] device score matrix."""
+        big = self.big
+        path = os.path.join(outdir, "current-tree.nh")
+        with open(path, "w") as f:
+            f.write(self.write_newick() + "\n")
+        stats_f = open(os.path.join(outdir, "placement_stats.tsv"), "w")
+        pars_path = os.path.join(outdir, "parsimony-scores.tsv")
+        pars_f = None
+        bfs_order = np.argsort(big.bfs_rank, kind="stable")
+        bsz = max(1, opts.batch_size)
+        for b0 in range(0, len(self.missing), bsz):
+            batch = self.missing[b0:b0 + bsz]
+            for s in batch:
+                s.mutations.sort(key=lambda m: m.position)
+            pos, gval, kmiss = big.sparsify([s.mutations for s in batch])
+            score_T, nc_T, _ = big.score_batch_T(pos, gval, kmiss)
+            valid, _hu = self._valid_rows(score_T, nc_T)
+            for i, s in enumerate(batch):
+                if pars_f is None:
+                    _err(f"\nNow computing branch parsimony scores for "
+                         f"adding the missing samples at each of the nodes "
+                         f"in the existing tree without modifying the tree."
+                         f"\nThe branch parsimony scores will be written "
+                         f"to file {pars_path}\n")
+                    pars_f = open(pars_path, "w")
+                    pars_f.write(
+                        "#Sample\tTree node\tParsimony score\t"
+                        "Optimal (y/n)\t"
+                        "Parsimony-increasing mutations (for optimal "
+                        "nodes)\n")
+                s_col = score_T[:, i]
+                v_col = valid[:, i]
+                vs = np.where(v_col, s_col, 1 << 30)
+                best = int(vs.min())
+                num_best = int((vs == best).sum())
+                _err(f"Missing sample: {s.name}\t Best parsimony score: "
+                     f"{best}\tNumber of parsimony-optimal placements: "
+                     f"{num_best}")
+                for slot in bfs_order:
+                    sc = int(s_col[slot])
+                    reported = sc if v_col[slot] else sc + 1
+                    is_opt = "y" if reported == best else "n"
+                    pars_f.write(f"{s.name}\t{self.name_of(int(slot))}\t"
+                                 f"{reported}\t\t{is_opt}\t")
+                    if reported == best:
+                        det = score_placement(self.node(int(slot)),
+                                              s.mutations)
+                        if reported == 0:
+                            pars_f.write("*")
+                        n_print = min(reported, len(det.excess))
+                        pars_f.write(",".join(
+                            det.excess[k].get_string()
+                            for k in range(n_print)))
+                    else:
+                        pars_f.write("N/A")
+                    pars_f.write("\n")
+                stats_f.write("\n")
+        stats_f.close()
+        if pars_f is not None:
+            pars_f.close()
+
     def place_all(self, opts: DirectOptions) -> None:
         os.makedirs(opts.outdir, exist_ok=True)
         outdir = os.path.realpath(opts.outdir)
         big = self.big
         _err(f"Found {len(self.missing)} missing samples.\n")
+        bsz = max(1, opts.batch_size)
+        if opts.sort_before_placement_3:
+            # the Tree driver sorts the sample LIST itself, before the -p
+            # branch (driver.py:356-359), so downstream writers
+            # (mutation-paths.txt) follow the sorted order too
+            self.missing.sort(key=lambda s: s.num_ambiguous)
+            if opts.reverse_sort:
+                self.missing.reverse()
+        if opts.print_parsimony_scores:
+            self._print_parsimony_scores(opts, outdir)
+            return
+        indexes = self._sorted_indexes(opts, bsz)
         stats_f = open(os.path.join(outdir, "placement_stats.tsv"), "w")
 
-        bsz = max(1, opts.batch_size)
         seq_mode = bool(os.environ.get("USHER_TPU_DIRECT_SEQ"))
-        for b0 in range(0, len(self.missing), bsz):
-            batch = self.missing[b0:b0 + bsz]
+        for b0 in range(0, len(indexes), bsz):
+            batch = [self.missing[i] for i in indexes[b0:b0 + bsz]]
             for s in batch:
                 s.mutations.sort(key=lambda m: m.position)
             pos, gval, kmiss = big.sparsify([s.mutations for s in batch])
