@@ -283,3 +283,93 @@ def test_direct_parsimony_scores_match_tree_driver(tmp_path):
         x = open(os.path.join(d1, fn)).read()
         y = open(os.path.join(d2, fn)).read()
         assert x == y, fn
+
+
+def annotate_mat(rng, ma, ncols=2, n_clades=5):
+    """Attach random clade annotations (ncols columns) to ~20% of
+    internal nodes, returning a new MatArrays."""
+    n = ma.n
+    is_internal = np.zeros(n, bool)
+    is_internal[ma.parent[1:]] = True
+    is_internal[0] = True
+    parts = []
+    counts = np.zeros(n, np.int32)
+    for i in range(n):
+        row = []
+        for a in range(ncols):
+            if is_internal[i] and rng.random() < 0.2:
+                row.append(f"clade_{a}_{int(rng.integers(0, n_clades))}")
+            else:
+                row.append("")
+        parts.extend(row)
+        counts[i] = ncols
+    ma.ann_counts = counts
+    ma.ann_blob = ("\0".join(parts) + "\0").encode()
+    return ma
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_direct_clades_match_tree_driver(tmp_path, seed):
+    """--pb-direct clades.txt (basic and -D detailed histogram) must
+    byte-match the Tree --bigmat driver on annotated randomized
+    workloads (usher_common.cpp:600-619, 941-989)."""
+    rng = np.random.default_rng(seed)
+    ma, state, is_leaf = consistent_mat(rng, N=250, P=120)
+    annotate_mat(rng, ma)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=36)
+    vcf = tmp_path / "s.vcf"
+    write_vcf_for(vcf, ma, samples)
+
+    from usher_tpu.cli.usher_cli import main as usher_main
+    for extra in ([], ["-D"]):
+        d1 = str(tmp_path / ("t" + "".join(extra)))
+        d2 = str(tmp_path / ("a" + "".join(extra)))
+        assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d1,
+                           "--bigmat", "--mesh-devices", "0"]
+                          + extra) == 0
+        assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d2,
+                           "--pb-direct", "--mesh-devices", "0",
+                           "--batch-size", "12"] + extra) == 0
+        for fn in ("clades.txt", "placement_stats.tsv", "final-tree.nh"):
+            x = open(os.path.join(d1, fn)).read()
+            y = open(os.path.join(d2, fn)).read()
+            assert x == y, (fn, extra, seed)
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_direct_clades_batched_equals_sequential(tmp_path, seed):
+    """-D clade histograms from the device snapshot + membership edits
+    must equal the literal per-sample host loop byte-for-byte."""
+    rng = np.random.default_rng(seed)
+    ma, state, is_leaf = consistent_mat(rng, N=300, P=150)
+    annotate_mat(rng, ma)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=48)
+
+    def run(outname, seq):
+        outdir = tmp_path / outname
+        old = os.environ.pop("USHER_TPU_DIRECT_SEQ", None)
+        try:
+            if seq:
+                os.environ["USHER_TPU_DIRECT_SEQ"] = "1"
+            placer = DirectPlacer(str(pb))
+            placer.missing = [_copy_sample(s) for s in samples]
+            placer.place_all(DirectOptions(outdir=str(outdir),
+                                           batch_size=48,
+                                           detailed_clades=True))
+        finally:
+            if old is not None:
+                os.environ["USHER_TPU_DIRECT_SEQ"] = old
+            else:
+                os.environ.pop("USHER_TPU_DIRECT_SEQ", None)
+        return {f: (outdir / f).read_text()
+                for f in ("clades.txt", "placement_stats.tsv",
+                          "final-tree.nh")}
+
+    a = run(f"b{seed}", False)
+    b = run(f"s{seed}", True)
+    for f in a:
+        assert a[f] == b[f], (f, seed)

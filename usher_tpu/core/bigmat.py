@@ -833,7 +833,8 @@ class BigMAT:
             self._ov = (node_a[o], col_a[o], par_a[o], mut_a[o])
         self._ranks_dirty = True
         self._base_spr = None
-        for k in ("_dfs_meta_spr", "_dfs_meta_plc", "_csc_dev_cache"):
+        for k in ("_dfs_meta_spr", "_dfs_meta_plc", "_csc_dev_cache",
+                  "_clade_dfs_cache"):
             if hasattr(self, k):
                 delattr(self, k)
 
@@ -1047,13 +1048,15 @@ class BigMAT:
                                                                kmiss)
         return best_score, best_slot, num_best
 
-    def place_one_host(self, pos, gval, kmiss):
+    def place_one_host(self, pos, gval, kmiss, full: bool = False):
         """Single-sample EXACT placement on the host (numpy mirror of the
         interval engine): one difference array + cumsum over N rows.  Used
         for mid-batch staleness re-scores, where a device dispatch plus the
         post-append metadata re-upload would dominate (the appends
         invalidate the device-resident epoch arrays).
-        Returns (best_score, best_slot, num_best, hu_best) scalars."""
+        Returns (best_score, best_slot, num_best, hu_best) scalars;
+        full=True appends the (is_best [N], hu [N]) masks (tie-set
+        enumeration for detailed clade assignment)."""
         self._flush()
         *ev, add0 = self._events(pos, gval, kmiss, spr=False)
         ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val = ev
@@ -1089,6 +1092,9 @@ class BigMAT:
             rank = np.where(is_best2, self.bfs_rank, -1)
             best_slot = int(np.argmax(
                 (self.bfs_rank == rank.max()) & is_best2))
+        if full:
+            return (best, best_slot, num_best, bool(hu[best_slot]),
+                    is_best, hu)
         return best, best_slot, num_best, bool(hu[best_slot])
 
     def _bfs_chain_key(self, slot: int):
@@ -1106,22 +1112,55 @@ class BigMAT:
         chain.reverse()
         return (int(self.level[slot]), tuple(chain))
 
-    def place_arrays(self, pos, gval, kmiss, with_second: bool = False):
+    def _clade_dfs(self, clades):
+        """DFS-ordered padded device copies of the per-annotation
+        propagated clade-id arrays ((A, N) self / parent variants); cached
+        per epoch like _dfs_meta (invalidated on flush — the caller grows
+        the host arrays to N first)."""
+        cached = getattr(self, "_clade_dfs_cache", None)
+        if cached is not None:
+            return cached
+        clade_self, clade_par, n_clades = clades
+        n_pad, N, o = self.n_pad, self.N, self.dfs_order
+        A = len(clade_self)
+
+        def padded(rows):
+            out = np.zeros((A, n_pad), np.int32)
+            for a in range(A):
+                out[a, :N] = rows[a][o]
+            return jnp.asarray(out)
+
+        cache = (padded(clade_self), padded(clade_par), int(n_clades))
+        self._clade_dfs_cache = cache
+        return cache
+
+    def place_arrays(self, pos, gval, kmiss, with_second: bool = False,
+                     clades=None):
         """Device-reduced placement of pre-sparsified samples: returns
         (best_score [B], best_slot [B], num_best [B], hu_best [B]).
 
         with_second=True returns instead a pair of 4-tuples: the winner
         and the winner-row-masked runner-up (used by the exact-sequential
-        serving driver; not composed with the mesh path)."""
+        serving driver; not composed with the mesh path).
+
+        clades=(clade_self [A, N], clade_par [A, N], n_clades) appends a
+        per-sample tie-set clade histogram [A, n_clades, B] as the last
+        element of the returned tuple (-D detailed clades; not composed
+        with the mesh path)."""
         self._flush()
         from ..ops import interval as iv
         B = pos.shape[0]
         meta = self._dfs_meta(spr=False)
         margs = (meta["num_mut"], meta["is_leaf"], meta["is_root"],
                  meta["active"], meta["num_leaves"], meta["bfs_rank"])
-        if with_second and self.mesh is not None:
-            raise ValueError("with_second is not composed with the mesh "
-                             "sharded path")
+        if (with_second or clades is not None) and self.mesh is not None:
+            raise ValueError("with_second/clades are not composed with "
+                             "the mesh sharded path")
+        ckw = {}
+        if clades is not None:
+            cs, cp, nclades = self._clade_dfs(clades)
+            ckw = dict(clade_self_dfs=cs, clade_par_dfs=cp,
+                       n_clades=nclades)
         if self.mesh is None:
             # device-expansion fast path: the CSC index is resident on the
             # device, so per-batch H2D is just the [B, K] entry arrays.
@@ -1171,12 +1210,19 @@ class BigMAT:
                     *(jnp.asarray(a) for a in ovp),
                     *(jnp.asarray(a) for a in ovn),
                     meta["base"], meta["nc_base"], *margs,
-                    self.n_pad, b_pad, mc, second=with_second)
+                    self.n_pad, b_pad, mc, second=with_second, **ckw)
+                if clades is not None:
+                    *out, hist = out
                 # ONE host transfer: each np.asarray is a full round trip
                 # on a tunneled link (~30 ms each)
                 packed = np.asarray(jnp.stack(
                     [o.astype(jnp.int32) for o in out]))
-                return self._unpack_place(packed, B, with_second)
+                res = self._unpack_place(packed, B, with_second)
+                if clades is None:
+                    return res
+                hist_np = np.asarray(hist)[:, :, :B]
+                return (res + (hist_np,) if with_second
+                        else (*res, hist_np))
         *ev, add0 = self._events(pos, gval, kmiss, spr=False)
         b_pad, evp, ncp = self._batch_shapes(B, ev[:3], ev[3:6])
         add0p = np.zeros(b_pad, np.int32)
@@ -1200,10 +1246,17 @@ class BigMAT:
                 *(jnp.asarray(a) for a in evp),
                 *(jnp.asarray(a) for a in ncp),
                 meta["base"], meta["nc_base"], jnp.asarray(add0p), *margs,
-                self.n_pad, b_pad, second=with_second)
+                self.n_pad, b_pad, second=with_second, **ckw)
+        hist = None
+        if clades is not None and self.mesh is None:
+            *out, hist = out
         packed = np.asarray(jnp.stack(
             [o.astype(jnp.int32) for o in out]))
-        return self._unpack_place(packed, B, with_second)
+        res = self._unpack_place(packed, B, with_second)
+        if hist is None:
+            return res
+        hist_np = np.asarray(hist)[:, :, :B]
+        return (res + (hist_np,) if with_second else (*res, hist_np))
 
     def _unpack_place(self, packed, B, with_second):
         def four(rows):

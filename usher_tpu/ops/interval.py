@@ -108,9 +108,33 @@ def _tie_reduce(score, valid, num_leaves, bfs_rank):
     return best, best_row.astype(jnp.int32), num_best
 
 
+def _clade_hist(score, nc, valid, hu, best, is_leaf_dfs,
+                clade_self_dfs, clade_par_dfs, n_clades: int):
+    """Per-sample clade histogram over the TIE SET (valid nodes attaining
+    the best score): hist[a, c, b] = #tied nodes whose clade assignment in
+    annotation column a is c.  A tied node contributes its own propagated
+    clade unless it is a leaf or has unique mutations, in which case the
+    parent's (include_self = !leaf && !hu, usher_common.cpp:600-619).
+    Clade ids are 0 (UNDEFINED) .. n_clades-1, precomputed per epoch by
+    the host (placement/direct.py)."""
+    A = clade_self_dfs.shape[0]
+    n_pad, b_pad = score.shape
+    tie = (valid & (score == best[None, :])).astype(jnp.int32)
+    use_par = is_leaf_dfs[:, None] | hu
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (n_pad, b_pad), 1)
+    hists = []
+    for a in range(A):
+        sel = jnp.where(use_par, clade_par_dfs[a][:, None],
+                        clade_self_dfs[a][:, None])
+        h = jnp.zeros((n_clades, b_pad), jnp.int32)
+        h = h.at[sel.reshape(-1), bcol.reshape(-1)].add(tie.reshape(-1))
+        hists.append(h)
+    return jnp.stack(hists)
+
+
 def _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
                   active_dfs, num_leaves_dfs, bfs_rank_dfs,
-                  second: bool = False):
+                  second: bool = False, clades=None):
     """Placement validity + tie-broken argmin + winner hu (the reference
     validity cases, usher_mapper.cpp:452-455) — shared by the host- and
     device-expansion entry points.
@@ -118,7 +142,11 @@ def _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
     second=True additionally reruns the reduction with the winner's row
     masked out — the runner-up result the incremental serving driver
     (placement/direct._BatchState) falls back on when the snapshot winner
-    was modified by an earlier apply in the same batch."""
+    was modified by an earlier apply in the same batch.
+
+    clades=(clade_self_dfs [A, n_pad], clade_par_dfs [A, n_pad],
+    n_clades) appends the tie-set clade histogram (-D detailed clades)
+    as a final [A, n_clades, b_pad] output."""
     hu = nc < num_mut_dfs[:, None]
     nc_pos = nc > 0
     leaf = is_leaf_dfs[:, None]
@@ -129,15 +157,19 @@ def _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
     best, best_row, num_best = _tie_reduce(score, valid, num_leaves_dfs,
                                            bfs_rank_dfs)
     hu_best = jnp.take_along_axis(hu, best_row[None, :], axis=0)[0]
-    if not second:
-        return best, best_row, num_best, hu_best
-    rows = jax.lax.broadcasted_iota(jnp.int32, (score.shape[0], 1), 0)
-    valid2 = valid & (rows != best_row[None, :])
-    best2, best_row2, num_best2 = _tie_reduce(score, valid2,
-                                              num_leaves_dfs, bfs_rank_dfs)
-    hu2 = jnp.take_along_axis(hu, best_row2[None, :], axis=0)[0]
-    return (best, best_row, num_best, hu_best,
-            best2, best_row2, num_best2, hu2)
+    out = (best, best_row, num_best, hu_best)
+    if second:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (score.shape[0], 1), 0)
+        valid2 = valid & (rows != best_row[None, :])
+        best2, best_row2, num_best2 = _tie_reduce(
+            score, valid2, num_leaves_dfs, bfs_rank_dfs)
+        hu2 = jnp.take_along_axis(hu, best_row2[None, :], axis=0)[0]
+        out = out + (best2, best_row2, num_best2, hu2)
+    if clades is not None:
+        clade_self_dfs, clade_par_dfs, n_clades = clades
+        out = out + (_clade_hist(score, nc, valid, hu, best, is_leaf_dfs,
+                                 clade_self_dfs, clade_par_dfs, n_clades),)
+    return out
 
 
 def _finish_spr(score, nc, cnt, num_mut_dfs, is_root_dfs, active_dfs,
@@ -164,21 +196,27 @@ def _finish_spr(score, nc, cnt, num_mut_dfs, is_root_dfs, active_dfs,
     return best, best_row, hu_best
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "b_pad", "second"))
+@functools.partial(jax.jit, static_argnames=("n_pad", "b_pad", "second",
+                                             "n_clades"))
 def interval_place(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
                    base_dfs, nc_base_dfs, add0,
                    num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
                    num_leaves_dfs, bfs_rank_dfs,
-                   n_pad: int, b_pad: int, second: bool = False):
+                   n_pad: int, b_pad: int, second: bool = False,
+                   clade_self_dfs=None, clade_par_dfs=None,
+                   n_clades: int = 0):
     """Fused: interval scoring + placement validity + tie-broken argmin.
     Returns (best_score [B], best_dfs_row [B], num_best [B], hu_best [B])
     — only O(B) crosses the device boundary.  second=True appends the
-    winner-row-masked runner-up 4-tuple (see _finish_place)."""
+    winner-row-masked runner-up 4-tuple; n_clades>0 appends the tie-set
+    clade histogram (see _finish_place)."""
     score, nc = interval_scores(ev_idx, ev_b, ev_val, nc_idx, nc_b, nc_val,
                                 base_dfs, nc_base_dfs, add0, n_pad, b_pad)
+    clades = (None if n_clades == 0
+              else (clade_self_dfs, clade_par_dfs, n_clades))
     return _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
                          active_dfs, num_leaves_dfs, bfs_rank_dfs,
-                         second=second)
+                         second=second, clades=clades)
 
 
 def _expand_events(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
@@ -298,7 +336,7 @@ def _dev_score_nc(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_pad", "b_pad", "mc", "spr",
-                                    "second"))
+                                    "second", "n_clades"))
 def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
                        ref_cols, pos, gval, kmiss,
                        ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
@@ -306,19 +344,24 @@ def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
                        num_mut_dfs, is_leaf_dfs, is_root_dfs, active_dfs,
                        num_leaves_dfs, bfs_rank_dfs,
                        n_pad: int, b_pad: int, mc: int, spr: bool = False,
-                       second: bool = False):
+                       second: bool = False,
+                       clade_self_dfs=None, clade_par_dfs=None,
+                       n_clades: int = 0):
     """interval_place with DEVICE-side event expansion from the resident
     CSC index: per-batch H2D is only the [B, K] entry arrays plus the
     (small) overlay event streams from incremental appends.  add0 is also
     computed on device.  Bit-identical to the host-expansion path
-    (tested).  second=True appends the runner-up 4-tuple."""
+    (tested).  second=True appends the runner-up 4-tuple; n_clades>0
+    appends the tie-set clade histogram."""
     score, nc = _dev_score_nc(
         csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of, ref_cols,
         pos, gval, kmiss, ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
         base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr)
+    clades = (None if n_clades == 0
+              else (clade_self_dfs, clade_par_dfs, n_clades))
     return _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
                          active_dfs, num_leaves_dfs, bfs_rank_dfs,
-                         second=second)
+                         second=second, clades=clades)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "b_pad", "mc"))

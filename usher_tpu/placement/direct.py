@@ -568,16 +568,31 @@ class _BatchState:
         return sc, valid, hu
 
     def resolve(self, i: int, best0: int, w0: int, nb0: int, hu0: bool,
-                second=None):
+                second=None, collect=None):
         """Exact tree-at-apply-time result for sample i, or None when only
         the full host re-score can certify it.  `second` is the device's
         winner-row-masked runner-up (b2, w2, nb2, hu2) arrays — consulted
-        when the snapshot winner was modified by an earlier apply."""
+        when the snapshot winner was modified by an earlier apply.
+
+        collect (a dict, -D detailed clades) receives how the final TIE
+        SET relates to the device snapshot: mode="snap" with
+        deltas=[(slot, leaf, hu, sign)] membership edits against the
+        snapshot histogram; mode="explicit" with members=[(slot, leaf,
+        hu)] enumerating it outright; mode=None when only a full host
+        re-score can produce it."""
+        if collect is not None:
+            collect["mode"] = None
         if self.applies == 0:
+            if collect is not None:
+                collect["mode"] = "snap"
+                collect["deltas"] = []
             return best0, w0, nb0, hu0
-        r = self._resolve_core(i, best0, w0, nb0, hu0, exclude=None)
+        r = self._resolve_core(i, best0, w0, nb0, hu0, exclude=None,
+                               collect=collect)
         if r is not self._NEED_SECOND:
             return r
+        if collect is not None:
+            collect["mode"] = None   # re-based on the runner-up reduce
         if second is None:
             return None
         b2, w2, nb2, hu2 = (int(second[0][i]), int(second[1][i]),
@@ -593,7 +608,7 @@ class _BatchState:
     _NEED_SECOND = object()
 
     def _resolve_core(self, i: int, best0: int, w0: int, nb0: int,
-                      hu0: bool, exclude):
+                      hu0: bool, exclude, collect=None):
         """One resolution pass against a device (best, winner, count, hu)
         where `exclude` names a slot masked out of that device count."""
         n = self.ncand
@@ -615,11 +630,19 @@ class _BatchState:
             # the next-in-line among pre-existing nodes is needed
             return self._NEED_SECOND
 
+        def _explicit(ties):
+            if collect is not None:
+                collect["mode"] = "explicit"
+                collect["members"] = [
+                    (int(self.cslot[j]), bool(self.cleaf[j]),
+                     bool(hu_c[j])) for j in ties]
+
         if w0 < 0:
             # old nodes exhausted: winner must come from the candidates
             if bestc >= int(self.INF):
                 return self._NEED_SECOND
             ties = np.nonzero(sc == bestc)[0]
+            _explicit(ties)
             jw = max(ties, key=lambda j: (self.leaves_view(
                 int(self.cslot[j])), self.chain_key(int(self.cslot[j]))))
             return (bestc, int(self.cslot[jw]), len(ties), bool(hu_c[jw]))
@@ -627,6 +650,7 @@ class _BatchState:
         if bestc < best0:
             ties = np.nonzero(sc == bestc)[0]
             nb = len(ties)
+            _explicit(ties)
             jw = max(ties, key=lambda j: (self.leaves_view(
                 int(self.cslot[j])), self.chain_key(int(self.cslot[j]))))
             return (bestc, int(self.cslot[jw]), nb, bool(hu_c[jw]))
@@ -636,6 +660,7 @@ class _BatchState:
         # attains best0 validly (`exclude` was row-masked in this pass's
         # device count, so it was never part of it)
         adj = 0
+        deltas = [] if collect is not None else None
         if n:
             for j in np.nonzero(self.cmod[:n])[0]:
                 slot = int(self.cslot[j])
@@ -644,10 +669,25 @@ class _BatchState:
                        and bool(self.cvalid0[j, i]))
                 now = (int(colS[j]) == best0) and bool(valid_c[j])
                 adj += int(now) - int(was)
+                if deltas is not None:
+                    leaf = bool(self.cleaf[j])
+                    if was:
+                        # the device counted u with its SNAPSHOT hu
+                        nc0 = int(self.probes[slot][1][i])
+                        hu0s = nc0 < int(self.num_mut0[slot])
+                        deltas.append((slot, leaf, hu0s, -1))
+                    if now:
+                        deltas.append((slot, leaf, bool(hu_c[j]), +1))
 
         cand_ties = (np.nonzero(sc == best0)[0] if bestc == best0
                      else np.zeros(0, np.int64))
         new_ties = [int(j) for j in cand_ties if not self.cmod[j]]
+        if deltas is not None:
+            for j in new_ties:
+                deltas.append((int(self.cslot[j]), bool(self.cleaf[j]),
+                               bool(hu_c[j]), +1))
+            collect["mode"] = "snap"
+            collect["deltas"] = deltas
 
         chal: list[int] = []
         if nb0 > 1:
@@ -671,6 +711,8 @@ class _BatchState:
                 for slot in chal:
                     bar = max(bar, self.leaves_view(slot))
                 if any(b >= bar for b in self.opaque):
+                    if collect is not None:
+                        collect["mode"] = None
                     return None
 
         nb = nb0 + adj + len(new_ties)
@@ -764,6 +806,7 @@ class DirectPlacer:
         # node_<k> per '(' (= one per internal node; condensed LEAF names
         # may also start with node_ and must not count)
         self._internal_counter = int((~self.big.is_leaf).sum())
+        self._init_clades()
         # per-node mutation-list deltas (split/appended nodes); everything
         # else reads the CSR directly
         self._mut_delta: dict[int, list] = {}
@@ -771,6 +814,121 @@ class DirectPlacer:
         self._bs: _BatchState | None = None   # current batch's overlay
         # extra per-new-slot views for not-yet-flushed appends
         self._leaf_over: dict[int, bool] = {}
+
+    # --- clade annotations --------------------------------------------------
+
+    def _init_clades(self) -> None:
+        """Interned + root-to-leaf propagated clade-id arrays per
+        annotation column (the array form of Tree.get_clade_assignment,
+        mutation_annotated_tree.cpp:950-958): clade_self[a][n] = nearest
+        ancestor-or-self non-empty annotation; clade_par[a][n] = the same
+        excluding n's own annotation.  Id 0 = UNDEFINED."""
+        from ..io import pb_arrays as pa
+        anns, ncols = pa.ann_lists(self.ma, self.ma.n)
+        self.num_annotations = ncols
+        self._clade_tables: list[list[str]] = []
+        self._clade_self: list[np.ndarray] = []
+        self._clade_par: list[np.ndarray] = []
+        if ncols == 0:
+            return
+        big = self.big
+        n0 = self.ma.n
+        level = big.level[:n0]
+        parent = big.parent[:n0]
+        order = np.argsort(level, kind="stable")
+        bounds = np.searchsorted(level[order],
+                                 np.arange(int(level.max()) + 2))
+        for a in range(ncols):
+            index = {"": 0}
+            table = ["UNDEFINED"]
+            own = np.zeros(n0, np.int32)
+            for i in range(n0):
+                s = anns[i][a] if a < len(anns[i]) else ""
+                if not s:
+                    continue
+                got = index.get(s)
+                if got is None:
+                    got = index[s] = len(table)
+                    table.append(s)
+                own[i] = got
+            cs = own.copy()
+            for li in range(1, len(bounds) - 1):
+                idx = order[bounds[li]:bounds[li + 1]]
+                if len(idx) == 0:
+                    continue
+                cs[idx] = np.where(own[idx] != 0, own[idx],
+                                   cs[parent[idx]])
+            cp = cs[parent]
+            cp[big.root_slot] = 0   # no ancestor above the root
+            self._clade_tables.append(table)
+            self._clade_self.append(cs)
+            self._clade_par.append(cp)
+
+    def _sync_clades(self) -> None:
+        """Grow the propagated arrays to big.N: placement-created nodes
+        carry no annotations, so they inherit the parent's propagated
+        clade; a split never moves annotations, so existing entries stay
+        exact (x interposes with an empty annotation)."""
+        if not self.num_annotations:
+            return
+        big = self.big
+        n_old = len(self._clade_self[0])
+        if n_old == big.N:
+            return
+        for a in range(self.num_annotations):
+            cs = np.empty(big.N, np.int32)
+            cs[:n_old] = self._clade_self[a]
+            cp = np.empty(big.N, np.int32)
+            cp[:n_old] = self._clade_par[a]
+            for slot in range(n_old, big.N):
+                p = int(big.parent[slot])
+                cs[slot] = cs[p]
+                cp[slot] = cs[p]
+            self._clade_self[a] = cs
+            self._clade_par[a] = cp
+
+    def _clade_id_of(self, slot: int, a: int,
+                     include_self: bool = True) -> int:
+        """Clade id of a slot under the CURRENT view (queued surgery
+        included); batch-created nodes have no annotations, so both
+        include_self variants resolve at the nearest materialized
+        ancestor."""
+        s = int(slot)
+        cs = self._clade_self[a]
+        if not include_self:
+            if s < len(cs):
+                return int(self._clade_par[a][s])
+            p = self.parent_slot_of(s)
+            if p == s:
+                return 0
+            s = p
+        while s >= len(cs):
+            s = self.parent_slot_of(s)
+        return int(cs[s])
+
+    def _member_clade(self, a: int, slot: int, leaf: bool,
+                      hu: bool) -> int:
+        """Tie-set member's clade contribution: include_self = !leaf &&
+        !hu (usher_common.cpp:608-612)."""
+        if slot < len(self._clade_self[a]):
+            arr = (self._clade_par[a] if (leaf or hu)
+                   else self._clade_self[a])
+            return int(arr[slot])
+        return self._clade_id_of(slot, a, True)
+
+    def _host_clade_hist(self, is_best, hu_row):
+        """Histogram from a full host tie mask (fallback path; arrays are
+        flushed + synced by the caller)."""
+        big = self.big
+        tied = np.nonzero(is_best)[0]
+        use_par = big.is_leaf[tied] | hu_row[tied]
+        out = []
+        for a in range(self.num_annotations):
+            ids = np.where(use_par, self._clade_par[a][tied],
+                           self._clade_self[a][tied])
+            out.append(np.bincount(
+                ids, minlength=len(self._clade_tables[a])))
+        return out
 
     # --- node views ---------------------------------------------------------
 
@@ -905,6 +1063,81 @@ class DirectPlacer:
                 self._bs.note_child_insert(best_slot, s_slot, l2t)
             changed = [s_slot]
         return changed
+
+    def _assign_clades(self, s, best_slot: int, hu_best: bool,
+                       num_best: int, detailed: bool, collect,
+                       dev_hist, i: int, host_masks) -> None:
+        """Fill s.best_clade_assignment (always) and s.clade_assignments
+        (-D: per-column (clade, count) runs over the tie set, in sorted
+        clade order) — exact tree-at-apply-time values, assembled from the
+        device snapshot histogram plus the resolve membership edits, or a
+        full host row when only that can certify (usher_common.cpp:
+        600-619)."""
+        A = self.num_annotations
+        include_self = (not self.is_leaf_of(best_slot)) and (not hu_best)
+        s.best_clade_assignment = [
+            self._clade_tables[a][
+                self._clade_id_of(best_slot, a, include_self)]
+            for a in range(A)]
+        if not detailed:
+            return
+        mode = collect.get("mode") if collect is not None else None
+        if host_masks is not None:
+            self._sync_clades()
+            hists = self._host_clade_hist(*host_masks)
+        elif mode == "snap" and dev_hist is not None:
+            hists = [dev_hist[a, :, i].astype(np.int64).copy()
+                     for a in range(A)]
+            for (slot, leaf, hu, sign) in collect["deltas"]:
+                for a in range(A):
+                    hists[a][self._member_clade(a, slot, leaf, hu)] += sign
+        elif mode == "explicit":
+            hists = [np.zeros(len(self._clade_tables[a]), np.int64)
+                     for a in range(A)]
+            for (slot, leaf, hu) in collect["members"]:
+                for a in range(A):
+                    hists[a][self._member_clade(a, slot, leaf, hu)] += 1
+        else:
+            # resolved through the runner-up reduce: the snapshot
+            # histogram is based elsewhere — one exact host row
+            p1, g1, k1 = self.big.sparsify([s.mutations])
+            _b, _s, _n, _h, ib, hur = self.big.place_one_host(
+                p1, g1, k1, full=True)
+            self._sync_clades()
+            hists = self._host_clade_hist(ib, hur)
+        s.clade_assignments = []
+        for a in range(A):
+            table = self._clade_tables[a]
+            h = hists[a]
+            total = int(h[:len(table)].sum())
+            if total != num_best:
+                raise AssertionError(
+                    f"clade histogram mismatch for {s.name} column {a}: "
+                    f"{total} vs num_best {num_best}")
+            order = sorted(range(len(table)), key=lambda cid: table[cid])
+            s.clade_assignments.append(
+                [(table[cid], int(h[cid])) for cid in order if h[cid] > 0])
+
+    def _write_clades(self, path: str, detailed: bool) -> None:
+        """clades.txt (usher_common.cpp:941-989 / driver.py:627-653):
+        per placed sample the best clade per annotation column; -D appends
+        '*|clade(count/total),...' histogram runs over the tie set."""
+        with open(path, "w") as f:
+            for s in self.missing:
+                if not s.best_clade_assignment:
+                    continue
+                f.write(f"{s.name}\t")
+                cols = []
+                for k in range(self.num_annotations):
+                    col = s.best_clade_assignment[k]
+                    if detailed:
+                        col += "*|"
+                        total = sum(c for _, c in s.clade_assignments[k])
+                        col += ",".join(
+                            f"{clade}({cnt}/{total})"
+                            for clade, cnt in s.clade_assignments[k])
+                    cols.append(col)
+                f.write("\t".join(cols) + "\n")
 
     # --- the placement loop -------------------------------------------------
 
@@ -1044,13 +1277,28 @@ class DirectPlacer:
         stats_f = open(os.path.join(outdir, "placement_stats.tsv"), "w")
 
         seq_mode = bool(os.environ.get("USHER_TPU_DIRECT_SEQ"))
+        want_clades = self.num_annotations > 0
+        detailed = opts.detailed_clades and want_clades
+        use_dev_hist = detailed and big.mesh is None and not seq_mode
+        n_clades = (max(len(t) for t in self._clade_tables)
+                    if want_clades else 0)
         for b0 in range(0, len(indexes), bsz):
             batch = [self.missing[i] for i in indexes[b0:b0 + bsz]]
             for s in batch:
                 s.mutations.sort(key=lambda m: m.position)
             pos, gval, kmiss = big.sparsify([s.mutations for s in batch])
             with_second = big.mesh is None
-            if with_second:
+            dev_hist = None
+            if use_dev_hist:
+                # clade arrays must cover every flushed slot before the
+                # device call snapshots them
+                big._flush()
+                self._sync_clades()
+                cl = (self._clade_self, self._clade_par, n_clades)
+            if with_second and use_dev_hist:
+                (bs, slot, nb, hu), second, dev_hist = big.place_arrays(
+                    pos, gval, kmiss, with_second=True, clades=cl)
+            elif with_second:
                 (bs, slot, nb, hu), second = big.place_arrays(
                     pos, gval, kmiss, with_second=True)
             else:
@@ -1065,11 +1313,14 @@ class DirectPlacer:
                     _err(f"WARNING: Sample {s.name} already in the tree! "
                          f"Ignoring.\n")
                     continue
+                collect = {} if detailed else None
                 if seq_mode and st.applies:
                     r = None   # the reference's literal per-sample loop
                 else:
                     r = st.resolve(i, int(bs[i]), int(slot[i]),
-                                   int(nb[i]), bool(hu[i]), second=second)
+                                   int(nb[i]), bool(hu[i]), second=second,
+                                   collect=collect)
+                host_masks = None
                 if r is None:
                     # uncertifiable from the snapshot: exact full host
                     # re-score against the current tree (numpy interval
@@ -1077,8 +1328,14 @@ class DirectPlacer:
                     # post-append epoch metadata every time)
                     st.fallbacks += 1
                     p1, g1, k1 = big.sparsify([s.mutations])
-                    best_score, best_slot, num_best, hu_best = \
-                        big.place_one_host(p1, g1, k1)
+                    if detailed:
+                        (best_score, best_slot, num_best, hu_best,
+                         ib_mask, hu_row) = big.place_one_host(
+                            p1, g1, k1, full=True)
+                        host_masks = (ib_mask, hu_row)
+                    else:
+                        best_score, best_slot, num_best, hu_best = \
+                            big.place_one_host(p1, g1, k1)
                 else:
                     best_score, best_slot, num_best, hu_best = r
                     best_score, best_slot = int(best_score), int(best_slot)
@@ -1116,6 +1373,12 @@ class DirectPlacer:
 
                 if (num_best <= opts.max_uncertainty
                         and best_score <= opts.max_parsimony):
+                    if want_clades:
+                        # before apply, like the Tree driver
+                        # (usher_common.cpp:600-619)
+                        self._assign_clades(s, best_slot, hu_best,
+                                            num_best, detailed, collect,
+                                            dev_hist, i, host_masks)
                     if not opts.no_add:
                         self.apply_placement(
                             s.name, best_slot, hu_best, detail.excess)
@@ -1149,6 +1412,10 @@ class DirectPlacer:
         with open(path, "w") as f:
             for s in self.missing:
                 f.write(self._mutation_path(s.name))
+        if self.missing and self.num_annotations > 0:
+            path = os.path.join(outdir, "clades.txt")
+            _err(f"Writing clade annotations to file {path}")
+            self._write_clades(path, detailed)
         if opts.dout_filename:
             _err(f"Saving mutation-annotated tree object to file (after "
                  f"condensing identical sequences) {opts.dout_filename}")
