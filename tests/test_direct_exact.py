@@ -373,3 +373,104 @@ def test_direct_clades_batched_equals_sequential(tmp_path, seed):
     b = run(f"s{seed}", True)
     for f in a:
         assert a[f] == b[f], (f, seed)
+
+
+@pytest.mark.parametrize("flags", [["-C"], ["-c"], ["-c", "-C"],
+                                   ["-C", "-u"]])
+def test_direct_collapse_matches_tree_driver(tmp_path, flags):
+    """--pb-direct -c (input collapse+condense before placement) and -C
+    (output collapse) must byte-match the Tree --bigmat driver
+    (usher_common.cpp:275-297, 798-801), including the saved pb."""
+    rng = np.random.default_rng(51)
+    ma, state, is_leaf = consistent_mat(rng, N=220, P=110)
+    # sprinkle zero-mutation branches so collapse has work to do
+    keep = rng.random(len(ma.mut_col)) > 0.25
+    # drop ~25% of mutations (keeps chains consistent only if we drop
+    # whole-branch lists; instead zero out entire nodes' lists)
+    zap = rng.random(ma.n) < 0.3
+    new_ptr = [0]
+    mc, mp, mm = [], [], []
+    for i in range(ma.n):
+        if not zap[i]:
+            lo, hi = int(ma.mut_ptr[i]), int(ma.mut_ptr[i + 1])
+            mc.extend(ma.mut_col[lo:hi])
+            mp.extend(ma.mut_par[lo:hi])
+            mm.extend(ma.mut_mut[lo:hi])
+        new_ptr.append(len(mc))
+    # zapping breaks chain consistency; rebuild par chain top-down
+    ma.mut_ptr = np.array(new_ptr, np.int64)
+    ma.mut_col = np.array(mc, np.int32)
+    ma.mut_par = np.array(mp, np.uint8)
+    ma.mut_mut = np.array(mm, np.uint8)
+    st = np.tile(ma.ref, (ma.n, 1))
+    for i in range(ma.n):
+        if i:
+            st[i] = st[ma.parent[i]]
+        lo, hi = int(ma.mut_ptr[i]), int(ma.mut_ptr[i + 1])
+        for k in range(lo, hi):
+            c = int(ma.mut_col[k])
+            ma.mut_par[k] = st[i, c]
+            if int(ma.mut_mut[k]) == int(st[i, c]):
+                ma.mut_mut[k] = [x for x in (1, 2, 4, 8)
+                                 if x != int(st[i, c])][0]
+            st[i, c] = ma.mut_mut[k]
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, st, is_leaf, n_samples=24)
+    vcf = tmp_path / "s.vcf"
+    write_vcf_for(vcf, ma, samples)
+
+    from usher_tpu.cli.usher_cli import main as usher_main
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d1,
+                       "-o", os.path.join(d1, "out.pb"),
+                       "--bigmat", "--mesh-devices", "0"] + flags) == 0
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d2,
+                       "-o", os.path.join(d2, "out.pb"),
+                       "--pb-direct", "--mesh-devices", "0",
+                       "--batch-size", "8"] + flags) == 0
+    files = ["placement_stats.tsv", "mutation-paths.txt"]
+    files.append("uncondensed-final-tree.nh" if "-u" in flags
+                 else "final-tree.nh")
+    if "-c" in flags:
+        files.append("condensed-tree.nh")
+    for fn in files:
+        x = open(os.path.join(d1, fn)).read()
+        y = open(os.path.join(d2, fn)).read()
+        assert x == y, (fn, flags)
+    with open(os.path.join(d1, "out.pb"), "rb") as f1, \
+            open(os.path.join(d2, "out.pb"), "rb") as f2:
+        assert f1.read() == f2.read(), flags
+
+
+@pytest.mark.parametrize("flags", [["-K", "20"], ["-k", "15"],
+                                   ["-k", "10", "-C"]])
+def test_direct_subtrees_match_tree_driver(tmp_path, flags):
+    """--pb-direct -k/-K usher-style subtree outputs must byte-match the
+    Tree --bigmat driver (same rng sequence and traversal orders;
+    mutation_annotated_tree.cpp:1693-1990)."""
+    rng = np.random.default_rng(61)
+    ma, state, is_leaf = consistent_mat(rng, N=260, P=120)
+    pb = tmp_path / "t.pb"
+    pa.save_arrays_to_pb(ma, str(pb))
+    samples = adversarial_samples(rng, ma, state, is_leaf, n_samples=20)
+    vcf = tmp_path / "s.vcf"
+    write_vcf_for(vcf, ma, samples)
+
+    from usher_tpu.cli.usher_cli import main as usher_main
+    d1, d2 = str(tmp_path / "t"), str(tmp_path / "a")
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d1,
+                       "--bigmat", "--mesh-devices", "0"] + flags) == 0
+    assert usher_main(["-i", str(pb), "-v", str(vcf), "-d", d2,
+                       "--pb-direct", "--mesh-devices", "0",
+                       "--batch-size", "8"] + flags) == 0
+    names1 = sorted(os.listdir(d1))
+    names2 = sorted(os.listdir(d2))
+    assert names1 == names2, flags
+    subtree_files = [n for n in names1
+                     if n.startswith(("subtree", "single-subtree"))]
+    assert subtree_files, flags
+    for fn in names1:
+        x = open(os.path.join(d1, fn)).read()
+        y = open(os.path.join(d2, fn)).read()
+        assert x == y, (fn, flags)

@@ -66,8 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(io/pb_arrays.py, native scanners) and place "
                         "entirely over BigMAT — for pandemic-scale MATs "
                         "where host Node objects cost minutes/GBs. "
-                        "Supports -i/-v/-d/-n/--batch-size/-e/-E; other "
-                        "flags need the Tree drivers")
+                        "Supports the full usher surface (-i/-v/-d/-n/-o/"
+                        "-u/-e/-E, sorts -s/-S/-A/-r, -p, -c/-C, -D, "
+                        "-k/-K, --batch-size) except -M>1 (Tree drivers)")
     p.add_argument("--bigmat", action="store_true",
                    help="Use the CSR BigMAT engine (O(N+M) memory) for "
                         "trees too large for the dense path-state matrix")
@@ -95,19 +96,20 @@ def main(argv=None) -> int:
         if not args.din:
             print("ERROR: --pb-direct requires -i MAT.pb", file=sys.stderr)
             return 1
-        unsupported = [f for f, v in [
-            ("--collapse-tree", args.collapse_tree),
-            ("--collapse-output-tree", args.collapse_output_tree),
-            ("-k/--write-subtrees-size", args.write_subtrees_size),
-            ("-K/--write-single-subtree", args.write_single_subtree),
-            ("-M>1", args.multiple_placements > 1),
-        ] if v]
-        if unsupported:
-            print(f"ERROR: --pb-direct does not support "
-                  f"{', '.join(unsupported)} (use the Tree drivers)",
-                  file=sys.stderr)
+        if args.multiple_placements > 1:
+            print("ERROR: --pb-direct does not support -M>1 "
+                  "(use the Tree drivers)", file=sys.stderr)
             return 1
         # the Tree driver's flag-combination validation (run_usher)
+        if args.write_subtrees_size == 1:
+            print("ERROR: print-subtrees-size should be larger than 1",
+                  file=sys.stderr)
+            return 1
+        if args.no_add and (args.write_subtrees_size > 0
+                            or args.write_single_subtree):
+            print("ERROR: Sorry, cannot output subtrees when -n/--no-add "
+                  "is specified.", file=sys.stderr)
+            return 1
         if (args.sort_before_placement_1 + args.sort_before_placement_2
                 + args.sort_before_placement_3) > 1:
             print("ERROR: Can't use two or more of sort-before-placement-1, "
@@ -147,6 +149,10 @@ def main(argv=None) -> int:
             reverse_sort=args.reverse_sort,
             print_parsimony_scores=args.write_parsimony_scores_per_node,
             detailed_clades=args.detailed_clades,
+            collapse_tree=args.collapse_tree,
+            collapse_output_tree=args.collapse_output_tree,
+            print_subtrees_size=args.write_subtrees_size,
+            print_subtrees_single=args.write_single_subtree,
             dout_filename=args.dout or ""), mesh=mesh)
     if args.tree:
         print("Loading input tree.", file=sys.stderr)

@@ -760,20 +760,46 @@ class DirectOptions:
 
 class DirectPlacer:
     def __init__(self, pb_path: str, vcf_path: str | None = None,
-                 mesh=None):
+                 mesh=None, collapse: bool = False):
         """mesh: optional jax Mesh (flattened to 1-D) — batch-axis
         shard_map composition for the device scoring calls
-        (ops/interval.py; CSR metadata replicated per device)."""
+        (ops/interval.py; CSR metadata replicated per device).
+
+        collapse (-c): collapse the input tree + condense identical
+        sequences BEFORE placement (usher_common.cpp:275-297), as list
+        ops — condensed-tree.nh text is stashed for place_all to write."""
         ma = load_mat_arrays(pb_path)
         self.ma = ma
         self.chrom = ma.chrom
         # internal-node counter continues the parsed numbering (node ids are
         # node_1..node_K in '(' order, matching Tree.new_internal_node_id)
         names = ma.names()
+        self._condensed_nh: str | None = None
+        if collapse:
+            # the duplicate-sample VCF check below still sees the
+            # PRE-collapse names (the Tree driver reads the VCF first)
+            pre_condensed = {leaf for _, ls in ma.condensed for leaf in ls}
+            pre_names = set(names)
+            from .list_tree import ListTree
+            _err("Collapsing input tree.")
+            lt = ListTree.from_arrays(ma)
+            lt.collapse_tree()
+            _err("Condensing identical sequences.")
+            lt.condense_leaves()
+            self._condensed_nh = lt.write_newick() + "\n"
+            self._counter_override = lt.curr_internal_node
+            pos_index = {int(p): i for i, p in enumerate(ma.positions)}
+            ma = lt.to_arrays(ma.positions, ma.ref, self.chrom, pos_index)
+            self.ma = ma
+            names = ma.names()
         self._names = names
         self._extra_names: list[str] = []
         self.condensed_leaves = {leaf for _, ls in ma.condensed
                                  for leaf in ls}
+        if collapse:
+            # already-in-tree warnings match the Tree flow's pre-collapse
+            # name set
+            self.condensed_leaves |= pre_condensed | pre_names
 
         self.missing: list[MissingSample] = []
         positions = ma.positions
@@ -804,8 +830,12 @@ class DirectPlacer:
         self.big.mesh = mesh
         # internal-node counter continues the parser's numbering: one
         # node_<k> per '(' (= one per internal node; condensed LEAF names
-        # may also start with node_ and must not count)
-        self._internal_counter = int((~self.big.is_leaf).sum())
+        # may also start with node_ and must not count).  After a -c
+        # collapse, the counter continues from the collapse's own id
+        # consumption instead (Tree.new_internal_node_id state).
+        self._internal_counter = getattr(
+            self, "_counter_override", None) or int(
+            (~self.big.is_leaf).sum())
         self._init_clades()
         # per-node mutation-list deltas (split/appended nodes); everything
         # else reads the CSR directly
@@ -1261,6 +1291,11 @@ class DirectPlacer:
         os.makedirs(opts.outdir, exist_ok=True)
         outdir = os.path.realpath(opts.outdir)
         big = self.big
+        if self._condensed_nh is not None:
+            # -c: the collapse itself ran at load time (__init__)
+            with open(os.path.join(outdir, "condensed-tree.nh"),
+                      "w") as f:
+                f.write(self._condensed_nh)
         _err(f"Found {len(self.missing)} missing samples.\n")
         bsz = max(1, opts.batch_size)
         if opts.sort_before_placement_3:
@@ -1394,11 +1429,24 @@ class DirectPlacer:
         stats_f.close()
         big._flush()
 
+        lt = None
+        if opts.collapse_output_tree:
+            # structural collapse over lists (Tree.collapse_tree
+            # semantics incl. merge-on-move; usher_common.cpp:798-801)
+            from .list_tree import ListTree
+            _err("Collapsing output tree.")
+            lt = ListTree.from_placer(self)
+            lt.collapse_tree()
+
         if opts.uncondensed:
             path = os.path.join(outdir, "uncondensed-final-tree.nh")
             _err(f"Writing uncondensed final tree to file {path}")
-            nh, total = self.write_newick(uncondense=True,
-                                          with_score=True)
+            if lt is not None:
+                nh, total = (lt.write_newick(uncondense=True),
+                             lt.parsimony_score())
+            else:
+                nh, total = self.write_newick(uncondense=True,
+                                              with_score=True)
             _err(f"The parsimony score for this tree is: {total}")
             with open(path, "w") as f:
                 f.write(nh)
@@ -1406,20 +1454,44 @@ class DirectPlacer:
             path = os.path.join(outdir, "final-tree.nh")
             _err(f"Writing final tree to file {path}")
             with open(path, "w") as f:
-                f.write(self.write_newick())
+                f.write(lt.write_newick() if lt is not None
+                        else self.write_newick())
         path = os.path.join(outdir, "mutation-paths.txt")
         _err(f"Writing mutation paths to file {path}")
         with open(path, "w") as f:
             for s in self.missing:
-                f.write(self._mutation_path(s.name))
+                f.write(lt.mutation_path(s.name) if lt is not None
+                        else self._mutation_path(s.name))
         if self.missing and self.num_annotations > 0:
             path = os.path.join(outdir, "clades.txt")
             _err(f"Writing clade annotations to file {path}")
             self._write_clades(path, detailed)
+        if opts.print_subtrees_single > 1 and self.missing:
+            from .list_tree import ListTree, write_single_subtree_lt
+            _err(f"Computing the single subtree for added samples with "
+                 f"{opts.print_subtrees_single} random leaves.\n")
+            if lt is None:
+                lt = ListTree.from_placer(self)
+            lt.uncondense_leaves()
+            write_single_subtree_lt(
+                lt, [s.name for s in self.missing], outdir,
+                opts.print_subtrees_single)
+        if opts.print_subtrees_size > 1 and self.missing:
+            from .list_tree import ListTree, write_sample_subtrees_lt
+            _err("Computing subtrees for added samples.\n")
+            if lt is None:
+                lt = ListTree.from_placer(self)
+            lt.uncondense_leaves()
+            write_sample_subtrees_lt(
+                lt, [s.name for s in self.missing], outdir,
+                opts.print_subtrees_size)
         if opts.dout_filename:
             _err(f"Saving mutation-annotated tree object to file (after "
                  f"condensing identical sequences) {opts.dout_filename}")
-            self.save_pb(opts.dout_filename)
+            if lt is not None:
+                self._save_lt(lt, opts.dout_filename)
+            else:
+                self.save_pb(opts.dout_filename)
 
     # --- array-native writers ----------------------------------------------
 
@@ -1482,114 +1554,18 @@ class DirectPlacer:
         usher_common.cpp:1033-1041) over arrays: expand the loaded
         condensed nodes, re-condense identical (zero-mutation polytomy)
         leaves fresh, and write a parsimony.pb byte-compatible with
-        save_mat_pb — no host Node objects."""
+        save_mat_pb — no host Node objects (placement/list_tree.py)."""
+        from .list_tree import ListTree
+        self._save_lt(ListTree.from_placer(self), path)
+
+    def _save_lt(self, lt, path: str) -> None:
         from ..io import pb_arrays as pa
+        lt.uncondense_leaves()
+        lt.condense_leaves()
+        self._internal_counter = lt.curr_internal_node
         big = self.big
-        big._flush()
-        N = big.N
-        names = [self.name_of(i) for i in range(N)]
-        muts = [self.mutations_of(i) for i in range(N)]
-        parent = big.parent.astype(np.int64).tolist()
-        root = big.root_slot
-        nr = np.nonzero(np.arange(N) != big.parent)[0]
-        o = np.lexsort((big.child_key[nr], big.parent[nr]))
-        children: list[list[int]] = [[] for _ in range(N)]
-        for s in nr[o].tolist():
-            children[int(big.parent[s])].append(s)
-        anns, ncols = pa.ann_lists(self.ma, N)
-        if anns is not None:
-            # placement-created slots (>= ma.n) carry the empty annotation
-            # columns the Tree path gives new nodes
-            for i in range(self.ma.n, N):
-                anns[i] = [""] * ncols
-
-        # --- uncondense (shared Tree.uncondense_leaves replay) -------------
-        def on_new(_j):
-            muts.append([])
-            if anns is not None:
-                anns.append([""] * ncols)
-
-        self._internal_counter = pa.expand_condensed(
-            names, parent, children, lambda i: bool(muts[i]),
-            self.ma.condensed, self._internal_counter, on_new)
-
-        # --- fresh condense (Tree.condense_leaves over BFS leaf order) -----
-        from collections import deque
-        bfs_leaves = []
-        dq = deque([root])
-        while dq:
-            x = dq.popleft()
-            if children[x]:
-                dq.extend(children[x])
-            else:
-                bfs_leaves.append(x)
-        removed: set[int] = set()
-        condensed: list[tuple] = []
-        for l1 in bfs_leaves:
-            if l1 in removed or muts[l1] or l1 == root:
-                continue
-            par = parent[l1]
-            group = [l2 for l2 in children[par]
-                     if not children[l2] and l2 not in removed
-                     and not muts[l2]]
-            if len(group) > 1:
-                new_name = (f"node_{1 + len(condensed)}_condensed_"
-                            f"{len(group)}_leaves")
-                j = len(names)
-                names.append(new_name)
-                muts.append([])
-                parent.append(par)
-                children.append([])
-                children[par].append(j)
-                if anns is not None:
-                    anns.append([""] * ncols)
-                condensed.append((new_name, [names[g] for g in group]))
-                removed.update(group)
-
-        # --- final DFS preorder -> MatArrays -> wire codec -----------------
-        pre = []
-        stack = [root]
-        while stack:
-            x = stack.pop()
-            if x in removed:
-                continue
-            pre.append(x)
-            stack.extend(reversed(children[x]))
-        idx_of = {x: i for i, x in enumerate(pre)}
-        n2 = len(pre)
-        parent2 = np.array(
-            [idx_of[parent[x]] if x != root else idx_of[x] for x in pre],
-            np.int32)
-        blob = "\0".join(names[x] for x in pre) + "\0"
-        blob_b = blob.encode()
-        name_off = np.zeros(n2 + 1, np.int64)
-        name_off[1:] = np.nonzero(
-            np.frombuffer(blob_b, np.uint8) == 0)[0] + 1
-        mc_, mp_, mm_ = [], [], []
-        ptr = np.zeros(n2 + 1, np.int64)
-        for i, x in enumerate(pre):
-            for m in muts[x]:
-                if m.position < 0:
-                    continue
-                mc_.append(big.pos_index[m.position])
-                mp_.append(int(m.par_nuc))
-                mm_.append(int(m.mut_nuc))
-            ptr[i + 1] = len(mc_)
-        ann_counts2 = None
-        ann_blob2 = b""
-        if anns is not None:
-            ann_counts2 = np.array([len(anns[x]) for x in pre], np.int32)
-            ann_blob2 = ("\0".join(a for x in pre for a in anns[x])
-                        + "\0").encode() if n2 else b""
-        ma2 = pa.MatArrays(
-            parent=parent2, names_blob=blob_b, name_off=name_off,
-            blen=np.full(n2, -1.0),
-            mut_ptr=ptr, mut_col=np.array(mc_, np.int32),
-            mut_par=np.array(mp_, np.uint8),
-            mut_mut=np.array(mm_, np.uint8),
-            positions=big.positions, ref=big.ref, chrom=self.chrom,
-            condensed=condensed, ann_counts=ann_counts2,
-            ann_blob=ann_blob2)
+        ma2 = lt.to_arrays(big.positions, big.ref, self.chrom,
+                           big.pos_index)
         pa.save_arrays_to_pb(ma2, path)
 
     def _mutation_path(self, sample_name: str) -> str:
@@ -1613,6 +1589,7 @@ class DirectPlacer:
 
 def run_usher_direct(pb_path: str, vcf_path: str,
                      opts: DirectOptions, mesh=None) -> int:
-    placer = DirectPlacer(pb_path, vcf_path, mesh=mesh)
+    placer = DirectPlacer(pb_path, vcf_path, mesh=mesh,
+                          collapse=opts.collapse_tree)
     placer.place_all(opts)
     return 0
