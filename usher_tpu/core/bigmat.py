@@ -1147,6 +1147,40 @@ class BigMAT:
         per-sample tie-set clade histogram [A, n_clades, B] as the last
         element of the returned tuple (-D detailed clades; not composed
         with the mesh path)."""
+        return self.place_arrays_finish(
+            self.place_arrays_begin(pos, gval, kmiss,
+                                    with_second=with_second,
+                                    clades=clades))
+
+    def place_arrays_finish(self, handle):
+        """Block on a place_arrays_begin handle and unpack.  The DFS-row
+        mapping is the one captured at dispatch time — flushes between
+        begin and finish (the pipelined serving loop) don't corrupt it."""
+        kind, payload = handle
+        if kind == "done":
+            return payload
+        out, hist, B, with_second, dfs_order, N = payload
+        # ONE host transfer: each np.asarray is a full round trip
+        # on a tunneled link (~30 ms each)
+        packed = np.asarray(jnp.stack(
+            [o.astype(jnp.int32) for o in out]))
+        res = self._unpack_place(packed, B, with_second,
+                                 dfs_order=dfs_order, N=N)
+        if hist is None:
+            return res
+        hist_np = np.asarray(hist)[:, :, :B]
+        return (res + (hist_np,) if with_second else (*res, hist_np))
+
+    def place_arrays_begin(self, pos, gval, kmiss,
+                           with_second: bool = False, clades=None):
+        """Dispatch a placement batch WITHOUT blocking on the result
+        (jax dispatch is asynchronous): returns a handle for
+        place_arrays_finish.  The serving driver overlaps the next
+        batch's device scoring with the current batch's host corrections
+        (the enqueue-ahead discipline of the headline bench; reference
+        leader pipelining, place_sample.cpp:450-584).  Paths that cannot
+        dispatch async (mesh, oversized column occupancy) resolve
+        synchronously into the handle."""
         self._flush()
         from ..ops import interval as iv
         B = pos.shape[0]
@@ -1211,18 +1245,11 @@ class BigMAT:
                     *(jnp.asarray(a) for a in ovn),
                     meta["base"], meta["nc_base"], *margs,
                     self.n_pad, b_pad, mc, second=with_second, **ckw)
+                hist = None
                 if clades is not None:
                     *out, hist = out
-                # ONE host transfer: each np.asarray is a full round trip
-                # on a tunneled link (~30 ms each)
-                packed = np.asarray(jnp.stack(
-                    [o.astype(jnp.int32) for o in out]))
-                res = self._unpack_place(packed, B, with_second)
-                if clades is None:
-                    return res
-                hist_np = np.asarray(hist)[:, :, :B]
-                return (res + (hist_np,) if with_second
-                        else (*res, hist_np))
+                return ("dev", (out, hist, B, with_second,
+                                self.dfs_order, self.N))
         *ev, add0 = self._events(pos, gval, kmiss, spr=False)
         b_pad, evp, ncp = self._batch_shapes(B, ev[:3], ev[3:6])
         add0p = np.zeros(b_pad, np.int32)
@@ -1240,7 +1267,7 @@ class BigMAT:
                 # jnp.stack cannot pack non-addressable global arrays)
                 from ..parallel.distributed import fetch
                 packed = np.stack([fetch(o).astype(np.int32) for o in out])
-                return self._unpack_place(packed, B, with_second)
+                return ("done", self._unpack_place(packed, B, with_second))
         else:
             out = iv.interval_place(
                 *(jnp.asarray(a) for a in evp),
@@ -1250,19 +1277,17 @@ class BigMAT:
         hist = None
         if clades is not None and self.mesh is None:
             *out, hist = out
-        packed = np.asarray(jnp.stack(
-            [o.astype(jnp.int32) for o in out]))
-        res = self._unpack_place(packed, B, with_second)
-        if hist is None:
-            return res
-        hist_np = np.asarray(hist)[:, :, :B]
-        return (res + (hist_np,) if with_second else (*res, hist_np))
+        return ("dev", (out, hist, B, with_second,
+                        self.dfs_order, self.N))
 
-    def _unpack_place(self, packed, B, with_second):
+    def _unpack_place(self, packed, B, with_second, dfs_order=None,
+                      N=None):
+        if dfs_order is None:
+            dfs_order, N = self.dfs_order, self.N
+
         def four(rows):
             best, best_row, num_best, hu = rows
-            best_slot = self.dfs_order[np.minimum(best_row[:B],
-                                                  self.N - 1)]
+            best_slot = dfs_order[np.minimum(best_row[:B], N - 1)]
             return (best[:B].astype(np.int32), best_slot.astype(np.int32),
                     num_best[:B].astype(np.int32), hu[:B].astype(bool))
         if not with_second:

@@ -842,6 +842,7 @@ class DirectPlacer:
         self._mut_delta: dict[int, list] = {}
         self._placed: set[str] = set()
         self._bs: _BatchState | None = None   # current batch's overlay
+        self._bs_next: _BatchState | None = None  # pipelined next batch
         # extra per-new-slot views for not-yet-flushed appends
         self._leaf_over: dict[int, bool] = {}
 
@@ -1074,8 +1075,10 @@ class DirectPlacer:
             self._mut_delta[s_slot] = sorted(l2, key=lambda m: m.position)
             self._leaf_over[x_slot] = False
             self._leaf_over[s_slot] = True
-            if self._bs is not None:
-                self._bs.note_split(best_slot, x_slot, s_slot, ct, l2t, l1t)
+            for bsx in (self._bs, self._bs_next):
+                if bsx is not None:
+                    bsx.note_split(best_slot, x_slot, s_slot, ct, l2t,
+                                   l1t)
             changed = [s_slot, x_slot, best_slot]
         else:
             curr_l1 = self.mutations_of(best_slot)
@@ -1089,8 +1092,9 @@ class DirectPlacer:
             self._extra_names.append(sample_name)
             self._mut_delta[s_slot] = sorted(l2, key=lambda m: m.position)
             self._leaf_over[s_slot] = True
-            if self._bs is not None:
-                self._bs.note_child_insert(best_slot, s_slot, l2t)
+            for bsx in (self._bs, self._bs_next):
+                if bsx is not None:
+                    bsx.note_child_insert(best_slot, s_slot, l2t)
             changed = [s_slot]
         return changed
 
@@ -1317,30 +1321,55 @@ class DirectPlacer:
         use_dev_hist = detailed and big.mesh is None and not seq_mode
         n_clades = (max(len(t) for t in self._clade_tables)
                     if want_clades else 0)
-        for b0 in range(0, len(indexes), bsz):
-            batch = [self.missing[i] for i in indexes[b0:b0 + bsz]]
+        with_second = big.mesh is None
+
+        def _dispatch(batch):
+            """Enqueue a batch's device scoring WITHOUT blocking and
+            snapshot its _BatchState at the same tree state the device
+            sees — the serving pipeline scores batch j+1 while batch j's
+            host corrections run (the headline bench's enqueue-ahead
+            discipline; reference place_sample.cpp:450-584).  The state
+            records every apply made between its snapshot and its
+            resolution (including the whole previous batch), which the
+            correction machinery already handles exactly."""
             for s in batch:
                 s.mutations.sort(key=lambda m: m.position)
             pos, gval, kmiss = big.sparsify([s.mutations for s in batch])
-            with_second = big.mesh is None
-            dev_hist = None
             if use_dev_hist:
                 # clade arrays must cover every flushed slot before the
                 # device call snapshots them
                 big._flush()
                 self._sync_clades()
                 cl = (self._clade_self, self._clade_par, n_clades)
-            if with_second and use_dev_hist:
-                (bs, slot, nb, hu), second, dev_hist = big.place_arrays(
-                    pos, gval, kmiss, with_second=True, clades=cl)
+                h = big.place_arrays_begin(pos, gval, kmiss,
+                                           with_second=True, clades=cl)
             elif with_second:
-                (bs, slot, nb, hu), second = big.place_arrays(
-                    pos, gval, kmiss, with_second=True)
+                h = big.place_arrays_begin(pos, gval, kmiss,
+                                           with_second=True)
             else:
-                bs, slot, nb, hu = big.place_arrays(pos, gval, kmiss)
+                h = big.place_arrays_begin(pos, gval, kmiss)
+            return h, _BatchState(self, pos, gval, kmiss)
+
+        batch_lists = [[self.missing[i] for i in indexes[b0:b0 + bsz]]
+                       for b0 in range(0, len(indexes), bsz)]
+        pending = _dispatch(batch_lists[0]) if batch_lists else None
+        for j, batch in enumerate(batch_lists):
+            h, st = pending
+            res = big.place_arrays_finish(h)
+            dev_hist = None
+            if use_dev_hist:
+                (bs, slot, nb, hu), second, dev_hist = res
+            elif with_second:
+                (bs, slot, nb, hu), second = res
+            else:
+                bs, slot, nb, hu = res
                 second = None
-            st = _BatchState(self, pos, gval, kmiss)
+            # overlap: enqueue batch j+1 against the CURRENT state before
+            # batch j's host corrections/applies run
+            pending = (_dispatch(batch_lists[j + 1])
+                       if j + 1 < len(batch_lists) else None)
             self._bs = st
+            self._bs_next = pending[1] if pending is not None else None
             for i, s in enumerate(batch):
                 if s.name in self._placed:
                     # duplicate within the VCF: the Tree driver's mid-loop
@@ -1427,6 +1456,7 @@ class DirectPlacer:
                         stats_f.write(imp)
                 stats_f.write("\n")
         stats_f.close()
+        self._bs = self._bs_next = None
         big._flush()
 
         lt = None
