@@ -1370,6 +1370,7 @@ class DirectPlacer:
                        if j + 1 < len(batch_lists) else None)
             self._bs = st
             self._bs_next = pending[1] if pending is not None else None
+            self._total_batches = getattr(self, "_total_batches", 0) + 1
             for i, s in enumerate(batch):
                 if s.name in self._placed:
                     # duplicate within the VCF: the Tree driver's mid-loop
@@ -1455,7 +1456,14 @@ class DirectPlacer:
                         _err("Imputed mutations:\t" + imp)
                         stats_f.write(imp)
                 stats_f.write("\n")
+            self._total_fallbacks = (getattr(self, "_total_fallbacks", 0)
+                                     + st.fallbacks)
         stats_f.close()
+        if self.missing:
+            _err(f"[direct] {getattr(self, '_total_fallbacks', 0)} full "
+                 f"host re-scores over "
+                 f"{len(self.missing)} samples "
+                 f"({getattr(self, '_total_batches', 0)} batches)")
         self._bs = self._bs_next = None
         big._flush()
 
