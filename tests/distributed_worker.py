@@ -148,6 +148,58 @@ def main():
         results["serve_tree"] = open(
             os.path.join(serve_dir, "final-tree.nh")).read()
 
+    # --- usher-sampled on the 4k-leaf smoke fixture ------------------------
+    # (interleaved optimization triggered mid-placement, batch scoring +
+    # FS/SPR all sharded over the GLOBAL 2-process mesh — the reference's
+    # interleaved leader protocol, src/usher-sampled/driver/main.cpp:58-188)
+    import time as _time
+    here = os.path.dirname(os.path.abspath(__file__))
+    fdir = ("/root/reference/test"
+            if os.path.isdir("/root/reference/test")
+            else os.path.join(here, "fixtures"))
+    from usher_tpu.cli.usher_sampled_cli import main as sampled_main
+    from usher_tpu.io.newick import parse_newick
+    from usher_tpu.io.vcf import read_vcf
+    from usher_tpu.ops.sankoff import assign_states_from_vcf
+    T4 = parse_newick(os.path.join(fdir, "global_phylo.nh"))
+    _, vcf4 = read_vcf(T4, os.path.join(fdir, "global_samples.vcf"),
+                       create_new_mat=True)
+    assign_states_from_vcf(T4, vcf4)
+    pb4 = os.path.join(td, "smoke.pb")
+    save_mat_pb(T4, pb4)
+    # widen the workload past one batch round: clone the 5 fixture
+    # samples' genotype columns under fresh names
+    lines = open(os.path.join(fdir,
+                              "new_samples.vcf")).read().splitlines()
+    hi = next(i for i, l in enumerate(lines) if l.startswith("#CHROM"))
+    hdr = lines[hi].split("\t")
+    fixed, names = hdr[:9], hdr[9:]
+    reps = 16
+    new_names = [f"{n}__r{k}" for k in range(reps) for n in names]
+    out_lines = lines[:hi] + ["\t".join(fixed + new_names)]
+    for l in lines[hi + 1:]:
+        f = l.split("\t")
+        out_lines.append("\t".join(f[:9] + f[9:] * reps))
+    vcf4_path = os.path.join(td, "smoke_new.vcf")
+    with open(vcf4_path, "w") as f:
+        f.write("\n".join(out_lines) + "\n")
+    sampled_dir = os.path.join(td, "so")
+    t0 = _time.time()
+    rc = sampled_main(["-i", pb4, "-v", vcf4_path, "-d", sampled_dir,
+                       "--parsimony_threshold", "0",
+                       "--optimization_radius", "2",
+                       "--batch_size_per_process", "1",
+                       "--mesh-devices", str(jax.device_count())]
+                      + (["--distributed"] if distributed else []))
+    sampled_wall = _time.time() - t0
+    assert rc == 0
+    if is_leader():
+        results["sampled_stats"] = open(
+            os.path.join(sampled_dir, "placement_stats.tsv")).read()
+        results["sampled_tree"] = open(
+            os.path.join(sampled_dir, "final-tree.nh")).read()
+        results["sampled_wall_s"] = round(sampled_wall, 3)
+
     # --- FS + SPR optimization sharded over the global mesh ----------------
     from usher_tpu.io.newick import write_newick
     from usher_tpu.optimize import OptimizeOptions, optimize_tree

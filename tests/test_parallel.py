@@ -315,8 +315,12 @@ def test_distributed_two_process_parity(tmp_path):
     assert m["process_count"] == 2
     assert m["device_count"] == 8 == g["device_count"]
     for key in ("placement", "serve_stats", "serve_tree",
+                "sampled_stats", "sampled_tree",
                 "optimize_dense", "optimize_big"):
         assert g[key] == m[key], key
+    # the sampled phase must actually have placed the widened workload
+    assert len(m["sampled_stats"].splitlines()) >= 60
+    assert m["sampled_wall_s"] > 0 and g["sampled_wall_s"] > 0
 
 
 def test_distributed_degenerate_single_process(tmp_path):

@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reduce-back-mutations", "-B", action="store_true")
     p.add_argument("--retain-input-branch-lengths", "-l", action="store_true")
     p.add_argument("--no-add", "-n", action="store_true")
+    p.add_argument("--mesh-devices", type=int, default=-1,
+                   help="Shard batch scoring + interleaved optimization "
+                        "over N devices (-1 auto, 0 off) — the mesh "
+                        "data-parallel replacement for the reference's "
+                        "MPI follower protocol (place_sample.cpp:591)")
     p.add_argument("--threads", "-T", type=int, default=0,
                    help="Accepted for CLI parity; XLA manages parallelism")
     p.add_argument("--distributed", action="store_true",
@@ -85,11 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _optimize(T: Tree, radius: int, minutes: float) -> None:
+def _optimize(T: Tree, radius: int, minutes: float,
+              mesh_devices: int = 0) -> None:
     from ..optimize import OptimizeOptions, optimize_tree
     optimize_tree(T, OptimizeOptions(
         radius=radius, max_hours=minutes / 60.0 if minutes else 0.0,
-        max_iterations=100, reduce_back_mutations=False))
+        max_iterations=100, reduce_back_mutations=False,
+        mesh_devices=mesh_devices))
 
 
 def main(argv=None) -> int:
@@ -170,14 +177,26 @@ def main(argv=None) -> int:
         )
         return run_usher_multi(T, missing_samples, opts, vcf)
 
+    mesh = None
+    want = args.mesh_devices
+    if want == -1:
+        import jax
+        nd = len(jax.devices())
+        want = nd if (nd > 1 and jax.default_backend() == "tpu") else 0
+    if want > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(want)
+        _err(f"Sharding placement over a {dict(mesh.shape)} device mesh.")
+
     extra = None
     if args.diff:
         extra = [m for s in missing_samples for m in s.mutations]
     if args.bigmat:
         from ..placement.big_engine import BigPlacementEngine
-        engine = BigPlacementEngine(T, vcf, extra_mutations=extra)
+        engine = BigPlacementEngine(T, vcf, extra_mutations=extra,
+                                    mesh=mesh)
     else:
-        engine = PlacementEngine(T, vcf, extra_mutations=extra)
+        engine = PlacementEngine(T, vcf, extra_mutations=extra, mesh=mesh)
     if args.diff:
         # expand each diff sample's N ranges over the segregating positions
         from ..io.diff import materialize_missing
@@ -249,19 +268,21 @@ def main(argv=None) -> int:
                      f"threshold; optimizing (radius "
                      f"{args.optimization_radius}).")
                 _optimize(T, args.optimization_radius,
-                          args.optimization_minutes)
+                          args.optimization_minutes,
+                          mesh_devices=want if want > 1 else 0)
                 if args.bigmat:
                     from ..placement.big_engine import BigPlacementEngine
-                    engine = BigPlacementEngine(T, vcf)
+                    engine = BigPlacementEngine(T, vcf, mesh=mesh)
                 else:
-                    engine = PlacementEngine(T, vcf)
+                    engine = PlacementEngine(T, vcf, mesh=mesh)
                 pars_accum = 0
     stats_f.close()
 
     if args.last_optimization_minutes > 0:
         _err("Final optimization round.")
         _optimize(T, args.optimization_radius,
-                  args.last_optimization_minutes)
+                  args.last_optimization_minutes,
+                  mesh_devices=want if want > 1 else 0)
 
     if args.reduce_back_mutations:
         from ..core.flat import collect_positions

@@ -1350,10 +1350,14 @@ class DirectPlacer:
                 h = big.place_arrays_begin(pos, gval, kmiss)
             return h, _BatchState(self, pos, gval, kmiss)
 
+        pipelined = not os.environ.get("USHER_TPU_DIRECT_NOPIPE")
         batch_lists = [[self.missing[i] for i in indexes[b0:b0 + bsz]]
                        for b0 in range(0, len(indexes), bsz)]
-        pending = _dispatch(batch_lists[0]) if batch_lists else None
+        pending = (_dispatch(batch_lists[0])
+                   if batch_lists and pipelined else None)
         for j, batch in enumerate(batch_lists):
+            if pending is None:
+                pending = _dispatch(batch)
             h, st = pending
             res = big.place_arrays_finish(h)
             dev_hist = None
@@ -1367,7 +1371,7 @@ class DirectPlacer:
             # overlap: enqueue batch j+1 against the CURRENT state before
             # batch j's host corrections/applies run
             pending = (_dispatch(batch_lists[j + 1])
-                       if j + 1 < len(batch_lists) else None)
+                       if pipelined and j + 1 < len(batch_lists) else None)
             self._bs = st
             self._bs_next = pending[1] if pending is not None else None
             self._total_batches = getattr(self, "_total_batches", 0) + 1
