@@ -23,6 +23,8 @@ host-side precomputes over the CSR arrays, refreshed per tree epoch:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -1233,11 +1235,30 @@ class BigMAT:
                 else:
                     z = (np.zeros(0, np.int32),) * 3
                     oev = [*z, *z]
+                csc = self._csc_dev()
+                if clades is None and os.environ.get(
+                        "USHER_TPU_SEG", "1") != "0":
+                    # segment-query kernel: O(events * log N), no
+                    # [n_pad, b_pad] matrices (ops/interval.py)
+                    ovr, ovv = iv.pad_overlay_by_sample(
+                        np.asarray(oev[0]), np.asarray(oev[1]),
+                        np.asarray(oev[2]), b_pad, self.n_pad)
+                    ovnr, ovnv = iv.pad_overlay_by_sample(
+                        np.asarray(oev[3]), np.asarray(oev[4]),
+                        np.asarray(oev[5]), b_pad, self.n_pad)
+                    out = iv.interval_place_seg_dev(
+                        *csc, jnp.asarray(pos.astype(np.int32)),
+                        jnp.asarray(gval), jnp.asarray(kmiss),
+                        jnp.asarray(ovr), jnp.asarray(ovv),
+                        jnp.asarray(ovnr), jnp.asarray(ovnv),
+                        meta["base"], meta["nc_base"], *margs,
+                        self.n_pad, b_pad, mc, second=with_second)
+                    return ("dev", (out, None, B, with_second,
+                                    self.dfs_order, self.N))
                 # large bucket: the overlay grows every batch in a serving
                 # loop, and each bucket crossing is a new jit shape
                 ovp = iv.pad_events(*oev[:3], self.n_pad, bucket=4096)
                 ovn = iv.pad_events(*oev[3:6], self.n_pad, bucket=4096)
-                csc = self._csc_dev()
                 out = iv.interval_place_dev(
                     *csc, jnp.asarray(pos.astype(np.int32)),
                     jnp.asarray(gval), jnp.asarray(kmiss),

@@ -538,3 +538,293 @@ def _spr_sharded_fn(mesh, axis, n_pad: int, bl: int):
                       + (rep,) * 6 + (P(axis),) * 4 + (rep,),
                       out_specs=(P(axis),) * 3)
     return jax.jit(f)
+
+
+# --- segment-query placement: O(events * log N) instead of O(N * B) ---------
+#
+# The [n_pad, b_pad] score matrix is piecewise constant per sample: between
+# a sample's difference-array event rows, score(n) = base(n) + add0 + R
+# with R the event prefix at the segment, and nc(n) = nc_base(n) (nc point
+# events only touch event rows).  So validity off event rows is the STATIC
+# validity, and the tie-broken argmin over a segment is a precomputed
+# range-min-monoid query over (base, count@min, num_leaves, bfs_rank, row)
+# restricted to statically-valid rows.  Per sample the reduction touches
+# only ~3*K*occupancy event rows exactly plus one sparse-table query per
+# segment — the device-side analog of the reference's per-sample
+# mutation-list walk (usher_mapper.cpp:167-504), with the same results as
+# the full-matrix kernel (bit-identical; cross-checked in
+# tests/test_interval_seg.py).
+
+_SEG_INF = jnp.int32(BIG)
+
+
+def _seg_combine(a, b):
+    """Monoid combine for (key, cnt, lv, rk, row): min key; equal keys sum
+    counts and keep the (num_leaves, bfs_rank)-max winner — the reference
+    tie-break (usher_mapper.cpp:458-497)."""
+    ka, ca, la, ra, wa = a
+    kb, cb, lb, rb, wb = b
+    key = jnp.minimum(ka, kb)
+    cnt = jnp.where(ka == kb, ca + cb, jnp.where(kb < ka, cb, ca))
+    b_wins = (kb < ka) | ((kb == ka)
+                          & ((lb > la) | ((lb == la) & (rb > ra))))
+    lv = jnp.where(b_wins, lb, la)
+    rk = jnp.where(b_wins, rb, ra)
+    row = jnp.where(b_wins, wb, wa)
+    return key, cnt, lv, rk, row
+
+
+def _build_seg_table(base_dfs, nc_base_dfs, num_mut_dfs, is_leaf_dfs,
+                     is_root_dfs, active_dfs, num_leaves_dfs,
+                     bfs_rank_dfs, n_pad: int):
+    """Sparse table of the static-valid monoid over DFS rows: T[k][i]
+    summarizes rows [i, i + 2^k).  Built on device each call (log2(n_pad)
+    vectorized combines — microseconds next to the per-batch work)."""
+    hu_s = nc_base_dfs < num_mut_dfs
+    ncp = nc_base_dfs > 0
+    leaf = is_leaf_dfs
+    static_valid = (is_root_dfs | (leaf & ncp) | (~leaf & hu_s & ncp)
+                    | (~leaf & ~hu_s)) & active_dfs
+    key0 = jnp.where(static_valid, base_dfs, _SEG_INF)
+    rows0 = jax.lax.iota(jnp.int32, n_pad)
+    levels = [(key0, jnp.ones(n_pad, jnp.int32), num_leaves_dfs,
+               bfs_rank_dfs, rows0)]
+    L = max(1, int(n_pad).bit_length())
+    pad_cell = (jnp.full(1, _SEG_INF), jnp.zeros(1, jnp.int32),
+                jnp.full(1, -1, jnp.int32), jnp.full(1, -1, jnp.int32),
+                jnp.full(1, n_pad, jnp.int32))
+    for k in range(1, L):
+        sh = 1 << (k - 1)
+        prev = levels[-1]
+        shifted = tuple(
+            jnp.concatenate([p[sh:], jnp.broadcast_to(pc, (min(sh, n_pad),))])
+            for p, pc in zip(prev, pad_cell))
+        levels.append(_seg_combine(prev, shifted))
+    return (tuple(jnp.stack([lv[f] for lv in levels]) for f in range(5)),
+            hu_s, L)
+
+
+def _seg_query(table, L, l, r):
+    """Range query over [l, r] (inclusive; empty when l > r) — DISJOINT
+    binary-lifting walk (the classic two-overlapping-lookup trick is only
+    valid for idempotent monoids; count@min is not idempotent)."""
+    tk, tc, tl, tr, tw = table
+    n_pad = tk.shape[1]
+    acc = (jnp.full_like(l, _SEG_INF), jnp.zeros_like(l),
+           jnp.full_like(l, -1), jnp.full_like(l, -1),
+           jnp.full_like(l, n_pad))
+    cur = jnp.clip(l, 0, n_pad)
+    rem = jnp.maximum(r - l + 1, 0)
+    for k in range(L - 1, -1, -1):
+        step = 1 << k
+        take = rem >= step
+        idx = jnp.clip(cur, 0, n_pad - 1)
+        cell = (tk[k, idx], tc[k, idx], tl[k, idx], tr[k, idx],
+                tw[k, idx])
+        cand = _seg_combine(acc, cell)
+        acc = tuple(jnp.where(take, c, a) for c, a in zip(cand, acc))
+        cur = jnp.where(take, cur + step, cur)
+        rem = jnp.where(take, rem - step, rem)
+    return acc
+
+
+def _seg_reduce(cands):
+    """(best, best_row, num_best, hu_best) from candidate tuples
+    (score, cnt, lv, rk, row, hu) each [B, S] — the same min / count /
+    (leaves, rank)-max semantics as _tie_reduce over full matrices."""
+    score, cnt, lv, rk, row, hu = cands
+    best = jnp.min(score, axis=1)
+    at = score == best[:, None]
+    num_best = jnp.sum(jnp.where(at, cnt, 0), axis=1)
+    neg = jnp.int32(-1)
+    lvm = jnp.where(at, lv, neg)
+    best_lv = jnp.max(lvm, axis=1)
+    at2 = at & (lv == best_lv[:, None])
+    rkm = jnp.where(at2, rk, neg)
+    best_rk = jnp.max(rkm, axis=1)
+    j = jnp.argmax(at2 & (rk == best_rk[:, None]), axis=1)
+    best_row = jnp.take_along_axis(row, j[:, None], axis=1)[:, 0]
+    hu_best = jnp.take_along_axis(hu, j[:, None], axis=1)[:, 0]
+    return best, best_row.astype(jnp.int32), num_best.astype(jnp.int32), \
+        hu_best
+
+
+def _seg_candidates(table, hu_s, L, rows_sorted, P_incl, add0,
+                    ncr_sorted, ncP, base_dfs, nc_base_dfs, num_mut_dfs,
+                    is_leaf_dfs, is_root_dfs, active_dfs, num_leaves_dfs,
+                    bfs_rank_dfs, n_pad: int, exclude_row=None):
+    """Candidate set for one reduction pass: exact evaluations at the
+    (deduplicated) event rows + one monoid query per inter-event segment.
+    exclude_row [B] masks one DFS row (the runner-up pass)."""
+    B, Et = rows_sorted.shape
+    # keep-LAST duplicate: its inclusive prefix is the full sum at the row
+    keep = jnp.concatenate(
+        [rows_sorted[:, :-1] != rows_sorted[:, 1:],
+         jnp.ones((B, 1), bool)], axis=1)
+    rc = jnp.clip(rows_sorted, 0, n_pad - 1)
+    # nc at each row: segmented sum via searchsorted into the sorted nc rows
+    lo = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(
+        ncr_sorted, rows_sorted)
+    hi = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
+        ncr_sorted, rows_sorted)
+    ncP0 = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), ncP], axis=1)
+    nc_at = jnp.take_along_axis(ncP0, hi, axis=1) - \
+        jnp.take_along_axis(ncP0, lo, axis=1)
+    nc_r = nc_base_dfs[rc] + nc_at
+    hu_r = nc_r < num_mut_dfs[rc]
+    ncp_r = nc_r > 0
+    leaf_r = is_leaf_dfs[rc]
+    valid_r = (is_root_dfs[rc] | (leaf_r & ncp_r)
+               | (~leaf_r & hu_r & ncp_r)
+               | (~leaf_r & ~hu_r)) & active_dfs[rc]
+    score_r = base_dfs[rc] + add0[:, None] + P_incl
+    mask_r = keep & (rows_sorted < n_pad) & valid_r
+    if exclude_row is not None:
+        mask_r = mask_r & (rows_sorted != exclude_row[:, None])
+    exact = (jnp.where(mask_r, score_r, _SEG_INF),
+             jnp.ones((B, Et), jnp.int32),
+             num_leaves_dfs[rc], bfs_rank_dfs[rc], rows_sorted, hu_r)
+
+    # segments: [prev_row + 1, row - 1] with R = prefix at prev_row;
+    # sentinel -1/0 in front, n_pad behind (padding rows land there)
+    pr_rows = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), rows_sorted], axis=1)
+    pr_P = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), P_incl], axis=1)
+    nx_rows = jnp.concatenate(
+        [rows_sorted, jnp.full((B, 1), n_pad, jnp.int32)], axis=1)
+    l = pr_rows + 1
+    r = nx_rows - 1
+    if exclude_row is None:
+        key, cnt, lv, rk, row = _seg_query(table, L, l, r)
+        seg = (jnp.where(key >= _SEG_INF, _SEG_INF,
+                         key + add0[:, None] + pr_P),
+               cnt, lv, rk, row, hu_s[jnp.clip(row, 0, n_pad - 1)])
+        return tuple(jnp.concatenate([a, b], axis=1)
+                     for a, b in zip(exact, seg))
+    # runner-up pass: split the segment containing the excluded row
+    w = exclude_row[:, None]
+    contains = (l <= w) & (w <= r)
+    k1, c1, l1_, r1_, w1 = _seg_query(table, L, l,
+                                      jnp.where(contains, w - 1, r))
+    k2, c2, l2_, r2_, w2 = _seg_query(
+        table, L, jnp.where(contains, w + 1, jnp.int32(1)),
+        jnp.where(contains, r, jnp.int32(0)))
+    segs = []
+    for kq, cq, lq, rq, wq in ((k1, c1, l1_, r1_, w1),
+                               (k2, c2, l2_, r2_, w2)):
+        segs.append((jnp.where(kq >= _SEG_INF, _SEG_INF,
+                               kq + add0[:, None] + pr_P),
+                     cq, lq, rq, wq,
+                     hu_s[jnp.clip(wq, 0, n_pad - 1)]))
+    return tuple(jnp.concatenate([a, b, c], axis=1)
+                 for a, b, c in zip(exact, *segs))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "b_pad", "mc", "second"))
+def interval_place_seg_dev(csc_ptr, csc_node, csc_meta, dfs_of,
+                           dfs_end_of, ref_cols, pos, gval, kmiss,
+                           ov_rows, ov_vals, ovn_rows, ovn_vals,
+                           base_dfs, nc_base_dfs,
+                           num_mut_dfs, is_leaf_dfs, is_root_dfs,
+                           active_dfs, num_leaves_dfs, bfs_rank_dfs,
+                           n_pad: int, b_pad: int, mc: int,
+                           second: bool = False):
+    """Placement via segment queries: device-side event expansion like
+    interval_place_dev, but no [n_pad, b_pad] matrices are ever formed.
+    ov_rows/ov_vals are PER-SAMPLE padded overlay score events (row n_pad
+    = padding); ovn_* the overlay nc point events.  Returns the same
+    (best, best_dfs_row, num_best, hu_best)[ + runner-up 4-tuple]."""
+    P = ref_cols.shape[0]
+    B, K = pos.shape
+    (u, am, ap, rootm, effm, pair_ok, gv, km) = _expand_events(
+        csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+        pos, gval, kmiss, P, mc, False)
+    valid_e = pos < P
+    cols = jnp.clip(pos, 0, P - 1).astype(jnp.int32)
+    rk_e = jnp.where(valid_e, ref_cols[cols].astype(jnp.int32), 0)
+    rk = rk_e[:, :, None]
+
+    def corr_nobm(a):
+        t1 = ((~km) & ((gv & a) == 0)).astype(jnp.int32)
+        return t1 - (a != rk).astype(jnp.int32)
+
+    c_am = corr_nobm(am)
+    d_range = c_am - corr_nobm(ap)
+    matched = (gv & am) != 0
+    a_eff = jnp.where(matched, am, ap)
+    t1_bm = ((~km) & ((gv & a_eff) == 0)).astype(jnp.int32)
+    sub_bm = jnp.where((rk & am) != 0, (am != rk).astype(jnp.int32),
+                       (ap != rk).astype(jnp.int32))
+    d_point = jnp.where(rootm == 1, 0, (t1_bm - sub_bm) - c_am)
+    d_nc = jnp.where((effm == 1) & (rootm == 0),
+                     ((gv & am) != 0).astype(jnp.int32)
+                     - ((rk & am) != 0).astype(jnp.int32), 0)
+    ok = pair_ok.astype(jnp.int32)
+    d_range = (d_range * ok).reshape(B, K * mc)
+    d_point = (d_point * ok).reshape(B, K * mc)
+    d_nc = (d_nc * ok).reshape(B, K * mc)
+    r_s = jnp.where(pair_ok, dfs_of[u], n_pad).reshape(B, K * mc)
+    r_e = jnp.where(pair_ok, dfs_end_of[u], n_pad).reshape(B, K * mc)
+
+    add0 = jnp.sum(((~kmiss) & valid_e
+                    & ((gval.astype(jnp.int32) & rk_e) == 0)),
+                   axis=1, dtype=jnp.int32)
+
+    # per-sample score events (3 per pair) + overlay events + the overlay
+    # nc rows as zero-val boundaries (their rows must split segments)
+    ev_rows = jnp.concatenate(
+        [r_s, jnp.minimum(r_s + 1, n_pad), r_e, ov_rows, ovn_rows],
+        axis=1)
+    ev_vals = jnp.concatenate(
+        [d_range + d_point, -d_point, -d_range, ov_vals,
+         jnp.zeros_like(ovn_rows)], axis=1)
+    order = jnp.argsort(ev_rows, axis=1)
+    rows_sorted = jnp.take_along_axis(ev_rows, order, axis=1)
+    vals_sorted = jnp.take_along_axis(ev_vals, order, axis=1)
+    P_incl = jnp.cumsum(vals_sorted, axis=1)
+
+    # per-sample nc point events, sorted with prefix sums
+    ncr = jnp.concatenate([r_s, ovn_rows], axis=1)
+    ncv = jnp.concatenate([d_nc, ovn_vals], axis=1)
+    norder = jnp.argsort(ncr, axis=1)
+    ncr_sorted = jnp.take_along_axis(ncr, norder, axis=1)
+    ncP = jnp.cumsum(jnp.take_along_axis(ncv, norder, axis=1), axis=1)
+
+    table, hu_s, L = _build_seg_table(
+        base_dfs, nc_base_dfs, num_mut_dfs, is_leaf_dfs, is_root_dfs,
+        active_dfs, num_leaves_dfs, bfs_rank_dfs, n_pad)
+    margs = (base_dfs, nc_base_dfs, num_mut_dfs, is_leaf_dfs,
+             is_root_dfs, active_dfs, num_leaves_dfs, bfs_rank_dfs)
+    cands = _seg_candidates(table, hu_s, L, rows_sorted, P_incl, add0,
+                            ncr_sorted, ncP, *margs, n_pad)
+    best, best_row, num_best, hu_best = _seg_reduce(cands)
+    out = (best, best_row, num_best, hu_best)
+    if second:
+        cands2 = _seg_candidates(table, hu_s, L, rows_sorted, P_incl,
+                                 add0, ncr_sorted, ncP, *margs, n_pad,
+                                 exclude_row=best_row)
+        out = out + _seg_reduce(cands2)
+    return out
+
+
+def pad_overlay_by_sample(idx, b, val, b_pad: int, n_pad: int,
+                          bucket: int = 64):
+    """Flat overlay event streams (row, sample, val) -> per-sample padded
+    [b_pad, E] arrays for the segment kernel (padding row = n_pad)."""
+    counts = np.bincount(b, minlength=b_pad) if len(b) else \
+        np.zeros(b_pad, np.int64)
+    mx = int(counts.max()) if len(b) else 0
+    E = bucket
+    while E < mx:
+        E *= 2
+    rows = np.full((b_pad, E), n_pad, np.int32)
+    vals = np.zeros((b_pad, E), np.int32)
+    if len(b):
+        order = np.argsort(b, kind="stable")
+        ofs = np.cumsum(counts) - counts   # group start per sample
+        pos_in = np.arange(len(b)) - ofs[b[order]]
+        rows[b[order], pos_in] = idx[order]
+        vals[b[order], pos_in] = val[order]
+    return rows, vals
