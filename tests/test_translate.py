@@ -158,3 +158,109 @@ def test_node_stats_and_roho(tmp_path):
     assert by_mut["T2A"][4] == "7"
     assert by_mut["T2A"][5] == "8"
     assert abs(float(by_mut["T2A"][6]) - (-0.0579919)) < 1e-4
+
+
+def _bigger_tree():
+    """Condensed + polytomy-rich tree to stress the array path's
+    uncondense replay and rotation."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    nts = [A, C, G, T_NT]
+    T = Tree()
+    root = T.create_node("node_root")
+    nodes = [root]
+    state = {id(root): {}}
+    for i in range(60):
+        parent = nodes[int(rng.integers(len(nodes)))]
+        n = T.create_node(f"s{i}", parent)
+        st = dict(state[id(parent)])
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(0, len(REF_SEQ)))
+            ref_nt = {"A": A, "C": C, "G": G, "T": T_NT}[REF_SEQ[p]]
+            par = st.get(p, ref_nt)
+            alts = [x for x in nts if x != par]
+            mut = alts[int(rng.integers(3))]
+            n.add_mutation(Mutation("ref", p, ref_nt, par, mut))
+            st[p] = mut
+        state[id(n)] = st
+        nodes.append(n)
+    T.condense_leaves()
+    return T
+
+
+def test_translate_arrays_parity(tmp_path, gene_files):
+    """translate_arrays (no-Tree path) must byte-match translate_main on
+    a condensed randomized tree through the pb roundtrip."""
+    from usher_tpu.io.pbio import save_mat_pb
+    from usher_tpu.io.pb_arrays import load_mat_arrays
+    from usher_tpu.matutils.translate_arrays import translate_arrays
+    fasta, gtf = gene_files
+    T = _bigger_tree()
+    pb = str(tmp_path / "t.pb")
+    save_mat_pb(T, pb)
+
+    T2 = __import__("usher_tpu.io.pbio", fromlist=["load_mat_pb"]) \
+        .load_mat_pb(pb)
+    out1 = str(tmp_path / "tree.tsv")
+    translate_main(T2, out1, gtf, fasta)
+
+    ma = load_mat_arrays(pb)
+    out2 = str(tmp_path / "arr.tsv")
+    translate_arrays(ma, out2, gtf, fasta)
+    assert open(out1).read() == open(out2).read()
+
+
+def test_taxodium_arrays_parity(tmp_path, gene_files):
+    """save_taxodium_arrays must byte-match save_taxodium_tree (incl.
+    rotation, uncondense, metadata interning, y layout)."""
+    from usher_tpu.io.pbio import load_mat_pb, save_mat_pb
+    from usher_tpu.io.pb_arrays import load_mat_arrays
+    from usher_tpu.matutils.translate_arrays import save_taxodium_arrays
+    fasta, gtf = gene_files
+    T = _bigger_tree()
+    pb = str(tmp_path / "t.pb")
+    save_mat_pb(T, pb)
+    leaves = load_mat_pb(pb)
+    leaves.uncondense_leaves()
+    meta = tmp_path / "meta.tsv"
+    rows = ["strain\tdate\tcountry\tgenbank_accession"]
+    for i, lid in enumerate(leaves.get_leaves_ids()[:30]):
+        rows.append(f"{lid}\t2020-0{1 + i % 9}-01\tC{i % 5}\tGB{i}")
+    meta.write_text("\n".join(rows) + "\n")
+
+    out1 = str(tmp_path / "tree.taxodium.pb")
+    save_taxodium_tree(load_mat_pb(pb), out1, [str(meta)], gtf, fasta,
+                       title="t", description="d", include_nt=True)
+    ma = load_mat_arrays(pb)
+    out2 = str(tmp_path / "arr.taxodium.pb")
+    save_taxodium_arrays(ma, out2, [str(meta)], gtf, fasta,
+                         title="t", description="d", include_nt=True)
+    with open(out1, "rb") as f1, open(out2, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_cli_pb_direct_translate_and_taxodium(tmp_path, gene_files):
+    """matUtils summary --pb-direct -t and extract --pb-direct -l run the
+    array writers end-to-end and match the tree path byte-for-byte."""
+    from usher_tpu.cli.matutils_cli import main as mu_main
+    from usher_tpu.io.pbio import save_mat_pb
+    fasta, gtf = gene_files
+    T = _bigger_tree()
+    pb = str(tmp_path / "t.pb")
+    save_mat_pb(T, pb)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    assert mu_main(["summary", "-i", pb, "-d", d1, "-t", "aa.tsv",
+                    "-g", gtf, "-f", fasta]) == 0
+    assert mu_main(["summary", "-i", pb, "-d", d2, "-t", "aa.tsv",
+                    "-g", gtf, "-f", fasta, "--pb-direct"]) == 0
+    assert open(os.path.join(d1, "aa.tsv")).read() == \
+        open(os.path.join(d2, "aa.tsv")).read()
+
+    assert mu_main(["extract", "-i", pb, "-d", d1, "-l", "tax.pb",
+                    "-g", gtf, "-f", fasta, "-B", "ttl"]) == 0
+    assert mu_main(["extract", "-i", pb, "-d", d2, "-l", "tax.pb",
+                    "-g", gtf, "-f", fasta, "-B", "ttl",
+                    "--pb-direct"]) == 0
+    with open(os.path.join(d1, "tax.pb"), "rb") as f1, \
+            open(os.path.join(d2, "tax.pb"), "rb") as f2:
+        assert f1.read() == f2.read()

@@ -128,14 +128,35 @@ def cmd_extract(argv) -> int:
             _err(f"ERROR: --pb-direct extract does not support "
                  f"{', '.join(unsupported)} (use the tree path)")
             return 1
-        if not (a.samples_file or a.clade or a.mutation or a.max_epps
-                or a.max_parsimony >= 0 or a.max_branch_length >= 0
-                or a.max_path_length >= 0 or a.match
-                or a.get_internal_descendents or a.nearest_k
-                or a.set_size or a.add_random or a.whitelist):
+        have_selection = (a.samples_file or a.clade or a.mutation
+                          or a.max_epps or a.max_parsimony >= 0
+                          or a.max_branch_length >= 0
+                          or a.max_path_length >= 0 or a.match
+                          or a.get_internal_descendents or a.nearest_k
+                          or a.set_size or a.add_random or a.whitelist)
+        if not have_selection and a.write_taxodium:
+            # whole-MAT Taxodium export straight off the arrays — the
+            # pandemic-scale path the reference runs on the full public
+            # MAT (translate.cpp:330-496)
+            from ..io.pb_arrays import load_mat_arrays
+            from ..matutils.translate_arrays import save_taxodium_arrays
+            ma = load_mat_arrays(a.input_mat)
+            os.makedirs(a.outdir, exist_ok=True)
+            out = os.path.join(a.outdir, a.write_taxodium)
+            _err(f"Writing taxodium protobuf to {out}")
+            save_taxodium_arrays(
+                ma, out, [m for m in a.metadata.split(",") if m],
+                a.input_gtf, a.input_fasta, title=a.title,
+                description=a.description,
+                additional_meta_fields=[f for f in
+                                        a.extra_fields.split(",") if f],
+                x_scale=a.x_scale, include_nt=a.include_nt)
+            return 0
+        if not have_selection:
             _err("ERROR: --pb-direct extract needs a selection "
-                 "(-s/-c/-m/-e/-a/-b/-P/-H/-I/-k/-z/-W); without one the "
-                 "induced subtree is the whole MAT — use the tree path")
+                 "(-s/-c/-m/-e/-a/-b/-P/-H/-I/-k/-z/-W), or -l for a "
+                 "whole-MAT taxodium export; without one the induced "
+                 "subtree is the whole MAT — use the tree path")
             return 1
         from ..io.pb_arrays import load_mat_arrays
         from ..matutils import arrays as marr
@@ -268,7 +289,7 @@ def cmd_summary(argv) -> int:
     if a.pb_direct:
         unsupported = [f for f, v in [
             ("-H", a.haplotypes), ("-C", a.sample_clades),
-            ("-a", a.aberrant), ("-t", a.translate),
+            ("-a", a.aberrant),
             ("-N", a.node_stats), ("-R", a.calculate_roho),
             ("-A", a.get_all),
         ] if v]
@@ -296,6 +317,15 @@ def cmd_summary(argv) -> int:
             did = True
         if a.mutation_stats:
             arr.print_mutation_type_counts(ma)
+            did = True
+        if a.translate:
+            if not (a.input_gtf and a.input_fasta):
+                _err("ERROR: --translate requires --input-gtf and "
+                     "--input-fasta")
+                return 1
+            from ..matutils.translate_arrays import translate_arrays
+            translate_arrays(ma, outp(a.translate), a.input_gtf,
+                             a.input_fasta)
             did = True
         if not did:
             arr.print_summary(ma)

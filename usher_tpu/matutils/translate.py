@@ -271,6 +271,52 @@ def _dfs_with_codon_state(T: Tree, codon_map, visit):
             stack.append((child, False))
 
 
+def _tree_lists(T: Tree):
+    """Index-list view of a Tree in DFS preorder (the representation the
+    shared writer cores operate on; the array path builds the same lists
+    straight from MatArrays — translate_arrays.py)."""
+    dfs = T.depth_first_expansion()
+    idx = {id(n): i for i, n in enumerate(dfs)}
+    names = [n.identifier for n in dfs]
+    parent = [idx[id(n.parent)] if n.parent is not None else -1
+              for n in dfs]
+    children = [[idx[id(c)] for c in n.children] for n in dfs]
+    return names, parent, children, (lambda i: dfs[i].mutations)
+
+
+def _leaf_counts(children) -> list[int]:
+    n = len(children)
+    counts = [0] * n
+    # children indices always exceed the parent's (DFS preorder), so a
+    # reverse sweep accumulates bottom-up
+    for i in range(n - 1, -1, -1):
+        if not children[i]:
+            counts[i] = 1
+        else:
+            counts[i] = sum(counts[c] for c in children[i])
+    return counts
+
+
+def _translate_core(names, children, muts_of, out, codon_map,
+                    leaf_counts) -> None:
+    """Shared row writer: DFS with codon apply/undo
+    (translate.cpp:243-295)."""
+    out.write("node_id\taa_mutations\tnt_mutations\tcodon_changes\t"
+              "leaves_sharing_mutations\n")
+    stack = [(0, False)]
+    while stack:
+        i, exiting = stack.pop()
+        if exiting:
+            undo_mutations(muts_of(i), codon_map)
+            continue
+        result = do_mutations(muts_of(i), codon_map, False)
+        if result:
+            out.write(f"{names[i]}\t{result}\t{leaf_counts[i]}\n")
+        stack.append((i, True))
+        for c in reversed(children[i]):
+            stack.append((c, False))
+
+
 def translate_main(T: Tree, output_filename: str, gtf_filename: str,
                    fasta_filename: str) -> None:
     """TSV: node_id, aa_mutations, nt_mutations, codon_changes, leaves
@@ -279,16 +325,10 @@ def translate_main(T: Tree, output_filename: str, gtf_filename: str,
         T.uncondense_leaves()
     reference = build_reference(fasta_filename)
     codon_map = build_codon_map(gtf_filename, reference)
+    names, _parent, children, muts_of = _tree_lists(T)
     with open(output_filename, "w") as out:
-        out.write("node_id\taa_mutations\tnt_mutations\tcodon_changes\t"
-                  "leaves_sharing_mutations\n")
-
-        def visit(node, result):
-            if result:
-                n_leaves = len(T.get_leaves(node.identifier))
-                out.write(f"{node.identifier}\t{result}\t{n_leaves}\n")
-
-        _dfs_with_codon_state(T, codon_map, visit)
+        _translate_core(names, children, muts_of, out, codon_map,
+                        _leaf_counts(children))
 
 
 # --- Taxodium protobuf export ------------------------------------------------
@@ -364,7 +404,19 @@ def save_taxodium_tree(T: Tree, out_filename: str,
     rotate_for_display(T)
     reference = build_reference(fasta_filename)
     codon_map = build_codon_map(gtf_filename, reference)
+    node_names, parent_idx, children, muts_of = _tree_lists(T)
+    _taxodium_core(node_names, parent_idx, children, muts_of,
+                   out_filename, meta_filenames, codon_map, reference,
+                   title, description, additional_meta_fields, x_scale,
+                   include_nt)
 
+
+def _taxodium_core(node_names, parent_idx, children, muts_of,
+                   out_filename, meta_filenames, codon_map, reference,
+                   title, description, additional_meta_fields, x_scale,
+                   include_nt) -> None:
+    """Representation-agnostic Taxodium writer over DFS-preorder index
+    lists (shared by the Tree path and the no-Tree array path)."""
     metadata: dict[str, list[str]] = {}
     generic_cols: list[tuple[str, int]] = []
     date_col = genbank_col = -1
@@ -372,13 +424,12 @@ def save_taxodium_tree(T: Tree, out_filename: str,
         metadata, _cols, _strain, date_col, genbank_col, generic_cols = \
             read_metafiles_tax(meta_filenames, additional_meta_fields)
 
-    dfs = T.depth_first_expansion()
-    index_map = {n.identifier: i for i, n in enumerate(dfs)}
-    num_leaves_map = _leaves_per_node(T, dfs)
+    n_nodes = len(node_names)
+    num_leaves_list = _leaf_counts(children)
 
     names: list[str] = []
     xs: list[float] = []
-    ys: list[float] = [0.0] * len(dfs)
+    ys: list[float] = [0.0] * n_nodes
     dates: list[int] = []
     parents: list[int] = []
     genbanks: list[str] = []
@@ -393,25 +444,33 @@ def save_taxodium_tree(T: Tree, out_filename: str,
         for name, col in generic_cols
     ]
 
-    # DFS with codon state; x = cumulative mutation count from root
-    branch_x: dict[str, float] = {}
-    stack = [(T.root, False)]
+    # DFS with codon state; x = cumulative mutation count from root.
+    # Output order is index order (both representations are DFS preorder,
+    # so the explicit stack below visits 0..n-1 in order).
+    branch_x = [0.0] * n_nodes
+    out_row = [0] * n_nodes   # node index -> output row
+    row_of = 0
+    stack = [(0, False)]
     while stack:
-        node, exiting = stack.pop()
+        i, exiting = stack.pop()
         if exiting:
-            undo_mutations(node.mutations, codon_map)
+            undo_mutations(muts_of(i), codon_map)
             continue
-        px = branch_x[node.parent.identifier] if node.parent else 0.0
-        branch_x[node.identifier] = px + len(node.mutations)
+        node_muts = muts_of(i)
+        ident = node_names[i]
+        out_row[i] = row_of
+        row_of += 1
+        px = branch_x[parent_idx[i]] if parent_idx[i] >= 0 else 0.0
+        branch_x[i] = px + len(node_muts)
 
         mutation_result = ""
         if include_nt:
-            for m in node.mutations:
+            for m in node_muts:
                 mutation_result += (f"nt:{char_from_nuc_id(m.par_nuc)}_"
                                     f"{m.position}_"
                                     f"{char_from_nuc_id(m.mut_nuc)};")
-        mutation_result += do_mutations(node.mutations, codon_map, True)
-        if node.is_root():
+        mutation_result += do_mutations(node_muts, codon_map, True)
+        if parent_idx[i] < 0:
             # "fake" root mutations so Taxodium can color by amino acid
             done_codons = set()
             parts = []
@@ -435,12 +494,12 @@ def save_taxodium_tree(T: Tree, out_filename: str,
                 mut_ids.append(seen_mutations[mstr])
         mutation_lists.append(mut_ids)
 
-        xs.append(branch_x[node.identifier] * x_scale)
-        num_tips.append(num_leaves_map[node.identifier])
-        fields = metadata.get(node.identifier)
-        if node.identifier.startswith("node_") or fields is None:
-            names.append("" if node.identifier.startswith("node_")
-                         else node.identifier.split("|")[0])
+        xs.append(branch_x[i] * x_scale)
+        num_tips.append(num_leaves_list[i])
+        fields = metadata.get(ident)
+        if ident.startswith("node_") or fields is None:
+            names.append("" if ident.startswith("node_")
+                         else ident.split("|")[0])
             if date_col > -1:
                 dates.append(0)
             if genbank_col > -1:
@@ -448,7 +507,7 @@ def save_taxodium_tree(T: Tree, out_filename: str,
             for g in generic_data:
                 g["values"].append(0)
         else:
-            names.append(node.identifier.split("|")[0])
+            names.append(ident.split("|")[0])
             if date_col > -1:
                 d = fields[date_col]
                 if d and d not in seen_dates:
@@ -463,26 +522,31 @@ def save_taxodium_tree(T: Tree, out_filename: str,
                     g["seen"][v] = len(g["mapping"])
                     g["mapping"].append(v)
                 g["values"].append(g["seen"].get(v, 0))
-        parents.append(index_map[node.parent.identifier] if node.parent else 0)
+        parents.append(out_row[parent_idx[i]] if parent_idx[i] >= 0
+                       else 0)
 
-        stack.append((node, True))
-        for child in reversed(node.children):
+        stack.append((i, True))
+        for child in reversed(children[i]):
             stack.append((child, False))
 
     # y layout: leaves in reverse-DFS order get i/40000; internal nodes get
     # mean of children, assigned bottom-up by level (translate.cpp:469-495)
-    leaves = [n for n in dfs if n.is_leaf()]
-    for i, leaf in enumerate(reversed(leaves), start=1):
-        ys[index_map[leaf.identifier]] = i / 40000.0
+    dfs_order = sorted(range(n_nodes), key=lambda x: out_row[x])
+    leaves = [x for x in dfs_order if not children[x]]
+    for k, leaf in enumerate(reversed(leaves), start=1):
+        ys[out_row[leaf]] = k / 40000.0
+    level = [0] * n_nodes
+    for x in dfs_order:
+        level[x] = level[parent_idx[x]] + 1 if parent_idx[x] >= 0 else 0
     by_level: dict[int, list] = {}
-    for n in dfs:
-        by_level.setdefault(n.level, []).append(n)
-    for level in sorted(by_level, reverse=True):
-        for n in by_level[level]:
-            if n.children:
-                ys[index_map[n.identifier]] = (
-                    sum(ys[index_map[c.identifier]] for c in n.children)
-                    / len(n.children))
+    for x in dfs_order:
+        by_level.setdefault(level[x], []).append(x)
+    for lv in sorted(by_level, reverse=True):
+        for x in by_level[lv]:
+            if children[x]:
+                ys[out_row[x]] = (
+                    sum(ys[out_row[c]] for c in children[x])
+                    / len(children[x]))
 
     # --- encode taxodium.proto ---
     node_data = bytearray()
