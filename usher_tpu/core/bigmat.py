@@ -1246,13 +1246,27 @@ class BigMAT:
                     ovnr, ovnv = iv.pad_overlay_by_sample(
                         np.asarray(oev[3]), np.asarray(oev[4]),
                         np.asarray(oev[5]), b_pad, self.n_pad)
+                    # true per-sample pair bound: the [K, mc] expansion is
+                    # mostly padding, and the kernel's sort/table phases
+                    # run at O(ecap) after compaction
+                    if self.P:
+                        pe = np.minimum(pos, self.P - 1).astype(np.int64)
+                        cnts = self.csc_ptr[pe + 1] - self.csc_ptr[pe]
+                        mx_pairs = int(np.where(pos < self.P, cnts, 0)
+                                       .sum(axis=1).max())
+                    else:
+                        mx_pairs = 0
+                    ecap = 32
+                    while ecap < mx_pairs:
+                        ecap *= 2
                     out = iv.interval_place_seg_dev(
                         *csc, jnp.asarray(pos.astype(np.int32)),
                         jnp.asarray(gval), jnp.asarray(kmiss),
                         jnp.asarray(ovr), jnp.asarray(ovv),
                         jnp.asarray(ovnr), jnp.asarray(ovnv),
                         meta["base"], meta["nc_base"], *margs,
-                        self.n_pad, b_pad, mc, second=with_second)
+                        self.n_pad, b_pad, mc, ecap,
+                        second=with_second)
                     return ("dev", (out, None, B, with_second,
                                     self.dfs_order, self.N))
                 # large bucket: the overlay grows every batch in a serving

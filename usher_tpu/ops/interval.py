@@ -722,19 +722,23 @@ def _seg_candidates(table, hu_s, L, rows_sorted, P_incl, add0,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_pad", "b_pad", "mc", "second"))
+                   static_argnames=("n_pad", "b_pad", "mc", "ecap",
+                                    "second"))
 def interval_place_seg_dev(csc_ptr, csc_node, csc_meta, dfs_of,
                            dfs_end_of, ref_cols, pos, gval, kmiss,
                            ov_rows, ov_vals, ovn_rows, ovn_vals,
                            base_dfs, nc_base_dfs,
                            num_mut_dfs, is_leaf_dfs, is_root_dfs,
                            active_dfs, num_leaves_dfs, bfs_rank_dfs,
-                           n_pad: int, b_pad: int, mc: int,
+                           n_pad: int, b_pad: int, mc: int, ecap: int,
                            second: bool = False):
     """Placement via segment queries: device-side event expansion like
     interval_place_dev, but no [n_pad, b_pad] matrices are ever formed.
     ov_rows/ov_vals are PER-SAMPLE padded overlay score events (row n_pad
-    = padding); ovn_* the overlay nc point events.  Returns the same
+    = padding); ovn_* the overlay nc point events.  ecap bounds the REAL
+    (non-padding) pair count of any sample (host-verified): the [K, mc]
+    expansion is mostly padding, and compacting to ecap slots before the
+    sort/gather phases is what keeps them small.  Returns the same
     (best, best_dfs_row, num_best, hu_best)[ + runner-up 4-tuple]."""
     P = ref_cols.shape[0]
     B, K = pos.shape
@@ -767,6 +771,24 @@ def interval_place_seg_dev(csc_ptr, csc_node, csc_meta, dfs_of,
     d_nc = (d_nc * ok).reshape(B, K * mc)
     r_s = jnp.where(pair_ok, dfs_of[u], n_pad).reshape(B, K * mc)
     r_e = jnp.where(pair_ok, dfs_end_of[u], n_pad).reshape(B, K * mc)
+
+    # compact the ok pairs into ecap slots (cumsum-position scatter):
+    # everything downstream (sorts, table walks) runs at O(ecap), not
+    # O(K * mc)
+    okf = pair_ok.reshape(B, K * mc)
+    dst = jnp.where(okf, jnp.cumsum(okf, axis=1) - 1, ecap)
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (B, K * mc), 0)
+
+    def compact(x, fill):
+        out = jnp.full((B, ecap + 1), fill, x.dtype)
+        out = out.at[bcol.reshape(-1), dst.reshape(-1)].set(x.reshape(-1))
+        return out[:, :ecap]
+
+    d_range = compact(d_range, 0)
+    d_point = compact(d_point, 0)
+    d_nc = compact(d_nc, 0)
+    r_s = compact(r_s, jnp.int32(n_pad))
+    r_e = compact(r_e, jnp.int32(n_pad))
 
     add0 = jnp.sum(((~kmiss) & valid_e
                     & ((gval.astype(jnp.int32) & rk_e) == 0)),
