@@ -21,6 +21,8 @@ NIBBLES = np.array([1, 2, 4, 8], dtype=np.uint8)
 
 
 def _toggle(big, pos, gval, kmiss, second):
+    """Force both kernels regardless of the production default (the seg
+    kernel is opt-in on TPU — gather-bound — but must stay bit-exact)."""
     old = os.environ.get("USHER_TPU_SEG")
     try:
         os.environ["USHER_TPU_SEG"] = "0"

@@ -1237,9 +1237,14 @@ class BigMAT:
                     oev = [*z, *z]
                 csc = self._csc_dev()
                 if clades is None and os.environ.get(
-                        "USHER_TPU_SEG", "1") != "0":
+                        "USHER_TPU_SEG", "0") != "0":
                     # segment-query kernel: O(events * log N), no
-                    # [n_pad, b_pad] matrices (ops/interval.py)
+                    # [n_pad, b_pad] matrices (ops/interval.py).  OPT-IN:
+                    # bit-identical to the full-matrix kernel but its
+                    # sparse-table walks are random-gather-bound, and TPU
+                    # gathers measure ~10 ms per million elements — the
+                    # full-matrix scatter+scan path is 10x faster on chip
+                    # at every tested shape (docs/perf.md round-5 notes)
                     ovr, ovv = iv.pad_overlay_by_sample(
                         np.asarray(oev[0]), np.asarray(oev[1]),
                         np.asarray(oev[2]), b_pad, self.n_pad)

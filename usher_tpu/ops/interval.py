@@ -650,7 +650,7 @@ def _seg_reduce(cands):
 
 
 def _seg_candidates(table, hu_s, L, rows_sorted, P_incl, add0,
-                    ncr_sorted, ncP, base_dfs, nc_base_dfs, num_mut_dfs,
+                    nc_events, base_dfs, nc_base_dfs, num_mut_dfs,
                     is_leaf_dfs, is_root_dfs, active_dfs, num_leaves_dfs,
                     bfs_rank_dfs, n_pad: int, exclude_row=None):
     """Candidate set for one reduction pass: exact evaluations at the
@@ -662,14 +662,20 @@ def _seg_candidates(table, hu_s, L, rows_sorted, P_incl, add0,
         [rows_sorted[:, :-1] != rows_sorted[:, 1:],
          jnp.ones((B, 1), bool)], axis=1)
     rc = jnp.clip(rows_sorted, 0, n_pad - 1)
-    # nc at each row: segmented sum via searchsorted into the sorted nc rows
-    lo = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(
-        ncr_sorted, rows_sorted)
-    hi = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
-        ncr_sorted, rows_sorted)
+    # nc at each row: every nc event's row IS a score-event row (pair
+    # starts and overlay-nc boundaries are in the stream by construction),
+    # so the nc values ride the SAME sort as a payload channel and the
+    # per-row sum is a prefix difference across the duplicate group —
+    # no searchsorted (vmapped searchsorted lowers to per-element scans
+    # on TPU and dominated the kernel when profiled)
+    ncP = nc_events   # inclusive prefix of the sorted nc payload
+    iota = jax.lax.broadcasted_iota(jnp.int32, (B, Et), 1)
+    kept_idx = jnp.where(keep, iota, -1)
+    prev_kept = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32),
+         jax.lax.cummax(kept_idx, axis=1)[:, :-1]], axis=1)
     ncP0 = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), ncP], axis=1)
-    nc_at = jnp.take_along_axis(ncP0, hi, axis=1) - \
-        jnp.take_along_axis(ncP0, lo, axis=1)
+    nc_at = ncP - jnp.take_along_axis(ncP0, prev_kept + 1, axis=1)
     nc_r = nc_base_dfs[rc] + nc_at
     hu_r = nc_r < num_mut_dfs[rc]
     ncp_r = nc_r > 0
@@ -774,14 +780,18 @@ def interval_place_seg_dev(csc_ptr, csc_node, csc_meta, dfs_of,
 
     # compact the ok pairs into ecap slots (cumsum-position scatter):
     # everything downstream (sorts, table walks) runs at O(ecap), not
-    # O(K * mc)
+    # O(K * mc).  Every PAD pair gets a unique overflow destination —
+    # funnelling ~K*mc pads into one shared slot makes the scatter's
+    # duplicate handling serialize on TPU.
     okf = pair_ok.reshape(B, K * mc)
-    dst = jnp.where(okf, jnp.cumsum(okf, axis=1) - 1, ecap)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, K * mc), 1)
+    dst = jnp.where(okf, jnp.cumsum(okf, axis=1) - 1, ecap + lane)
     bcol = jax.lax.broadcasted_iota(jnp.int32, (B, K * mc), 0)
 
     def compact(x, fill):
-        out = jnp.full((B, ecap + 1), fill, x.dtype)
-        out = out.at[bcol.reshape(-1), dst.reshape(-1)].set(x.reshape(-1))
+        out = jnp.full((B, ecap + K * mc), fill, x.dtype)
+        out = out.at[bcol.reshape(-1), dst.reshape(-1)].set(
+            x.reshape(-1), unique_indices=True, mode="drop")
         return out[:, :ecap]
 
     d_range = compact(d_range, 0)
@@ -802,17 +812,17 @@ def interval_place_seg_dev(csc_ptr, csc_node, csc_meta, dfs_of,
     ev_vals = jnp.concatenate(
         [d_range + d_point, -d_point, -d_range, ov_vals,
          jnp.zeros_like(ovn_rows)], axis=1)
+    # nc payload channel aligned with the event streams: pair starts
+    # carry d_nc, overlay-nc boundary rows carry ovn_vals, the rest 0
+    ev_ncv = jnp.concatenate(
+        [d_nc, jnp.zeros_like(d_point), jnp.zeros_like(d_range),
+         jnp.zeros_like(ov_vals), ovn_vals], axis=1)
     order = jnp.argsort(ev_rows, axis=1)
     rows_sorted = jnp.take_along_axis(ev_rows, order, axis=1)
     vals_sorted = jnp.take_along_axis(ev_vals, order, axis=1)
     P_incl = jnp.cumsum(vals_sorted, axis=1)
-
-    # per-sample nc point events, sorted with prefix sums
-    ncr = jnp.concatenate([r_s, ovn_rows], axis=1)
-    ncv = jnp.concatenate([d_nc, ovn_vals], axis=1)
-    norder = jnp.argsort(ncr, axis=1)
-    ncr_sorted = jnp.take_along_axis(ncr, norder, axis=1)
-    ncP = jnp.cumsum(jnp.take_along_axis(ncv, norder, axis=1), axis=1)
+    nc_events = jnp.cumsum(
+        jnp.take_along_axis(ev_ncv, order, axis=1), axis=1)
 
     table, hu_s, L = _build_seg_table(
         base_dfs, nc_base_dfs, num_mut_dfs, is_leaf_dfs, is_root_dfs,
@@ -820,12 +830,12 @@ def interval_place_seg_dev(csc_ptr, csc_node, csc_meta, dfs_of,
     margs = (base_dfs, nc_base_dfs, num_mut_dfs, is_leaf_dfs,
              is_root_dfs, active_dfs, num_leaves_dfs, bfs_rank_dfs)
     cands = _seg_candidates(table, hu_s, L, rows_sorted, P_incl, add0,
-                            ncr_sorted, ncP, *margs, n_pad)
+                            nc_events, *margs, n_pad)
     best, best_row, num_best, hu_best = _seg_reduce(cands)
     out = (best, best_row, num_best, hu_best)
     if second:
         cands2 = _seg_candidates(table, hu_s, L, rows_sorted, P_incl,
-                                 add0, ncr_sorted, ncP, *margs, n_pad,
+                                 add0, nc_events, *margs, n_pad,
                                  exclude_row=best_row)
         out = out + _seg_reduce(cands2)
     return out
