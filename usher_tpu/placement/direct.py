@@ -122,6 +122,7 @@ class _BatchState:
         self.base0 = big.base
         self.dfs_of0 = big.dfs_of
         self.dfs_end_of0 = big.dfs_end_of
+        self.dfs_order0 = big.dfs_order
         self.nc_base0 = big.nc_base
         self.num_mut0 = big.node_num_mut
         self.num_leaves0 = big.num_leaves
@@ -138,6 +139,21 @@ class _BatchState:
         self.mut_delta0 = dict(placer._mut_delta)
         self.ref = big.ref
         self.root_slot = big.root_slot
+        # frozen CSC view for the flushless full-snapshot resolver:
+        # csc_ptr/node/etc. are epoch-stable objects, but the dead bits
+        # mutate in place as this batch's splits tombstone mutations
+        self.csc_ptr0 = big.csc_ptr
+        self.csc_node0 = big.csc_node
+        self.csc_mut0 = big.csc_mut
+        self.csc_par0 = big.csc_par
+        self.csc_root0 = big.csc_root
+        self.csc_eff0 = big.csc_eff
+        self.csc_dead0 = (None if big.csc_dead is None
+                          else big.csc_dead.copy())
+        self.ov0 = big._ov
+        self.num_leaves_arr0 = big.num_leaves
+        self.active0 = big.active
+        self.is_root0 = big.is_root_mask
 
         B = pos.shape[0]
         self.B = B
@@ -169,9 +185,10 @@ class _BatchState:
         # leaf-count bounds of split subtrees holding UNPROBED old nodes
         # (re-leveled by the split => BFS tie-break no longer certifiable
         # against them unless the finalists out-leaf the bound)
-        self.opaque: list[int] = []
+        self.opaque: list[tuple] = []
         self.applies = 0
         self.fallbacks = 0
+        self.fb_reasons: dict[str, int] = {}
 
         capc = 3 * B + 8   # a split adds up to 3 rows (x, s, Mod-u)
         self.cS = np.empty((capc, B), np.int64)
@@ -535,7 +552,8 @@ class _BatchState:
             # the unknown re-leveled ties are STRICT descendants of the
             # anchor (the anchor itself is a tracked Mod candidate), so
             # their leaf counts are bounded by the anchor's largest child
-            self.opaque.append(int(self._max_child_leaves()[anchor]))
+            self.opaque.append((int(anchor),
+                                int(self._max_child_leaves()[anchor])))
         self.recs[x_slot]["nchild"] = 2
         self.parent_over[x_slot] = pold
         self.childkey_over[x_slot] = self._childkey_next(pold)
@@ -591,10 +609,9 @@ class _BatchState:
                                collect=collect)
         if r is not self._NEED_SECOND:
             return r
-        if collect is not None:
-            collect["mode"] = None   # re-based on the runner-up reduce
         if second is None:
-            return None
+            self._note_fb("full_no_second")
+            return self._resolve_full(i, collect=collect)
         b2, w2, nb2, hu2 = (int(second[0][i]), int(second[1][i]),
                             int(second[2][i]), bool(second[3][i]))
         if nb2 == 0 or b2 >= (1 << 30):
@@ -603,7 +620,146 @@ class _BatchState:
             # an infinite old-best
             b2, w2, hu2 = int(self.INF), -1, False
         r = self._resolve_core(i, b2, w2, nb2, hu2, exclude=w0)
-        return None if r is self._NEED_SECOND else r
+        if r is self._NEED_SECOND:
+            self._note_fb("full_second_stuck")
+            return self._resolve_full(i, collect=collect)
+        return r
+
+    def _note_fb(self, reason: str) -> None:
+        self.fb_reasons[reason] = self.fb_reasons.get(reason, 0) + 1
+
+
+    # --- flushless full-snapshot resolution ---------------------------------
+
+    def _snapshot_rows(self, i: int):
+        """EXACT (score, nc) rows for sample i over every S0 node from the
+        frozen snapshot — a single-sample vectorized mirror of
+        bigmat._events + place_one_host over the FROZEN refs: no flush, no
+        device dispatch, usable regardless of how many applies separate
+        the snapshot from this sample's turn."""
+        from ..core.bigmat import _ranges
+        sel = self._eb == i
+        cols = self._ecol[sel]
+        gv_e = self._egv[sel]
+        km_e = self._ekm[sel]
+        rk_e = self.ref[cols].astype(np.int64)
+        add0 = int(self.add0[i])
+        lo = self.csc_ptr0[cols]
+        hi = self.csc_ptr0[cols + 1]
+        counts = (hi - lo).astype(np.int64)
+        pe = np.repeat(np.arange(len(cols)), counts)
+        flat = np.repeat(lo, counts) + _ranges(counts)
+        u = self.csc_node0[flat]
+        am = self.csc_mut0[flat].astype(np.int64)
+        ap = self.csc_par0[flat].astype(np.int64)
+        rootm = self.csc_root0[flat]
+        effm = self.csc_eff0[flat]
+        if self.csc_dead0 is not None:
+            alive = ~self.csc_dead0[flat]
+            pe, u, am, ap = pe[alive], u[alive], am[alive], ap[alive]
+            rootm, effm = rootm[alive], effm[alive]
+        if self.ov0 is not None:
+            ov_node, ov_col, ov_par, ov_mut = self.ov0
+            lo2 = np.searchsorted(ov_col, cols)
+            hi2 = np.searchsorted(ov_col, cols, side="right")
+            c2 = (hi2 - lo2).astype(np.int64)
+            pe2 = np.repeat(np.arange(len(cols)), c2)
+            flat2 = np.repeat(lo2, c2) + _ranges(c2)
+            pe = np.concatenate([pe, pe2])
+            u = np.concatenate([u, ov_node[flat2]])
+            am = np.concatenate([am, ov_mut[flat2].astype(np.int64)])
+            ap = np.concatenate([ap, ov_par[flat2].astype(np.int64)])
+            rootm = np.concatenate([rootm, np.zeros(len(pe2), bool)])
+            effm = np.concatenate([effm, ov_mut[flat2] != ov_par[flat2]])
+        gv_p = gv_e[pe]
+        km_p = km_e[pe]
+        rk_p = rk_e[pe]
+
+        def corr_nobm(a):
+            t1 = ((~km_p) & ((gv_p & a) == 0)).astype(np.int64)
+            return t1 - (a != rk_p).astype(np.int64)
+
+        c_am = corr_nobm(am)
+        d_range = c_am - corr_nobm(ap)
+        matched = (gv_p & am) != 0
+        a_eff = np.where(matched, am, ap)
+        t1_bm = ((~km_p) & ((gv_p & a_eff) == 0)).astype(np.int64)
+        sub_bm = np.where((rk_p & am) != 0, am != rk_p,
+                          ap != rk_p).astype(np.int64)
+        d_point = np.where(rootm, 0, (t1_bm - sub_bm) - c_am)
+        d_nc = np.where(effm & ~rootm,
+                        ((gv_p & am) != 0).astype(np.int64)
+                        - ((rk_p & am) != 0).astype(np.int64), 0)
+        N0 = self.N0
+        r = self.dfs_of0[u].astype(np.int64)
+        rend = self.dfs_end_of0[u].astype(np.int64)
+        diff = np.zeros(N0 + 1, np.int64)
+        np.add.at(diff, r, d_range + d_point)
+        np.add.at(diff, np.minimum(r + 1, N0), -d_point)
+        np.add.at(diff, rend, -d_range)
+        run = np.cumsum(diff[:N0])
+        dr = self.dfs_of0[:N0].astype(np.int64)
+        srow = self.base0[:N0].astype(np.int64) + add0 + run[dr]
+        ncd = np.zeros(N0 + 1, np.int64)
+        np.add.at(ncd, r, d_nc)
+        ncrow = self.nc_base0[:N0].astype(np.int64) + ncd[dr]
+        return srow, ncrow
+
+    def _resolve_full(self, i: int, collect=None):
+        """Complete tree-at-apply-time resolution from the snapshot rows
+        plus the tracked candidate overlay — the fallback when the
+        incremental certificates fail.  None only when the tie set blows
+        the enumeration cap (then the flush-based host oracle runs)."""
+        srow, ncrow = self._snapshot_rows(i)
+        N0 = self.N0
+        hu_v = ncrow < self.num_mut0[:N0]
+        ncp = ncrow > 0
+        leaf = self.is_leaf0[:N0]
+        valid = (self.is_root0[:N0]
+                 | (leaf & ncp)
+                 | (~leaf & hu_v & ncp)
+                 | (~leaf & ~hu_v)) & self.active0[:N0]
+        if self.mod:
+            # split nodes' CURRENT rows live in the candidate overlay
+            valid = valid.copy()
+            for slot in self.mod:
+                valid[slot] = False
+        sc0 = np.where(valid, srow, self.INF)
+        best0 = int(sc0.min())
+        n = self.ncand
+        if n:
+            colS = self.cS[:n, i]
+            colNC = self.cNC[:n, i]
+            hu_c = colNC < self.cnum_mut[:n]
+            valid_c = np.where(self.cleaf[:n], colNC > 0,
+                               (hu_c & (colNC > 0)) | ~hu_c)
+            scc = np.where(valid_c, colS, self.INF)
+            bestc = int(scc.min())
+        else:
+            scc = np.zeros(0, np.int64)
+            hu_c = np.zeros(0, bool)
+            bestc = int(self.INF)
+        best = min(best0, bestc)
+        if best >= int(self.INF):
+            return None
+        s0_ties = np.nonzero(sc0 == best)[0]
+        c_ties = np.nonzero(scc == best)[0]
+        nb = len(s0_ties) + len(c_ties)
+        if nb > 4096:
+            return None
+        entries = ([(int(s), None) for s in s0_ties]
+                   + [(int(self.cslot[j]), int(j)) for j in c_ties])
+        slot_w, j_w = max(entries, key=lambda e: (
+            self.leaves_view(e[0]), self.chain_key(e[0])))
+        hu_w = (bool(hu_c[j_w]) if j_w is not None
+                else bool(hu_v[slot_w]))
+        if collect is not None:
+            collect["mode"] = "explicit"
+            collect["members"] = (
+                [(int(s), bool(leaf[s]), bool(hu_v[s])) for s in s0_ties]
+                + [(int(self.cslot[j]), bool(self.cleaf[j]),
+                    bool(hu_c[j])) for j in c_ties])
+        return best, slot_w, nb, hu_w
 
     _NEED_SECOND = object()
 
@@ -704,16 +860,38 @@ class _BatchState:
                 # a split re-leveled the interior of an old subtree: an
                 # unprobed tied node in there could now out-rank the
                 # finalists — but only if its leaf count (bounded by the
-                # subtree root's) reaches the finalists' max
+                # subtree root's) reaches the finalists' max.  ENUMERATE
+                # the (small) re-leveled subtrees via snapshot probes and
+                # add their qualifying ties as challengers; bail to the
+                # full host re-score only past a size cap.
                 bar = self.leaves_view(w0)
                 for j in cand_ties:
                     bar = max(bar, self.leaves_view(int(self.cslot[j])))
                 for slot in chal:
                     bar = max(bar, self.leaves_view(slot))
-                if any(b >= bar for b in self.opaque):
-                    if collect is not None:
-                        collect["mode"] = None
-                    return None
+                hot = [a for a, b in self.opaque if b >= bar]
+                if hot:
+                    total = sum(int(self.dfs_end_of0[a])
+                                - int(self.dfs_of0[a]) - 1 for a in hot)
+                    if total > 512:
+                        self._note_fb("full_opaque")
+                        return self._resolve_full(i, collect=collect)
+                    seen: set[int] = set()
+                    for a in hot:
+                        rows = range(int(self.dfs_of0[a]) + 1,
+                                     int(self.dfs_end_of0[a]))
+                        for rr in rows:
+                            s2 = int(self.dfs_order0[rr])
+                            if (s2 in seen or s2 in self.mod
+                                    or s2 == w0 or s2 == exclude):
+                                continue
+                            seen.add(s2)
+                            if self.leaves_view(s2) < bar:
+                                continue
+                            self.probe_path(s2)
+                            sc_s, valid_s, _hu_s = self._old_valid(s2, i)
+                            if sc_s == best0 and valid_s:
+                                chal.append(s2)
 
         nb = nb0 + adj + len(new_ties)
         fin: dict[int, int | None] = {w0: jw0}      # slot -> cand idx
@@ -1350,7 +1528,12 @@ class DirectPlacer:
                 h = big.place_arrays_begin(pos, gval, kmiss)
             return h, _BatchState(self, pos, gval, kmiss)
 
-        pipelined = not os.environ.get("USHER_TPU_DIRECT_NOPIPE")
+        # measured on the tunneled chip: enqueue-ahead pipelining pays a
+        # doubled per-apply bookkeeping cost (every apply notifies two
+        # batch states) that exceeds the overlapped device time, so the
+        # synchronous order is the default; USHER_TPU_DIRECT_PIPE=1 turns
+        # the lookahead on (docs/perf.md round-5 serving notes)
+        pipelined = bool(os.environ.get("USHER_TPU_DIRECT_PIPE"))
         batch_lists = [[self.missing[i] for i in indexes[b0:b0 + bsz]]
                        for b0 in range(0, len(indexes), bsz)]
         pending = (_dispatch(batch_lists[0])
@@ -1462,12 +1645,17 @@ class DirectPlacer:
                 stats_f.write("\n")
             self._total_fallbacks = (getattr(self, "_total_fallbacks", 0)
                                      + st.fallbacks)
+            agg = getattr(self, "_fb_reasons", {})
+            for k, v in st.fb_reasons.items():
+                agg[k] = agg.get(k, 0) + v
+            self._fb_reasons = agg
         stats_f.close()
         if self.missing:
             _err(f"[direct] {getattr(self, '_total_fallbacks', 0)} full "
                  f"host re-scores over "
                  f"{len(self.missing)} samples "
-                 f"({getattr(self, '_total_batches', 0)} batches)")
+                 f"({getattr(self, '_total_batches', 0)} batches) "
+                 f"{getattr(self, '_fb_reasons', {})}")
         self._bs = self._bs_next = None
         big._flush()
 
