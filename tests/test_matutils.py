@@ -1046,3 +1046,29 @@ def test_merge_max_depth(mat_pb, tmp_path):
         M = load_mat_pb(out)
         M.uncondense_leaves()
         assert set(M.get_leaves_ids()) == set(leaves)
+
+
+def test_whole_mat_vcf_diff_arrays_parity(mat_pb, tmp_path):
+    """Whole-MAT extract -v / --write-diff under --pb-direct (no
+    selection) must byte-match the Tree writers on the uncondensed
+    fixture MAT (convert.cpp:294, :325)."""
+    from usher_tpu.matutils.convert import make_vcf, make_diff
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    v1 = str(tmp_path / "t.vcf")
+    d1 = str(tmp_path / "t.diff")
+    make_vcf(T, v1)
+    make_diff(T, d1)
+    rc = matutils_main(["extract", "-i", mat_pb, "--pb-direct",
+                        "-d", str(tmp_path / "a"), "-v", "a.vcf",
+                        "--write-diff", "a.diff"])
+    assert rc == 0
+    assert open(v1).read() == open(tmp_path / "a" / "a.vcf").read()
+    assert open(d1).read() == open(tmp_path / "a" / "a.diff").read()
+    # -n no-genotypes variant
+    v2 = str(tmp_path / "t2.vcf")
+    make_vcf(T, v2, no_genotypes=True)
+    rc = matutils_main(["extract", "-i", mat_pb, "--pb-direct",
+                        "-d", str(tmp_path / "b"), "-v", "b.vcf", "-n"])
+    assert rc == 0
+    assert open(v2).read() == open(tmp_path / "b" / "b.vcf").read()

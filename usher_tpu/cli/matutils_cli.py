@@ -134,29 +134,44 @@ def cmd_extract(argv) -> int:
                           or a.max_path_length >= 0 or a.match
                           or a.get_internal_descendents or a.nearest_k
                           or a.set_size or a.add_random or a.whitelist)
-        if not have_selection and a.write_taxodium:
-            # whole-MAT Taxodium export straight off the arrays — the
-            # pandemic-scale path the reference runs on the full public
-            # MAT (translate.cpp:330-496)
+        if not have_selection and (a.write_taxodium or a.write_vcf
+                                   or a.write_diff):
+            # whole-MAT exports straight off the arrays — the
+            # pandemic-scale paths the reference runs on the full public
+            # MAT (translate.cpp:330-496 taxodium; convert.cpp:294 VCF,
+            # :325 MAPLE diff)
             from ..io.pb_arrays import load_mat_arrays
-            from ..matutils.translate_arrays import save_taxodium_arrays
             ma = load_mat_arrays(a.input_mat)
             os.makedirs(a.outdir, exist_ok=True)
-            out = os.path.join(a.outdir, a.write_taxodium)
-            _err(f"Writing taxodium protobuf to {out}")
-            save_taxodium_arrays(
-                ma, out, [m for m in a.metadata.split(",") if m],
-                a.input_gtf, a.input_fasta, title=a.title,
-                description=a.description,
-                additional_meta_fields=[f for f in
-                                        a.extra_fields.split(",") if f],
-                x_scale=a.x_scale, include_nt=a.include_nt)
+            if a.write_vcf:
+                from ..matutils.convert_arrays import make_vcf_arrays
+                out = os.path.join(a.outdir, a.write_vcf)
+                _err(f"Generating VCF of full MAT at {out}")
+                make_vcf_arrays(ma, out, no_genotypes=a.no_genotypes)
+            if a.write_diff:
+                from ..matutils.convert_arrays import make_diff_arrays
+                out = os.path.join(a.outdir, a.write_diff)
+                _err(f"Generating MAPLE diff of full MAT at {out}")
+                make_diff_arrays(ma, out)
+            if a.write_taxodium:
+                from ..matutils.translate_arrays import \
+                    save_taxodium_arrays
+                out = os.path.join(a.outdir, a.write_taxodium)
+                _err(f"Writing taxodium protobuf to {out}")
+                save_taxodium_arrays(
+                    ma, out, [m for m in a.metadata.split(",") if m],
+                    a.input_gtf, a.input_fasta, title=a.title,
+                    description=a.description,
+                    additional_meta_fields=[f for f in
+                                            a.extra_fields.split(",")
+                                            if f],
+                    x_scale=a.x_scale, include_nt=a.include_nt)
             return 0
         if not have_selection:
             _err("ERROR: --pb-direct extract needs a selection "
-                 "(-s/-c/-m/-e/-a/-b/-P/-H/-I/-k/-z/-W), or -l for a "
-                 "whole-MAT taxodium export; without one the induced "
-                 "subtree is the whole MAT — use the tree path")
+                 "(-s/-c/-m/-e/-a/-b/-P/-H/-I/-k/-z/-W), or -v/"
+                 "--write-diff/-l for whole-MAT exports; without one the "
+                 "induced subtree is the whole MAT — use the tree path")
             return 1
         from ..io.pb_arrays import load_mat_arrays
         from ..matutils import arrays as marr
