@@ -508,6 +508,57 @@ print(json.dumps(out))
         _progress("mesh-overhead phase timed out; skipping")
 
 
+def bench_real_batch_dedup():
+    """Duplication structure of a REAL sample batch (the reference
+    fixture's 422 genotype columns placed as queries): how much of the
+    difference-array event stream is shared across the batch, and how
+    many samples are exact variant-set duplicates (scored once by
+    place_arrays' dedup fan-out).  VERDICT r4 item 5's measurement."""
+    ref_dir = "/root/reference/test"
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        here = os.path.join(REPO, "tests", "fixtures")
+        if os.path.exists(os.path.join(here, "global_phylo.nh")):
+            ref_dir = here
+        else:
+            return
+    from usher_tpu.io.newick import parse_newick
+    from usher_tpu.io.vcf import read_vcf, read_vcf_sites
+    from usher_tpu.ops.sankoff import assign_states_from_vcf
+    from usher_tpu.core.flat import collect_positions
+    from usher_tpu.core.bigmat import BigMAT
+    T = parse_newick(os.path.join(ref_dir, "global_phylo.nh"))
+    _m, vcf = read_vcf(T, os.path.join(ref_dir, "global_samples.vcf"),
+                       create_new_mat=True)
+    assign_states_from_vcf(T, vcf)
+    positions, refarr, _c = collect_positions(T)
+    big = BigMAT.from_tree(T, positions, refarr)
+    v = read_vcf_sites(os.path.join(ref_dir, "global_samples.vcf"))
+    posidx = {int(p): i for i, p in enumerate(positions)}
+    per = {j: [] for j in range(len(v.sample_ids))}
+    for site in v.sites:
+        for j, nuc in site.variants:
+            c = posidx.get(site.position)
+            if c is not None:
+                per[j].append((c, nuc))
+    entries = np.array([(j, c, g) for j, ms in per.items()
+                        for (c, g) in ms], np.int64)
+    occ = np.diff(big.csc_ptr)
+    tot = int(occ[entries[:, 1]].sum())
+    uniq_pairs = np.unique(entries[:, 1:3], axis=0)
+    uq = int(occ[uniq_pairs[:, 0]].sum())
+    sets = {}
+    for j, ms in per.items():
+        sets.setdefault(tuple(sorted(ms)), []).append(j)
+    B = len(per)
+    _aux("real_batch_dedup", B=B, entries=int(len(entries)),
+         scatter_events_total=tot, scatter_events_unique=uq,
+         entry_event_duplication_pct=round(100 * (1 - uq / tot), 1),
+         exact_duplicate_samples_pct=round(100 * (1 - len(sets) / B), 1),
+         note="reference fixture's real genotype columns as a placement "
+              "batch; exact-duplicate samples are scored once "
+              "(place_arrays dedup fan-out)")
+
+
 def bench_two_process_ratio(timeout=900):
     """2-process vs 1-process wall-clock of the usher-sampled smoke run
     (tests/distributed_worker.py sampled phase): REAL jax.distributed
@@ -730,6 +781,7 @@ def main():
                 bench_mesh_overhead(N=1_000_000,
                                     label="mesh8_overhead_ratio_1m",
                                     iters=3, timeout=1800)
+        bench_real_batch_dedup()
         if time.time() - _T0 < 2700:
             bench_two_process_ratio()
     finally:
