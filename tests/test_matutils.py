@@ -1072,3 +1072,32 @@ def test_whole_mat_vcf_diff_arrays_parity(mat_pb, tmp_path):
                         "-d", str(tmp_path / "b"), "-v", "b.vcf", "-n"])
     assert rc == 0
     assert open(v2).read() == open(tmp_path / "b" / "b.vcf").read()
+
+
+def test_whole_mat_json_arrays_parity(mat_pb, tmp_path):
+    """Whole-MAT extract -j under --pb-direct (no selection) must
+    byte-match the Tree JSON writer incl. metadata and annotated-clade
+    columns (convert.cpp:585-663)."""
+    from usher_tpu.matutils.convert import write_json_from_mat, \
+        read_metafile
+    # annotate a copy so MAT_Clade columns are exercised
+    T = load_mat_pb(mat_pb)
+    for i, n in enumerate(T.depth_first_expansion()):
+        n.clade_annotations = [f"C{i % 4}" if i % 7 == 0 else ""]
+    pb2 = str(tmp_path / "ann.pb")
+    save_mat_pb(T, pb2)
+    T2 = load_mat_pb(pb2)
+    T2.uncondense_leaves()
+    leaves = T2.get_leaves_ids()
+    meta = tmp_path / "meta.tsv"
+    meta.write_text("strain\tcountry\n"
+                    + "".join(f"{s}\tC{i % 3}\n"
+                              for i, s in enumerate(leaves[:40])))
+    metadata = read_metafile(str(meta), samples_to_use=set(leaves))
+    j1 = str(tmp_path / "t.json")
+    write_json_from_mat(T2, j1, title="ttl", metadata=metadata)
+    rc = matutils_main(["extract", "-i", pb2, "--pb-direct",
+                        "-d", str(tmp_path / "a"), "-j", "a.json",
+                        "-M", str(meta), "-B", "ttl"])
+    assert rc == 0
+    assert open(j1).read() == open(tmp_path / "a" / "a.json").read()

@@ -135,7 +135,7 @@ def cmd_extract(argv) -> int:
                           or a.get_internal_descendents or a.nearest_k
                           or a.set_size or a.add_random or a.whitelist)
         if not have_selection and (a.write_taxodium or a.write_vcf
-                                   or a.write_diff):
+                                   or a.write_diff or a.write_json):
             # whole-MAT exports straight off the arrays — the
             # pandemic-scale paths the reference runs on the full public
             # MAT (translate.cpp:330-496 taxodium; convert.cpp:294 VCF,
@@ -153,6 +153,22 @@ def cmd_extract(argv) -> int:
                 out = os.path.join(a.outdir, a.write_diff)
                 _err(f"Generating MAPLE diff of full MAT at {out}")
                 make_diff_arrays(ma, out)
+            if a.write_json:
+                from ..matutils.convert import read_metafile
+                from ..matutils.convert_arrays import (
+                    _expanded_lists, write_json_from_mat_arrays)
+                names, _p, children, _m = _expanded_lists(ma)
+                leaves = {names[i] for i, c in enumerate(children)
+                          if not c}
+                metadata = {}
+                for mpath in [m for m in a.metadata.split(",") if m]:
+                    metadata.update(read_metafile(
+                        mpath, samples_to_use=leaves,
+                        load_all=a.load_all_metadata))
+                out = os.path.join(a.outdir, a.write_json)
+                _err(f"Writing JSON of full MAT to {out}")
+                write_json_from_mat_arrays(ma, out, title=a.title,
+                                           metadata=metadata)
             if a.write_taxodium:
                 from ..matutils.translate_arrays import \
                     save_taxodium_arrays

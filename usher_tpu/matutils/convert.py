@@ -163,6 +163,52 @@ def _json_node(node: Tree, metadata: dict[str, dict[str, str]],
     return obj
 
 
+
+def _json_meta_obj(title, metadata, use_clades):
+    """Shared Auspice meta/colorings builder (convert.cpp:609-644) for
+    the Tree and array JSON writers."""
+    colorings = [{"key": "country", "title": "Country",
+                  "type": "categorical"}]
+    metafields: list[str] = []
+    for kv in metadata.values():
+        for k in kv:
+            if k not in metafields:
+                metafields.append(k)
+    for k in metafields:
+        colorings.append({"key": k, "title": k,
+                          "type": "continuous" if "continuous" in k
+                          else "categorical"})
+    meta_obj = {
+        "title": title,
+        "filters": ["country", "userOrOld"],
+        "panels": ["tree"],
+        "colorings": colorings,
+        "display_defaults": {"branch_label": "none"},
+        "description":
+            "JSON generated by matUtils. If you have metadata you wish "
+            "to display, you can now drag on a CSV/TSV file and it will "
+            "be added into this view, [see here](https://docs.nextstrain."
+            "org/projects/auspice/en/latest/advanced-functionality/"
+            "drag-drop-csv-tsv.html) for more info.",
+    }
+    for i, used in enumerate(use_clades):
+        if used:
+            meta_obj.setdefault("extensions", {}).setdefault(
+                "nextclade", {}).setdefault(
+                "clade_node_attrs", []).append({
+                    "name": f"MAT_Clade_{i}",
+                    "displayName": f"MAT_Clade_{i + 1}",
+                    "description": f"MAT_Clade_{i + 1}as inferred or "
+                                   "proposed by UShER, matUtils, or "
+                                   "Autolin.",
+                    "hideInWeb": False,
+                    "skipAsReference": True})
+            colorings.append({"key": f"MAT_Clade_{i}",
+                              "title": f"MAT_Clade_{i + 1}",
+                              "type": "categorical"})
+    return meta_obj
+
+
 def write_json_from_mat(T: Tree, path: str, title: str = "mutation_annotated_tree",
                         metadata: dict[str, dict[str, str]] | None = None) -> None:
     """Auspice (nextstrain) v2 JSON writer (reference convert.cpp:585-663)."""
@@ -180,48 +226,7 @@ def write_json_from_mat(T: Tree, path: str, title: str = "mutation_annotated_tre
                     use_clades[i] = True
             if all(use_clades):
                 break
-        # header colorings: country default + one per metadata field, with
-        # "continuous" in the field name selecting the continuous type
-        # (convert.cpp:609-644)
-        colorings = [{"key": "country", "title": "Country",
-                      "type": "categorical"}]
-        metafields: list[str] = []
-        for kv in metadata.values():
-            for k in kv:
-                if k not in metafields:
-                    metafields.append(k)
-        for k in metafields:
-            colorings.append({"key": k, "title": k,
-                              "type": "continuous" if "continuous" in k
-                              else "categorical"})
-        meta_obj = {
-            "title": title,
-            "filters": ["country", "userOrOld"],
-            "panels": ["tree"],
-            "colorings": colorings,
-            "display_defaults": {"branch_label": "none"},
-            "description":
-                "JSON generated by matUtils. If you have metadata you wish "
-                "to display, you can now drag on a CSV/TSV file and it will "
-                "be added into this view, [see here](https://docs.nextstrain."
-                "org/projects/auspice/en/latest/advanced-functionality/"
-                "drag-drop-csv-tsv.html) for more info.",
-        }
-        for i, used in enumerate(use_clades):
-            if used:
-                meta_obj.setdefault("extensions", {}).setdefault(
-                    "nextclade", {}).setdefault(
-                    "clade_node_attrs", []).append({
-                        "name": f"MAT_Clade_{i}",
-                        "displayName": f"MAT_Clade_{i + 1}",
-                        "description": f"MAT_Clade_{i + 1}as inferred or "
-                                       "proposed by UShER, matUtils, or "
-                                       "Autolin.",
-                        "hideInWeb": False,
-                        "skipAsReference": True})
-                colorings.append({"key": f"MAT_Clade_{i}",
-                                  "title": f"MAT_Clade_{i + 1}",
-                                  "type": "categorical"})
+        meta_obj = _json_meta_obj(title, metadata, use_clades)
         doc = {
             "version": "v2",
             "meta": meta_obj,

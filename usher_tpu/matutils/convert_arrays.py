@@ -209,3 +209,74 @@ def make_diff_arrays(ma, diff_filename: str) -> None:
                 f.write(f"{char_from_nuc_id(int(altv[j])).lower()}"
                         f"\t{int(posv[j])}\n")
                 j += 1
+
+
+def write_json_from_mat_arrays(ma, path: str,
+                               title: str = "mutation_annotated_tree",
+                               metadata=None) -> None:
+    """Whole-MAT Auspice v2 JSON off flat arrays (convert.cpp:585-663):
+    the nested node tree is assembled iteratively over the expanded index
+    lists (no recursion, no Node objects), byte-identical to the Tree
+    writer."""
+    import json
+    from ..io import pb_arrays as pa
+    from .convert import _json_meta_obj, _open_out
+    metadata = metadata or {}
+    names, parent, children, muts_of = _expanded_lists(ma)
+    anns, ncols = pa.ann_lists(ma, ma.n)
+
+    def ann_of(i):
+        if anns is not None and i < ma.n:
+            return anns[i]
+        return [""] * ncols
+
+    use_clades = [False] * ncols
+    if ncols:
+        for i in range(len(names)):
+            for k, c in enumerate(ann_of(i)[:ncols]):
+                if c:
+                    use_clades[k] = True
+            if all(use_clades):
+                break
+    meta_obj = _json_meta_obj(title, metadata, use_clades)
+
+    # iterative preorder build mirroring _json_node
+    objs: list[dict] = [None] * len(names)
+    divs: list[int] = [0] * len(names)
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        node_muts = muts_of(i)
+        pdiv = divs[parent[i]] if parent[i] >= 0 else 0
+        divs[i] = pdiv + len(node_muts)
+        attrs = {"div": divs[i]}
+        obj = {"name": names[i],
+               "branch_attrs": {"labels": {}, "mutations": {
+                   "nuc": [m.get_string() for m in node_muts]}},
+               "node_attrs": attrs}
+        clades = [c for c in ann_of(i) if c]
+        if clades:
+            obj["branch_attrs"]["labels"]["clade"] = clades[0]
+        if use_clades:
+            arow = ann_of(i)
+            for k, used in enumerate(use_clades):
+                if used and k < len(arow) and arow[k]:
+                    attrs[f"MAT_Clade_{k}"] = {"value": arow[k]}
+        meta = metadata.get(names[i])
+        if meta:
+            for k, v in meta.items():
+                attrs[k] = {"value": v}
+        if children[i]:
+            obj["children"] = []
+        objs[i] = obj
+        if parent[i] >= 0:
+            objs[parent[i]]["children"].append(obj)
+        stack.extend(reversed(children[i]))
+    doc = {
+        "version": "v2",
+        "meta": meta_obj,
+        "tree": {"name": "wrapper", "node_attrs": {"div": 0},
+                 "children": [objs[0]]},
+    }
+    with _open_out(path) as f:
+        json.dump(doc, f)
