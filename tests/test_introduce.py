@@ -122,3 +122,114 @@ def test_introduce_cli_smoke(tmp_path):
     # cluster sizes sum to the population
     assert sum(int(l.split("\t")[1]) for l in clines[1:]) == len(leaves)
     assert os.path.exists(os.path.join(dump, "default_assignments.tsv"))
+
+
+# --- arrays-path parity (matutils/introduce_arrays.py) ----------------------
+
+def _ann_tree(rng):
+    """Random chain-consistent Tree with clade annotations + condensible
+    zero-mutation leaf groups (the introduce-relevant hairy branches)."""
+    import numpy as np
+    from test_list_tree import random_tree
+    T = random_tree(rng, n_nodes=80)
+    dfs = T.depth_first_expansion()
+    for n in dfs:
+        n.clade_annotations = ["", ""]
+    # sprinkle annotations on some internal nodes
+    internals = [n for n in dfs if not n.is_leaf()]
+    for k, n in enumerate(internals[:: max(1, len(internals) // 6)]):
+        n.clade_annotations[k % 2] = f"clade{k}"
+    T.condense_leaves()
+    return T
+
+
+def _run_both(tmp_path, tag, pb, pop_text, **kw):
+    """Drive the Tree and arrays paths with identical args; byte-compare
+    every produced artifact and the returned rows."""
+    from usher_tpu.matutils.introduce import introduce_main
+    from usher_tpu.matutils.introduce_arrays import introduce_main_arrays
+
+    spath = str(tmp_path / f"{tag}_pop.txt")
+    with open(spath, "w") as f:
+        f.write(pop_text)
+    sides = {}
+    for side, fn in (("tree", introduce_main),
+                     ("arr", introduce_main_arrays)):
+        d = tmp_path / f"{tag}_{side}"
+        d.mkdir()
+        out = fn(pb, spath, full_output=str(d / "out.tsv"),
+                 cluster_output=str(d / "clusters.tsv"),
+                 dump_assignments=str(d / "dump"),
+                 clade_regions=str(d / "clades.tsv"), **kw)
+        sides[side] = (out, d)
+    out_t, dt = sides["tree"]
+    out_a, da = sides["arr"]
+    assert out_t == out_a
+    for rel in ("out.tsv", "clusters.tsv", "clades.tsv"):
+        assert (dt / rel).read_bytes() == (da / rel).read_bytes(), rel
+    dumps_t = sorted(p.name for p in (dt / "dump").iterdir())
+    assert dumps_t == sorted(p.name for p in (da / "dump").iterdir())
+    for name in dumps_t:
+        assert ((dt / "dump" / name).read_bytes()
+                == (da / "dump" / name).read_bytes()), name
+    return out_t
+
+
+def test_introduce_arrays_parity_randomized(tmp_path):
+    import numpy as np
+    from usher_tpu.io.pbio import save_mat_pb
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        T = _ann_tree(rng)
+        pb = str(tmp_path / f"t{trial}.pb")
+        save_mat_pb(T, pb)
+        T2 = T.copy()
+        T2.uncondense_leaves()
+        leaves = T2.get_leaves_ids()
+        # two regions + some missing samples; flags cover look-ahead,
+        # minimum gap, uncertainty, and add_info (AI permutations + rng)
+        pop = "".join(
+            s + ("\tR1\n" if i % 2 else "\tR2\n")
+            for i, s in enumerate(leaves[: max(6, len(leaves) // 2)]))
+        pop += "not_in_tree\tR1\n"
+        out = _run_both(tmp_path, f"r{trial}", pb, pop,
+                        additional_info=True, evaluate_metadata=True,
+                        num_to_look=2, minimum_gap=1,
+                        minimum_to_report=0.01, num_to_report=2)
+        assert len(out) > 1
+
+
+def test_introduce_arrays_parity_fixture(tmp_path):
+    """Single-region default flags on the reference smoke tree."""
+    ref_dir = REFERENCE_TEST_DIR
+    if not os.path.exists(os.path.join(ref_dir, "global_phylo.nh")):
+        pytest.skip("reference fixtures unavailable")
+    from usher_tpu.cli.usher_cli import main as usher_main
+    from usher_tpu.io.pbio import load_mat_pb
+
+    build = str(tmp_path / "b")
+    pb = os.path.join(build, "out.pb")
+    assert usher_main(["-t", os.path.join(ref_dir, "global_phylo.nh"),
+                       "-v", os.path.join(ref_dir, "global_samples.vcf"),
+                       "-o", pb, "-d", build]) == 0
+    T = load_mat_pb(pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()[:25]
+    out = _run_both(tmp_path, "fx", pb,
+                    "".join(s + "\n" for s in leaves),
+                    additional_info=True)
+    assert len(out) == 26
+
+
+def test_association_index_overflow_guard():
+    """>1024-leaf polytomy: C++ pow saturates to inf (term 0); the Python
+    2.0** would raise OverflowError without the guard."""
+    T = Tree()
+    T.create_node("root")
+    for i in range(1100):
+        n = T.create_node(f"L{i}", "root")
+        n.add_mutation(_mut(10 + (i % 50)))
+    asg = get_assignments(T, {f"L{i}" for i in range(0, 1100, 2)})
+    val = get_association_index(T, asg)
+    assert val == 0.0

@@ -663,7 +663,25 @@ def cmd_introduce(argv) -> int:
     p.add_argument("--num-to-look", "-X", type=int, default=0)
     p.add_argument("--minimum-gap", "-G", type=int, default=0)
     p.add_argument("--threads", "-T", type=int, default=0)
+    p.add_argument("--pb-direct", action="store_true",
+                   help="run off flat arrays without building a host "
+                        "tree (pandemic-scale MATs; full flag surface)")
     a = p.parse_args(argv)
+    if a.pb_direct:
+        from ..matutils.introduce_arrays import introduce_main_arrays
+        introduce_main_arrays(
+            a.input_mat, a.population_samples,
+            additional_info=a.additional_info,
+            clade_regions=a.clade_regions,
+            date_metadata=a.date_metadata, full_output=a.full_output,
+            origin_confidence=a.origin_confidence,
+            evaluate_metadata=a.evaluate_metadata,
+            dump_assignments=a.dump_assignments,
+            latest_date=a.latest_date, cluster_output=a.cluster_output,
+            earliest_date=a.earliest_date, num_to_report=a.num_to_report,
+            minimum_to_report=a.minimum_to_report,
+            num_to_look=a.num_to_look, minimum_gap=a.minimum_gap)
+        return 0
     introduce_main(
         a.input_mat, a.population_samples,
         additional_info=a.additional_info, clade_regions=a.clade_regions,

@@ -100,8 +100,11 @@ def get_association_index(T: Tree, assignments: dict[str, float],
         tracker[n.identifier] = (in_c, out_c)
         total = in_c + out_c
         if total > 0:
-            # integer division quirk preserved
-            total_ai += (1 - max(in_c, out_c) // total) / (2.0 ** (total - 1))
+            # integer division quirk preserved; C++ pow(2, total-1)
+            # saturates to inf past DBL_MAX (2^1024) making the term 0,
+            # where Python ** raises OverflowError — mirror the C++
+            total_ai += ((1 - max(in_c, out_c) // total)
+                         / (2.0 ** (total - 1)) if total <= 1024 else 0.0)
     return total_ai
 
 

@@ -111,14 +111,46 @@ class Timer:
 
 
 def apply_platform_env() -> None:
-    """Honor USHER_TPU_PLATFORM=cpu|tpu: the environment's sitecustomize
-    imports jax before env vars apply, so JAX_PLATFORMS set by a wrapper is
-    read too late — route it through jax.config instead (see
-    tests/conftest.py)."""
+    """Process-level JAX setup for CLI entry points.
+
+    - Honor USHER_TPU_PLATFORM=cpu|tpu: the environment's sitecustomize
+      imports jax before env vars apply, so JAX_PLATFORMS set by a wrapper
+      is read too late — route it through jax.config instead (see
+      tests/conftest.py).
+    - Enable the persistent compilation cache (enable_compile_cache): a
+      serving CLI recompiles ~10 XLA programs per fresh process otherwise
+      (measured ~67 s of a 105 s `usher --pb-direct` run on a tunneled
+      chip before any sample is placed)."""
     plat = os.environ.get("USHER_TPU_PLATFORM", "")
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    enable_compile_cache()
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> bool:
+    """Point JAX at a persistent on-disk compilation cache so repeat CLI
+    invocations skip XLA compilation entirely.  Default location is
+    ~/.cache/usher_tpu/jax_cache; override with USHER_TPU_COMPILE_CACHE
+    (set to an empty string to disable).  Returns True when enabled."""
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "USHER_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "usher_tpu",
+                         "jax_cache"))
+    if not cache_dir:
+        return False
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir:
+            return True   # caller (e.g. bench.py) already configured one
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:  # the cache is an optimization, never a requirement
+        return False
 
 
 def maybe_begin_session_from_env() -> bool:
