@@ -1101,3 +1101,62 @@ def test_whole_mat_json_arrays_parity(mat_pb, tmp_path):
                         "-M", str(meta), "-B", "ttl"])
     assert rc == 0
     assert open(j1).read() == open(tmp_path / "a" / "a.json").read()
+
+
+def test_merge_arrays_parity(mat_pb, tmp_path):
+    """--pb-direct merge must byte-match the Tree merge on the same
+    inputs (merge.cpp:125 semantics; placement/apply/save run on the
+    parity-proven direct machinery)."""
+    from usher_tpu.matutils.tree_filter import filter_master
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    keep1 = leaves[:-10]
+    keep2 = leaves[:50] + leaves[-10:]
+    T1 = filter_master(T, keep1, False, True)
+    T2 = filter_master(T, keep2, False, True)
+    pb1, pb2 = str(tmp_path / "t1.pb"), str(tmp_path / "t2.pb")
+    save_mat_pb(T1, pb1)
+    save_mat_pb(T2, pb2)
+    for d in (20, 2):
+        out_t = str(tmp_path / f"mt_{d}.pb")
+        out_a = str(tmp_path / f"ma_{d}.pb")
+        assert matutils_main(["merge", "-1", pb1, "-2", pb2,
+                              "-o", out_t, "-d", str(d)]) == 0
+        assert matutils_main(["merge", "-1", pb1, "-2", pb2, "--pb-direct",
+                              "-o", out_a, "-d", str(d)]) == 0
+        tb = open(out_t, "rb").read()
+        ab = open(out_a, "rb").read()
+        assert tb == ab, f"merged pb differs at max_depth={d}"
+
+
+def test_merge_arrays_parity_novel_positions(mat_pb, tmp_path):
+    """New samples carrying mutations at positions the base never saw
+    (extra-position seeding), plus sibling new samples under one parent
+    (in-batch touched/stale handling)."""
+    from usher_tpu.core.tree import Mutation
+    from usher_tpu.matutils.tree_filter import filter_master
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    leaves = T.get_leaves_ids()
+    keep1 = leaves[:-12]
+    keep2 = leaves[:40] + leaves[-12:]
+    T1 = filter_master(T, keep1, False, True)
+    T2 = filter_master(T, keep2, False, True)
+    # novel positions on a few new samples (absent from the base MAT);
+    # single chromosome, like every real MAT (the arrays model stores one
+    # chrom for the whole MAT where the pb stores one per mutation)
+    for k, nm in enumerate(leaves[-12:-8]):
+        n = T2.get_node(nm)
+        if n is not None:
+            n.add_mutation(Mutation("NC_045512v2", 900000 + k, 1, 1, 4))
+    pb1, pb2 = str(tmp_path / "t1.pb"), str(tmp_path / "t2.pb")
+    save_mat_pb(T1, pb1)
+    save_mat_pb(T2, pb2)
+    out_t = str(tmp_path / "mt.pb")
+    out_a = str(tmp_path / "ma.pb")
+    assert matutils_main(["merge", "-1", pb1, "-2", pb2,
+                          "-o", out_t]) == 0
+    assert matutils_main(["merge", "-1", pb1, "-2", pb2, "--pb-direct",
+                          "-o", out_a]) == 0
+    assert open(out_t, "rb").read() == open(out_a, "rb").read()

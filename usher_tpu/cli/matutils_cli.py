@@ -541,7 +541,14 @@ def cmd_merge(argv) -> int:
                         "the consistent node (merge.cpp:16)")
     p.add_argument("--threads", "-T", type=int, default=0,
                    help="Accepted for CLI parity")
+    p.add_argument("--pb-direct", action="store_true",
+                   help="merge off flat arrays without building host "
+                        "trees (pandemic-scale base MATs)")
     a = p.parse_args(argv)
+    if a.pb_direct:
+        from ..matutils.merge_arrays import merge_main_arrays
+        return merge_main_arrays(a.mat1, a.mat2, a.output_mat,
+                                 max_depth=a.max_depth)
     T1 = _load(a.mat1)
     T2 = _load(a.mat2)
     # the reference clears existing clade annotations on load

@@ -938,15 +938,24 @@ class DirectOptions:
 
 class DirectPlacer:
     def __init__(self, pb_path: str, vcf_path: str | None = None,
-                 mesh=None, collapse: bool = False):
+                 mesh=None, collapse: bool = False, ma=None,
+                 extra_pos_ref=None, counter=None):
         """mesh: optional jax Mesh (flattened to 1-D) — batch-axis
         shard_map composition for the device scoring calls
         (ops/interval.py; CSR metadata replicated per device).
 
         collapse (-c): collapse the input tree + condense identical
         sequences BEFORE placement (usher_common.cpp:275-297), as list
-        ops — condensed-tree.nh text is stashed for place_all to write."""
-        ma = load_mat_arrays(pb_path)
+        ops — condensed-tree.nh text is stashed for place_all to write.
+
+        ma / extra_pos_ref / counter: library entry (matUtils merge):
+        drive placement over a caller-prepared MatArrays, extending the
+        position set by {position: ref_nuc} pairs absent from the MAT
+        (merge samples can mutate positions the base never saw), with an
+        explicit internal-node id counter (the caller's uncondense
+        consumed ids the default heuristic cannot see)."""
+        if ma is None:
+            ma = load_mat_arrays(pb_path)
         self.ma = ma
         self.chrom = ma.chrom
         # internal-node counter continues the parsed numbering (node ids are
@@ -1000,6 +1009,20 @@ class DirectPlacer:
             self.big = BigMAT(ma.parent, ma.mut_ptr, new_col, ma.mut_par,
                               ma.mut_mut, positions, ref)
             self.big._recompute_ranks()
+        elif extra_pos_ref:
+            pos_ref = dict(zip(positions.tolist(), ref.tolist()))
+            for p, r in extra_pos_ref.items():
+                pos_ref.setdefault(int(p), int(r))
+            positions = np.array(sorted(pos_ref), dtype=np.int64)
+            ref = np.array([pos_ref[p] for p in positions.tolist()],
+                           dtype=np.uint8)
+            new_col = np.searchsorted(positions,
+                                      ma.positions[ma.mut_col]).astype(
+                                          np.int32)
+            from ..core.bigmat import BigMAT
+            self.big = BigMAT(ma.parent, ma.mut_ptr, new_col, ma.mut_par,
+                              ma.mut_mut, positions, ref)
+            self.big._recompute_ranks()
         else:
             self.big = ma.to_bigmat()
         if mesh is not None and len(mesh.axis_names) > 1:
@@ -1011,9 +1034,9 @@ class DirectPlacer:
         # may also start with node_ and must not count).  After a -c
         # collapse, the counter continues from the collapse's own id
         # consumption instead (Tree.new_internal_node_id state).
-        self._internal_counter = getattr(
-            self, "_counter_override", None) or int(
-            (~self.big.is_leaf).sum())
+        self._internal_counter = counter if counter is not None else (
+            getattr(self, "_counter_override", None) or int(
+                (~self.big.is_leaf).sum()))
         self._init_clades()
         # per-node mutation-list deltas (split/appended nodes); everything
         # else reads the CSR directly
