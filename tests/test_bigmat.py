@@ -467,3 +467,45 @@ def test_no_recompile_in_direct_serving_loop(tmp_path):
     # after the second batch (overlay active) the program set is fixed
     later = [s for s in sizes[16:]]
     assert later and max(later) == min(later), sizes
+
+
+@pytest.mark.parametrize("seed", list(range(5)))
+@pytest.mark.parametrize("min_group", [2, 6, 10_000])
+def test_place_arrays_grouped_matches_plain(seed, min_group):
+    """Shared-ancestry decomposition (group columns + signed residuals)
+    must be bit-identical to scoring the full entry sets — including
+    back-mutation overrides (random_mat emits back-to-ref mutations) and
+    the anchor=root degenerate case (min_group > batch)."""
+    from usher_tpu.matutils.arrays import _ancestral_set_triplets
+    rng = np.random.default_rng(seed + 400)
+    T, ref = random_mat(rng, n_leaves=60, n_positions=20, mut_rate=0.9)
+    positions = np.array(sorted(ref), dtype=np.int64)
+    refarr = np.array([ref[p] for p in positions.tolist()], dtype=np.uint8)
+    big = BigMAT.from_tree(T, positions, refarr)
+    leaf_slots = np.nonzero(big.is_leaf)[0]
+    slots = rng.choice(leaf_slots, size=40, replace=True).tolist()
+
+    grouped = big.group_ancestral_batch(slots, min_group=min_group,
+                                        gcap=3)
+
+    full = [_ancestral_set_triplets(big, s) for s in slots]
+    K = max((len(f) for f in full), default=0) or 1
+    B = len(slots)
+    pos = np.full((B, K), big.P, np.int32)
+    gval = np.zeros((B, K), np.uint8)
+    for i, f in enumerate(full):
+        for k, (c, v) in enumerate(f):
+            pos[i, k] = c
+            gval[i, k] = v
+    kmiss = np.zeros((B, K), bool)
+
+    plain = big.place_arrays(pos, gval, kmiss)
+    grp = big.place_arrays_grouped(*grouped)
+    for a, b in zip(plain, grp):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p2 = big.place_arrays(pos, gval, kmiss, with_second=True)
+    g2 = big.place_arrays_grouped(*grouped, with_second=True)
+    for ta, tb in zip(p2, g2):
+        for a, b in zip(ta, tb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

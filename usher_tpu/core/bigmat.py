@@ -1197,6 +1197,335 @@ class BigMAT:
                                     with_second=with_second,
                                     clades=clades))
 
+    def place_arrays_grouped(self, pos, gval, kmiss, sgn,
+                             gpos, ggval, gkmiss, gsgn, grp_of,
+                             closure=None, with_second: bool = False):
+        """Exact placement scoring via the SHARED-ANCESTRY decomposition
+        (ops/interval.interval_place_flatgrp_dev): group rows carry entry
+        lists shared by many samples (expanded/scattered once per group),
+        sample rows carry only signed residuals, grp_of maps samples to
+        hierarchical anchors whose chain sums resolve in one closure
+        matmul.  Bit-identical to place_arrays on the reconstructed full
+        entry sets (tests/test_bigmat.py); measured 1.6-1.7x on
+        re-placement batches at the 1M x 30k shape (docs/perf.md: real
+        pandemic batches carry 87.8% duplicate scatter events).  Build
+        inputs with group_ancestral_batch (EPP/uncertainty bulk
+        re-scoring, reference usher_mapper re-scoring of existing
+        leaves).
+
+        Requires an overlay-free epoch (no incremental appends) and no
+        mesh; one-shot bulk scoring is the target workload."""
+        self._flush()
+        if self._ov is not None:
+            raise ValueError("grouped scoring requires an overlay-free "
+                             "epoch (score before incremental appends)")
+        if self.mesh is not None:
+            raise ValueError("grouped scoring is not composed with the "
+                             "mesh path")
+        from ..ops import interval as iv
+        B, G = pos.shape[0], gpos.shape[0]
+        meta = self._dfs_meta(spr=False)
+        margs = (meta["num_mut"], meta["is_leaf"], meta["is_root"],
+                 meta["active"], meta["num_leaves"], meta["bfs_rank"])
+        allpos = np.concatenate([pos.reshape(-1), gpos.reshape(-1)])
+        e = allpos < self.P
+        if e.any():
+            cnts = self.csc_ptr[allpos[e] + 1] - self.csc_ptr[allpos[e]]
+            mx = int(cnts.max())
+        else:
+            mx = 0
+        mc = 32
+        while mc < mx:
+            mc = mc * 3 // 2
+        if mc > 8192:
+            raise ValueError(f"column occupancy {mx} exceeds the device "
+                             f"expansion bound; use place_arrays")
+        b_pad = 8
+        while b_pad < B:
+            b_pad *= 2
+        g_pad = 8
+        while g_pad < G:
+            g_pad *= 2
+
+        # FLAT entry-list packing: one row per real entry with its target
+        # scan column — no [B, K] rectangle, one expansion/scatter/scan
+        # pass for residuals and groups alike (the two-batch formulation
+        # paid its ~60 ms fixed per-pass cost twice; docs/perf.md)
+        def flat(p, gv, km, sg, col_of_row):
+            m = p < self.P
+            rows, ks = np.nonzero(m)
+            return (p[rows, ks], gv[rows, ks], km[rows, ks],
+                    sg[rows, ks], col_of_row[rows])
+
+        rcols = np.arange(B, dtype=np.int32)
+        gcols = b_pad + np.arange(G, dtype=np.int32)
+        parts = [flat(pos.astype(np.int32), gval, kmiss, sgn, rcols),
+                 flat(gpos.astype(np.int32), ggval, gkmiss, gsgn, gcols)]
+        epos = np.concatenate([a[0] for a in parts])
+        egval = np.concatenate([a[1] for a in parts])
+        ekmiss = np.concatenate([a[2] for a in parts])
+        esgn = np.concatenate([a[3] for a in parts])
+        ecol = np.concatenate([a[4] for a in parts]).astype(np.int32)
+        E = len(epos)
+        e_pad = 512
+        while e_pad < E:
+            e_pad *= 2
+        pd = e_pad - E
+        epos = np.concatenate([epos, np.full(pd, self.P, np.int32)])
+        egval = np.concatenate([egval, np.zeros(pd, np.uint8)])
+        ekmiss = np.concatenate([ekmiss, np.zeros(pd, bool)])
+        esgn = np.concatenate([esgn, np.ones(pd, np.int8)])
+        ecol = np.concatenate([ecol, np.zeros(pd, np.int32)])
+
+        grp_p = np.zeros(b_pad, np.int32)
+        grp_p[:B] = grp_of
+        cl_p = np.eye(g_pad, dtype=np.float32)
+        if closure is not None:
+            cl_p[:closure.shape[0], :closure.shape[1]] = closure
+        csc = self._csc_dev()
+        out = iv.interval_place_flatgrp_dev(
+            *csc,
+            jnp.asarray(epos.reshape(-1, 1)),
+            jnp.asarray(egval.reshape(-1, 1)),
+            jnp.asarray(ekmiss.reshape(-1, 1)),
+            jnp.asarray(esgn.reshape(-1, 1)),
+            jnp.asarray(ecol), jnp.asarray(grp_p), jnp.asarray(cl_p),
+            meta["base"], meta["nc_base"], *margs,
+            self.n_pad, b_pad, g_pad, mc, second=with_second)
+        return self.place_arrays_finish(
+            ("dev", (out, None, B, with_second, self.dfs_order, self.N)))
+
+    def group_ancestral_batch(self, slots, min_group: int = 2,
+                              gcap: int = 0):
+        """Shared-ancestry inputs for place_arrays_grouped from a batch of
+        EXISTING node slots (re-placement workloads: the sample set is the
+        tree's own leaves, whose genotypes share every root-path mutation
+        above their batch LCAs).
+
+        HIERARCHICAL anchor forest: anchors are the LCA-compressed virtual
+        tree's nodes covering >= min_group batch slots (closed under the
+        virtual parent relation).  Each anchor's group row carries only
+        the signed DELTA of its ancestral entry set vs its parent
+        anchor's; the device resolves full chain sums with one [n_pad, G]
+        x [G, G] closure matmul (ops/interval.py) — so a deep stem's
+        mutations expand ONCE regardless of how many sub-anchors hang
+        below it.  Sample rows carry the signed residual vs their own
+        anchor's full set: +(col, value) for entries the anchor lacks,
+        -(col, anchor value) where the below-path overrides one
+        (back-mutations) — an exact linear split of the entry multiset.
+
+        Returns (pos, gval, kmiss, sgn, gpos, ggval, gkmiss, grp_of,
+        closure)."""
+        self._flush()
+        slots = [int(s) for s in slots]
+        B = len(slots)
+        parent = self.parent
+        dfs_of, dfs_end_of = self.dfs_of, self.dfs_end_of
+        level = self.level
+
+        def lca(a, b):
+            while level[a] > level[b]:
+                a = int(parent[a])
+            while level[b] > level[a]:
+                b = int(parent[b])
+            while a != b:
+                a = int(parent[a])
+                b = int(parent[b])
+            return a
+
+        uniq_slots = sorted(set(slots), key=lambda s: dfs_of[s])
+        kept = set(uniq_slots)
+        for a, b in zip(uniq_slots, uniq_slots[1:]):
+            kept.add(lca(a, b))
+        vnodes = sorted(kept, key=lambda s: dfs_of[s])
+        vidx = {v: i for i, v in enumerate(vnodes)}
+        vpar = [-1] * len(vnodes)
+        stack: list[int] = []
+        for i, v in enumerate(vnodes):
+            d = dfs_of[v]
+            while stack and not (dfs_of[vnodes[stack[-1]]] <= d
+                                 < dfs_end_of[vnodes[stack[-1]]]):
+                stack.pop()
+            vpar[i] = stack[-1] if stack else -1
+            stack.append(i)
+        counts = [0] * len(vnodes)
+        for s in slots:
+            counts[vidx[s]] += 1
+        for i in range(len(vnodes) - 1, -1, -1):
+            if vpar[i] >= 0:
+                counts[vpar[i]] += counts[i]
+        is_anchor = [counts[i] >= min_group for i in range(len(vnodes))]
+
+        def anchor_vi(i):
+            """Deepest anchor at-or-above virtual node i (-1 if none)."""
+            while i >= 0 and not is_anchor[i]:
+                i = vpar[i]
+            return i
+
+        anchor_of = {}   # virtual index -> anchor virtual index
+        for s in set(slots):
+            anchor_of[vidx[s]] = anchor_vi(vidx[s])
+        # ALL qualifying anchors, not just directly-used ones: counts are
+        # monotone up the virtual tree, so this set is closed under the
+        # parent-anchor relation — every chain ancestor holds its delta
+        # row and the closure matmul telescopes exactly
+        a_list = [i for i in range(len(vnodes)) if is_anchor[i]]
+        if not a_list:
+            # batch too small/diverse for any shared anchor: one empty
+            # group keeps the call shape valid
+            gid_of = np.zeros(B, np.int32)
+            kr = 1
+            closure = np.eye(1, dtype=np.float32)
+            grp_rows = [[]]
+        else:
+            gid = {a: i for i, a in enumerate(a_list)}
+            gid_of = np.array(
+                [gid[anchor_of[vidx[s]]] if anchor_of[vidx[s]] >= 0 else 0
+                 for s in slots], np.int32)
+            closure = np.zeros((len(a_list), len(a_list)), np.float32)
+            for a, g in gid.items():
+                x = a
+                while x >= 0:
+                    if is_anchor[x]:
+                        closure[gid[x], g] = 1.0
+                    x = vpar[x]
+
+        def anc_entries(slot):
+            """Nearest CSR value per column from slot up; non-ref only."""
+            seen: dict[int, int] = {}
+            x = slot
+            while True:
+                for j in range(int(self.mut_ptr[x]),
+                               int(self.mut_ptr[x + 1])):
+                    c = int(self.mut_col[j])
+                    if c not in seen:
+                        seen[c] = int(self.mut_mut[j])
+                p = int(parent[x])
+                if p == x:
+                    break
+                x = p
+            return {c: v for c, v in seen.items() if v != int(self.ref[c])}
+
+        def delta_rows(su, sp_set):
+            """Signed entry delta turning set(parent) into set(u)."""
+            gu = anc_entries(su)
+            row = []
+            for c, v in gu.items():
+                if sp_set.get(c) != v:
+                    row.append((c, v, 1))
+            for c, vp in sp_set.items():
+                if gu.get(c) != vp:
+                    row.append((c, vp, -1))
+            return gu, row
+
+        if a_list:
+            a_sets: list[dict] = [None] * len(a_list)
+            grp_rows = [None] * len(a_list)
+            for g, a in enumerate(a_list):   # parents precede children
+                pa = anchor_vi(vpar[a]) if vpar[a] >= 0 else -1
+                p_set = a_sets[gid[pa]] if pa >= 0 else {}
+                a_sets[g], grp_rows[g] = delta_rows(vnodes[a], p_set)
+
+        def residual(s, a_slot, ga):
+            below: dict[int, int] = {}
+            x = s
+            while x != a_slot:
+                for j in range(int(self.mut_ptr[x]),
+                               int(self.mut_ptr[x + 1])):
+                    c = int(self.mut_col[j])
+                    if c not in below:
+                        below[c] = int(self.mut_mut[j])
+                x = int(parent[x])
+            row = []
+            for c, v in below.items():
+                ea = ga.get(c)
+                if v != int(self.ref[c]) and v != ea:
+                    row.append((c, v, 1))
+                if ea is not None and ea != v:
+                    row.append((c, ea, -1))
+            return row
+
+        if a_list:
+            res_rows = [residual(s, vnodes[a_list[gid_of[i]]],
+                                 a_sets[gid_of[i]])
+                        for i, s in enumerate(slots)]
+        else:
+            full = [anc_entries(s) for s in slots]
+            res_rows = [[(c, v, 1) for c, v in sorted(f.items())]
+                        for f in full]
+
+        def pack(rows, width):
+            R = len(rows)
+            pos = np.full((R, width), self.P, np.int32)
+            gv = np.zeros((R, width), np.uint8)
+            sg = np.ones((R, width), np.int8)
+            for i, row in enumerate(rows):
+                for k, (c, v, sgn_v) in enumerate(row):
+                    pos[i, k] = c
+                    gv[i, k] = v
+                    sg[i, k] = sgn_v
+            return pos, gv, np.zeros((R, width), bool), sg
+
+        # straggler privatization: a sample with no shared anchor (alone
+        # in its lineage within this batch) keeps a near-full residual,
+        # and the rectangular [B, K_res] grid charges EVERY sample for
+        # the worst row — move such residuals into a PRIVATE anchor
+        # column chained under the sample's current anchor (column copy
+        # in the closure); the gcap splitter below then bounds its width
+        # like any other group row
+        if a_list:
+            rcap = 2 * gcap if gcap > 0 else 0
+            if rcap:
+                Gr0 = len(grp_rows)
+                movers = [(i, int(gid_of[i]), row)
+                          for i, row in enumerate(res_rows)
+                          if len(row) > rcap]
+                if movers:
+                    G2 = Gr0 + len(movers)
+                    cl2 = np.zeros((G2, G2), np.float32)
+                    cl2[:Gr0, :Gr0] = closure
+                    for q, (i, g_old, row) in enumerate(movers):
+                        gn = Gr0 + q
+                        cl2[:Gr0, gn] = closure[:Gr0, g_old]
+                        cl2[gn, gn] = 1.0
+                        grp_rows.append(row)
+                        gid_of[i] = gn
+                        res_rows[i] = []
+                    closure = cl2
+
+        # cap group-row width: a long delta (a deep lineage stem) would
+        # rectangularize the whole [G, K_grp] grid — split it into a
+        # CHAIN of pseudo-anchor rows instead; a pseudo row sits between
+        # parent(g) and g on every chain through g, so its closure row is
+        # a copy of g's (its entries join exactly the sums g's do)
+        if a_list and gcap > 0:
+            Gr = len(grp_rows)
+            extra_rows, extra_src = [], []
+            for g in range(Gr):
+                row = grp_rows[g]
+                if len(row) > gcap:
+                    segs = [row[i:i + gcap]
+                            for i in range(0, len(row), gcap)]
+                    grp_rows[g] = segs[0]
+                    for sgm in segs[1:]:
+                        extra_rows.append(sgm)
+                        extra_src.append(g)
+            if extra_rows:
+                G2 = Gr + len(extra_rows)
+                cl2 = np.zeros((G2, G2), np.float32)
+                cl2[:Gr, :Gr] = closure
+                for q, g in enumerate(extra_src):
+                    cl2[Gr + q, :Gr] = closure[g, :Gr]
+                closure = cl2
+                grp_rows = grp_rows + extra_rows
+
+        kr = max((len(r) for r in res_rows), default=0) or 1
+        kg = max((len(g) for g in grp_rows), default=0) or 1
+        pos, gval, kmiss, sgn = pack(res_rows, kr)
+        gpos, ggval, gkmiss, gsgn = pack(grp_rows, kg)
+        return (pos, gval, kmiss, sgn, gpos, ggval, gkmiss, gsgn,
+                gid_of, closure)
+
     def place_arrays_finish(self, handle):
         """Block on a place_arrays_begin handle and unpack.  The DFS-row
         mapping is the one captured at dispatch time — flushes between

@@ -253,14 +253,17 @@ def _expand_events(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
     return (u, am, ap, rootm, effm, pair_ok, gv, km)
 
 
-def _dev_score_nc(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
-                  ref_cols, pos, gval, kmiss,
-                  ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
-                  base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr,
-                  extra_cols: int = 0, cnt=None):
-    """Shared core of the *_dev entry points: device-side expansion, delta
-    evaluation, scatter (+ optional extra cnt channel folded into the same
-    scan), cumsum, add0.  Returns (score, nc[, cnt_run])."""
+def _entry_deltas(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+                  ref_cols, pos, gval, kmiss, n_pad, mc: int, spr: bool,
+                  sgn=None, col_offset: int = 0, col_index=None):
+    """Expansion + delta evaluation for one entry batch: returns
+    (r, rend, flat_b, d_range, d_point, d_nc, add0) ready to scatter.
+    sgn (+1/-1 per entry) negates contributions (signed residuals of the
+    shared-ancestry decomposition); col_offset shifts the scatter columns
+    (group batches land past the sample columns); col_index [B] overrides
+    the row->column iota entirely (the FLAT entry-list packing: rows are
+    individual entries with arbitrary target columns — no rectangular
+    [B, K] waste)."""
     P = ref_cols.shape[0]
     B, K = pos.shape
     (u, am, ap, rootm, effm, pair_ok, gv, km) = _expand_events(
@@ -295,13 +298,40 @@ def _dev_score_nc(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
                      ((gv & am) != 0).astype(jnp.int32)
                      - ((rk & am) != 0).astype(jnp.int32), 0)
     ok = pair_ok.astype(jnp.int32)
+    if sgn is not None:
+        ok = ok * sgn.astype(jnp.int32)[:, :, None]
     d_range = d_range * ok
     d_point = d_point * ok
     d_nc = d_nc * ok
 
     r = jnp.where(pair_ok, dfs_of[u], n_pad)
     rend = jnp.where(pair_ok, dfs_end_of[u], n_pad)
-    flat_b = jax.lax.broadcasted_iota(jnp.int32, (B, K, mc), 0).reshape(-1)
+    if col_index is not None:
+        flat_b = jnp.broadcast_to(
+            col_index.astype(jnp.int32)[:, None, None],
+            (B, K, mc)).reshape(-1)
+    else:
+        flat_b = (jax.lax.broadcasted_iota(jnp.int32, (B, K, mc), 0)
+                  + col_offset).reshape(-1)
+    add0_ind = ((~kmiss) & valid_e
+                & ((gval.astype(jnp.int32) & rk_e) == 0)).astype(jnp.int32)
+    if sgn is not None:
+        add0_ind = add0_ind * sgn.astype(jnp.int32)
+    add0 = jnp.sum(add0_ind, axis=1, dtype=jnp.int32)
+    return r, rend, flat_b, d_range, d_point, d_nc, add0
+
+
+def _dev_score_nc(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
+                  ref_cols, pos, gval, kmiss,
+                  ov_idx, ov_b, ov_val, ovn_idx, ovn_b, ovn_val,
+                  base_dfs, nc_base_dfs, n_pad, b_pad, mc, spr,
+                  extra_cols: int = 0, cnt=None):
+    """Shared core of the *_dev entry points: device-side expansion, delta
+    evaluation, scatter (+ optional extra cnt channel folded into the same
+    scan), cumsum, add0.  Returns (score, nc[, cnt_run])."""
+    r, rend, flat_b, d_range, d_point, d_nc, add0 = _entry_deltas(
+        csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of, ref_cols,
+        pos, gval, kmiss, n_pad, mc, spr)
 
     width = b_pad + extra_cols
     diff = jnp.zeros((n_pad + 1, width), jnp.int32)
@@ -310,6 +340,8 @@ def _dev_score_nc(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
     diff = diff.at[rend.reshape(-1), flat_b].add((-d_range).reshape(-1))
     diff = diff.at[jnp.minimum(r + 1, n_pad).reshape(-1), flat_b].add(
         (-d_point).reshape(-1))
+    ncd = jnp.zeros((n_pad + 1, b_pad), jnp.int32)
+    ncd = ncd.at[r.reshape(-1), flat_b].add(d_nc.reshape(-1))
     # overlay events from incremental appends (host-expanded, small)
     diff = diff.at[ov_idx, ov_b.astype(jnp.int32)].add(
         ov_val.astype(jnp.int32))
@@ -318,16 +350,11 @@ def _dev_score_nc(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
         diff = diff.at[cnt_idx, b_pad + cnt_b.astype(jnp.int32)].add(
             cnt_val.astype(jnp.int32))
     run = _scan_rows(diff[:n_pad])
-    add0 = jnp.sum(((~kmiss) & valid_e
-                    & ((gval.astype(jnp.int32) & rk_e) == 0)),
-                   axis=1, dtype=jnp.int32)
-    add0 = jnp.pad(add0, (0, b_pad - B))
-    score = base_dfs[:, None] + add0[None, :] + run[:, :b_pad]
-
-    ncd = jnp.zeros((n_pad + 1, b_pad), jnp.int32)
-    ncd = ncd.at[r.reshape(-1), flat_b].add(d_nc.reshape(-1))
     ncd = ncd.at[ovn_idx, ovn_b.astype(jnp.int32)].add(
         ovn_val.astype(jnp.int32))
+    B = pos.shape[0]
+    add0 = jnp.pad(add0, (0, b_pad - B))
+    score = base_dfs[:, None] + add0[None, :] + run[:, :b_pad]
     nc = nc_base_dfs[:, None] + ncd[:n_pad]
     if cnt is not None:
         return score, nc, run[:, b_pad:]
@@ -362,6 +389,62 @@ def interval_place_dev(csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of,
     return _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
                          active_dfs, num_leaves_dfs, bfs_rank_dfs,
                          second=second, clades=clades)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "b_pad", "g_pad", "mc",
+                                    "second"))
+def interval_place_flatgrp_dev(csc_ptr, csc_node, csc_meta, dfs_of,
+                               dfs_end_of, ref_cols,
+                               epos, egval, ekmiss, esgn, ecol, grp_of,
+                               closure,
+                               base_dfs, nc_base_dfs,
+                               num_mut_dfs, is_leaf_dfs, is_root_dfs,
+                               active_dfs, num_leaves_dfs, bfs_rank_dfs,
+                               n_pad: int, b_pad: int, g_pad: int,
+                               mc: int, second: bool = False):
+    """Shared-ancestry scoring with the FLAT entry-list packing: every
+    entry (residual and group alike) is one [E, 1] row with an explicit
+    target scan column ecol [E] (0..b_pad-1 = samples, b_pad.. = group
+    columns).  ONE expansion grid of exactly E*mc lanes, ONE scatter set,
+    ONE scan over width b_pad+g_pad — the rectangular [B, K] waste and
+    the duplicated per-pass fixed costs of the two-batch formulation are
+    both gone (profiled ~60 ms fixed per pass at the 1M shape).  The
+    per-sample combine is a stacked [n_pad, 2*g_pad] x [2*g_pad, ...]
+    closure-and-gather matmul; bit-identical to place_arrays on the
+    reconstructed full entry sets (tests/test_bigmat.py)."""
+    r, rend, flat_b, d_range, d_point, d_nc, add0_e = _entry_deltas(
+        csc_ptr, csc_node, csc_meta, dfs_of, dfs_end_of, ref_cols,
+        epos, egval, ekmiss, n_pad, mc, False, sgn=esgn, col_index=ecol)
+    width = b_pad + g_pad
+    diff = jnp.zeros((n_pad + 1, width), jnp.int32)
+    diff = diff.at[r.reshape(-1), flat_b].add(
+        (d_range + d_point).reshape(-1))
+    diff = diff.at[rend.reshape(-1), flat_b].add((-d_range).reshape(-1))
+    diff = diff.at[jnp.minimum(r + 1, n_pad).reshape(-1), flat_b].add(
+        (-d_point).reshape(-1))
+    ncd = jnp.zeros((n_pad + 1, width), jnp.int32)
+    ncd = ncd.at[r.reshape(-1), flat_b].add(d_nc.reshape(-1))
+    ncd = ncd[:n_pad]
+    run = _scan_rows(diff[:n_pad])
+    add0 = jnp.zeros(width, jnp.int32).at[ecol.astype(jnp.int32)].add(
+        add0_e)
+    g = grp_of.astype(jnp.int32)
+    M = closure.astype(jnp.float32)[:, g]        # [g_pad, b_pad]
+    resolved_run = jnp.einsum(
+        "ng,gb->nb", run[:, b_pad:].astype(jnp.float32), M,
+        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    resolved_ncd = jnp.einsum(
+        "ng,gb->nb", ncd[:, b_pad:].astype(jnp.float32), M,
+        precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
+    add0_c = add0[:b_pad] + (add0[b_pad:].astype(jnp.float32) @ M
+                             ).astype(jnp.int32)
+    score = base_dfs[:, None] + add0_c[None, :] + run[:, :b_pad] \
+        + resolved_run
+    nc = nc_base_dfs[:, None] + ncd[:, :b_pad] + resolved_ncd
+    return _finish_place(score, nc, num_mut_dfs, is_leaf_dfs, is_root_dfs,
+                         active_dfs, num_leaves_dfs, bfs_rank_dfs,
+                         second=second)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "b_pad", "mc"))
