@@ -1160,3 +1160,19 @@ def test_merge_arrays_parity_novel_positions(mat_pb, tmp_path):
     assert matutils_main(["merge", "-1", pb1, "-2", pb2, "--pb-direct",
                           "-o", out_a]) == 0
     assert open(out_t, "rb").read() == open(out_a, "rb").read()
+
+
+def test_find_epps_grouped_matches_plain(mat_pb, monkeypatch):
+    """uncertainty's bulk re-scoring must be identical whether the
+    shared-ancestry grouped engine or plain scoring runs underneath."""
+    from usher_tpu.io.pb_arrays import load_mat_arrays
+    from usher_tpu.matutils.arrays import find_epps
+    ma = load_mat_arrays(mat_pb)
+    T = load_mat_pb(mat_pb)
+    T.uncondense_leaves()
+    samples = T.get_leaves_ids()[:60]
+    monkeypatch.setenv("USHER_TPU_GROUPED", "1")
+    r_grp = find_epps(ma, samples)
+    monkeypatch.setenv("USHER_TPU_GROUPED", "0")
+    r_plain = find_epps(ma, samples)
+    assert r_grp == r_plain

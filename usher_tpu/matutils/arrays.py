@@ -14,6 +14,7 @@ matutils/summary.py).
 
 from __future__ import annotations
 
+import os
 import sys
 from collections import defaultdict
 
@@ -821,8 +822,22 @@ def find_epps(ma, sample_names, batch_size: int = 256,
                                   int(big.ref[c]), int(big.ref[c]), v)
                          for c, v in trips])
         pos, gval, kmiss = big.sparsify(muts)
-        (bs, slot, nb, hu), (bs2, slot2, nb2, hu2) = big.place_arrays(
-            pos, gval, kmiss, with_second=True)
+        res = None
+        if os.environ.get("USHER_TPU_GROUPED", "1") != "0":
+            # shared-ancestry grouped scoring: the batch IS existing
+            # leaves, the workload the decomposition targets (measured
+            # 1.6x at the 1M shape, bit-identical; core/bigmat.py
+            # place_arrays_grouped)
+            try:
+                grouped = big.group_ancestral_batch(
+                    [slot_of[nm] for nm in chunk])
+                res = big.place_arrays_grouped(*grouped,
+                                               with_second=True)
+            except ValueError:   # occupancy bound / mesh: plain path
+                res = None
+        if res is None:
+            res = big.place_arrays(pos, gval, kmiss, with_second=True)
+        (bs, slot, nb, hu), (bs2, slot2, nb2, hu2) = res
         for i, nm in enumerate(chunk):
             self_slot = slot_of[nm]
             self_valid = nmut[self_slot] > 0
