@@ -26,9 +26,17 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import placement_pallas as pp
+
+
+@jax.jit
+def _dead_bit_sync(meta, idx):
+    """OR the dead bit into the resident CSC meta32 at idx (duplicate
+    indices fine: .set is idempotent here)."""
+    return meta.at[idx].set(meta[idx] | (1 << 10))
 
 
 class BigMAT:
@@ -522,9 +530,17 @@ class BigMAT:
         meta_dev = self._csc_meta_dev
         nd = getattr(self, "_csc_new_dead", None) or []
         if nd:
-            idx = jnp.asarray(np.unique(np.concatenate(nd))
-                              .astype(np.int32))
-            meta_dev = meta_dev.at[idx].set(meta_dev[idx] | (1 << 10))
+            idx = np.unique(np.concatenate(nd)).astype(np.int32)
+            # bucket the index shape: eager/per-shape programs would
+            # recompile EVERY flush over the (possibly tunneled) compile
+            # service — pad with duplicates (idempotent .set) so one
+            # jitted program serves all flushes
+            cap = 64
+            while cap < len(idx):
+                cap *= 2
+            idxp = np.full(cap, idx[0], np.int32)
+            idxp[:len(idx)] = idx
+            meta_dev = _dead_bit_sync(meta_dev, jnp.asarray(idxp))
             self._csc_meta_dev = meta_dev
             self._csc_new_dead = []
         # dfs arrays padded to the n_pad capacity ladder: their raw [N]
