@@ -316,3 +316,45 @@ def test_pb_direct_save_annotated_parity(tmp_path):
                        "--pb-direct", "--mesh-devices", "0"]) == 0
     assert open(str(tmp_path / "o1.pb"), "rb").read() == \
         open(str(tmp_path / "o2.pb"), "rb").read()
+
+
+def test_save_vec_encoder_matches_loop(tmp_path, monkeypatch):
+    """The vectorized node_mutations encoder must be byte-identical to
+    the per-field loop, including ambiguous mut_nuc nibbles (packed
+    multi-nt lists) and condensed/annotated MATs."""
+    import numpy as np
+    from usher_tpu.io import pb_arrays as pa
+
+    rng = np.random.default_rng(17)
+    n, P = 400, 60
+    parent = np.zeros(n, np.int32)
+    parent[1:] = (rng.random(n - 1) * np.arange(1, n)).astype(np.int32)
+    counts = rng.integers(0, 4, size=n)
+    counts[0] = 0
+    mut_ptr = np.zeros(n + 1, np.int64)
+    mut_ptr[1:] = np.cumsum(counts)
+    M = int(mut_ptr[-1])
+    mut_col = rng.integers(0, P, size=M).astype(np.int32)
+    NIB = np.array([1, 2, 4, 8], np.uint8)
+    ref = NIB[rng.integers(0, 4, size=P)]
+    mut_par = NIB[rng.integers(0, 4, size=M)]
+    # ambiguous targets: mix single bases with multi-bit nibbles
+    mut_mut = rng.integers(1, 16, size=M).astype(np.uint8)
+    names = [f"s{i}" for i in range(n)]
+    blob = ("\0".join(names) + "\0").encode()
+    off = np.zeros(n + 1, np.int64)
+    off[1:] = np.nonzero(np.frombuffer(blob, np.uint8) == 0)[0] + 1
+    ma = pa.MatArrays(
+        parent=parent, names_blob=blob, name_off=off,
+        blen=np.full(n, -1.0), mut_ptr=mut_ptr, mut_col=mut_col,
+        mut_par=mut_par, mut_mut=mut_mut,
+        positions=np.arange(100, 100 + P, dtype=np.int64), ref=ref,
+        chrom="NC_045512v2", condensed=[("s1", ["a", "b"])],
+        ann_counts=np.ones(n, np.int32),
+        ann_blob=("\0".join("c" for _ in range(n)) + "\0").encode())
+    fast = str(tmp_path / "fast.pb")
+    slow = str(tmp_path / "slow.pb")
+    pa.save_arrays_to_pb(ma, fast)
+    monkeypatch.setattr(pa, "_mutation_blocks_vec", lambda *a: None)
+    pa.save_arrays_to_pb(ma, slow)
+    assert open(fast, "rb").read() == open(slow, "rb").read()

@@ -318,6 +318,123 @@ def ann_lists(ma: MatArrays, n: int | None = None):
     return [blob[int(st[i]):int(st[i] + ac[i])] for i in range(n)], ncols
 
 
+def _mutation_blocks_vec(ma: MatArrays, pre) -> bytes | None:
+    """Vectorized encoder for the per-node node_mutations blocks of
+    save_arrays_to_pb: one numpy pass over the whole CSR instead of
+    millions of per-field Python varint calls (the pb save was ~1/4 of a
+    4096-sample serve; at the >2M-leaf public MAT scale the Python loop
+    is minutes).  Byte-identical to the loop (the save parity tests
+    cover both via the fallback switch).  Returns None for layouts the
+    fast path doesn't cover (ambiguous ref/par nibbles whose nt id is
+    -1, giant positions, >90-char chromosome names): callers fall back
+    to the general loop."""
+    n = ma.n
+    M = len(ma.mut_col)
+    chrom_b = ma.chrom.encode() if ma.chrom else b""
+    CL = len(chrom_b)
+    if CL > 90:
+        return None
+    counts = np.diff(ma.mut_ptr).astype(np.int64)
+    # mutations in preorder node order
+    if np.array_equal(pre, np.arange(n)):
+        src = np.arange(M, dtype=np.int64)
+        node_counts = counts
+    else:
+        starts = ma.mut_ptr[pre]
+        node_counts = counts[pre]
+        src = (np.repeat(starts, node_counts)
+               + _ranges_i64(node_counts))
+    col = ma.mut_col[src].astype(np.int64)
+    pv = ma.positions[col].astype(np.int64)
+    if len(pv) and (pv.min() < 0 or pv.max() >= (1 << 28)):
+        return None
+    NT = np.full(16, -1, np.int64)
+    NT[[1, 2, 4, 8]] = [0, 1, 2, 3]
+    ref_nt = NT[ma.ref[col]]
+    par_nt = NT[ma.mut_par[src]]
+    if len(ref_nt) and (ref_nt.min() < 0 or par_nt.min() < 0):
+        return None
+    # mut_nuc nibble -> packed nt list (0/15 expand to all four)
+    LTAB = np.zeros((16, 4), np.uint8)
+    LLEN = np.zeros(16, np.int64)
+    from ..core.nuc import nt_list_from_nuc_id as _nl
+    for x in range(16):
+        lst = _nl(x)
+        LLEN[x] = len(lst)
+        LTAB[x, :len(lst)] = lst
+    mut_n = ma.mut_mut[src]
+    ml_len = LLEN[mut_n]
+    # varint length of the position (1..4 bytes under the 2^28 guard)
+    pb_len = (1 + (pv >= 1 << 7) + (pv >= 1 << 14)
+              + (pv >= 1 << 21)).astype(np.int64)
+    chrom_part = (2 + CL) if CL else 0
+    mb_len = 1 + pb_len + 2 + 2 + 2 + ml_len + chrom_part   # < 128
+    rec_len = 2 + mb_len                                    # 0x0a len mb
+    node_body = np.zeros(n, np.int64)
+    node_of = np.repeat(np.arange(n, dtype=np.int64), node_counts)
+    np.add.at(node_body, node_of, rec_len)
+    nb_len = (1 + (node_body >= 1 << 7) + (node_body >= 1 << 14)
+              + (node_body >= 1 << 21)).astype(np.int64)
+    node_total = 1 + nb_len + node_body                     # 0x12 len ml
+    node_start = np.cumsum(node_total) - node_total
+    buf = np.zeros(int(node_total.sum()), np.uint8)
+    # node headers
+    buf[node_start] = 0x12
+    o = node_start + 1
+    v = node_body.copy()
+    for k in range(int(nb_len.max())):
+        live = nb_len > k
+        more = nb_len > k + 1
+        buf[o[live] + k] = ((v[live] & 0x7F)
+                            | np.where(more[live], 0x80, 0))
+        v >>= 7
+    # per-record offsets: node content start + exclusive prefix within
+    rec_end = np.cumsum(rec_len)
+    rec_off0 = rec_end - rec_len
+    base_rec = np.zeros(n, np.int64)
+    if n:
+        np.maximum.at(base_rec, node_of, rec_end)  # end of node's last
+        base_rec = base_rec - node_body            # start of node's block
+    rs = (node_start[node_of] + 1 + nb_len[node_of]
+          + (rec_off0 - base_rec[node_of]))
+    buf[rs] = 0x0A
+    buf[rs + 1] = mb_len.astype(np.uint8)
+    buf[rs + 2] = 0x08
+    o = rs + 3
+    v = pv.copy()
+    for k in range(int(pb_len.max()) if M else 0):
+        live = pb_len > k
+        more = pb_len > k + 1
+        buf[o[live] + k] = ((v[live] & 0x7F)
+                            | np.where(more[live], 0x80, 0))
+        v >>= 7
+    o = rs + 3 + pb_len
+    buf[o] = 0x10
+    buf[o + 1] = ref_nt.astype(np.uint8)
+    buf[o + 2] = 0x18
+    buf[o + 3] = par_nt.astype(np.uint8)
+    buf[o + 4] = 0x22
+    buf[o + 5] = ml_len.astype(np.uint8)
+    for k in range(4):
+        live = ml_len > k
+        buf[o[live] + 6 + k] = LTAB[mut_n[live], k]
+    if CL:
+        o = o + 6 + ml_len
+        buf[o] = 0x2A
+        buf[o + 1] = CL
+        idx2 = (o[:, None] + 2 + np.arange(CL)[None, :]).reshape(-1)
+        buf[idx2] = np.tile(np.frombuffer(chrom_b, np.uint8), M)
+    return buf.tobytes()
+
+
+def _ranges_i64(counts):
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    starts = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
 def save_arrays_to_pb(ma: MatArrays, filename: str) -> None:
     """MatArrays -> parsimony.pb, wire-compatible with io/pbio.save_mat_pb
     (same field layout; newick via write_newick_arrays' leaf-label form).
@@ -367,20 +484,28 @@ def save_arrays_to_pb(ma: MatArrays, filename: str) -> None:
         pre[k] = slot
         k += 1
         stack2.extend(order[ch_ptr[slot]:ch_ptr[slot + 1]][::-1].tolist())
-    for slot in pre.tolist():
-        ml = bytearray()
-        for j in range(int(ma.mut_ptr[slot]), int(ma.mut_ptr[slot + 1])):
-            mb = bytearray()
-            col = int(ma.mut_col[j])
-            pw.write_varint_field(1, int(ma.positions[col]), mb)
-            pw.write_varint_field(2, nt_from_nuc_id(int(ma.ref[col])), mb)
-            pw.write_varint_field(3, nt_from_nuc_id(int(ma.mut_par[j])), mb)
-            pw.write_packed_int32_field(
-                4, nt_list_from_nuc_id(int(ma.mut_mut[j])), mb)
-            if ma.chrom:
-                pw.write_string_field(5, ma.chrom, mb)
-            pw.write_bytes_field(1, bytes(mb), ml)
-        pw.write_bytes_field(2, bytes(ml), out)
+    blocks = _mutation_blocks_vec(ma, pre)
+    if blocks is not None:
+        out += blocks
+    else:
+        for slot in pre.tolist():
+            ml = bytearray()
+            for j in range(int(ma.mut_ptr[slot]),
+                           int(ma.mut_ptr[slot + 1])):
+                mb = bytearray()
+                col = int(ma.mut_col[j])
+                pw.write_varint_field(1, int(ma.positions[col]), mb)
+                pw.write_varint_field(2, nt_from_nuc_id(int(ma.ref[col])),
+                                      mb)
+                pw.write_varint_field(3,
+                                      nt_from_nuc_id(int(ma.mut_par[j])),
+                                      mb)
+                pw.write_packed_int32_field(
+                    4, nt_list_from_nuc_id(int(ma.mut_mut[j])), mb)
+                if ma.chrom:
+                    pw.write_string_field(5, ma.chrom, mb)
+                pw.write_bytes_field(1, bytes(mb), ml)
+            pw.write_bytes_field(2, bytes(ml), out)
 
     for name, leaves in ma.condensed:
         cb = bytearray()
